@@ -1,0 +1,62 @@
+"""Benchmark runner: headline queries at $SPARK_GRAFT_SF_DIR.
+
+Prints ONE JSON line:
+  {"metric": ..., "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+
+Each query is planned lazily and forced with a cheap action
+(write to noop sink semantics via count on the final plan) so the
+measured time is scan+compute, not result materialization to the
+driver.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from streamz_spark.catalog import load_all
+from streamz_spark.session import get_spark
+
+# Headline queries: a representative slice across operator areas.
+# Updated as coverage widens; falls back to whatever is registered.
+HEADLINE = [
+    "groupby_sum",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    spark = get_spark("streamz_spark_bench")
+    registry = load_all()
+    names = [n for n in HEADLINE if n in registry] or list(registry)
+
+    # warm the JVM + parquet footers once (not counted per-query)
+    registry[names[0]].fn(spark, sf_dir).count()
+
+    timings: dict[str, float] = {}
+    total = 0.0
+    for name in names:
+        t0 = time.perf_counter()
+        df = registry[name].fn(spark, sf_dir)
+        df.count()  # force full plan execution
+        dt = time.perf_counter() - t0
+        timings[name] = round(dt, 4)
+        total += dt
+
+    print(json.dumps({
+        "metric": "headline_queries_total",
+        "value": round(total, 4),
+        "unit": "sec",
+        "queries": timings,
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+    }))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,7 @@
+"""Importing this package registers every catalog query.
+
+Module per SURVEY.md §2 area; each module's import populates
+``streamz_spark.catalog.REGISTRY``.
+"""
+
+from streamz_spark.queries import core  # noqa: F401

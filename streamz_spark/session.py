@@ -1,0 +1,51 @@
+"""SparkSession factory tuned for this engine.
+
+Local-mode defaults mirror what we would set fleet-wide on a real
+cluster: AQE on (runtime re-planning, skew-join splitting, partition
+coalescing), shuffle partitions sized to cores (not the 200 default),
+Arrow enabled for the pandas-UDF slow path, UTC session timezone so
+results are comparable against UTC-naive oracles (duckdb).
+
+``spark.sql.legacy.parquet.nanosAsLong`` is required because the test
+tables store TIMESTAMP(NANOS) which Spark's vectorized parquet reader
+otherwise rejects; `streamz_spark.io.load_table` converts those longs
+back to timestamps losslessly (the data is µs-resolution).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+__all__ = ["get_spark", "configure_builder"]
+
+
+def configure_builder(builder: SparkSession.Builder, *, cpus: int | None = None) -> SparkSession.Builder:
+    """Apply this engine's standard configs to a SparkSession builder."""
+    if cpus is None:
+        cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "0")) or (os.cpu_count() or 8)
+    return (
+        builder
+        .config("spark.sql.shuffle.partitions", str(max(cpus, 4)))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        .config("spark.sql.parquet.filterPushdown", "true")
+        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        .config("spark.ui.enabled", "false")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
+    )
+
+
+def get_spark(app_name: str = "streamz_spark", *, cpus: int | None = None) -> SparkSession:
+    """Create (or fetch) the tuned local SparkSession."""
+    if cpus is None:
+        cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "0")) or (os.cpu_count() or 8)
+    builder = SparkSession.builder.master(f"local[{cpus}]").appName(app_name)
+    spark = configure_builder(builder, cpus=cpus).getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    return spark
