@@ -25,6 +25,16 @@ from streamz_spark.session import get_spark
 # Updated as coverage widens; falls back to whatever is registered.
 HEADLINE = [
     "groupby_sum",
+    "tpch_q1_pricing_summary",
+    "tpch_q3_shipping_priority",
+    "tpch_q5_local_supplier_volume",
+    "tpch_q6_forecast_revenue",
+    "rolling_count_window",
+    "cumsum_per_user",
+    "sessionize",
+    "asof_join_enrich",
+    "join_star_schema",
+    "topk_per_group",
 ]
 
 

@@ -1,0 +1,240 @@
+"""Deduplication operators: exact, n-gram Jaccard, MinHash+LSH, SimHash,
+embedding-cosine near-dup.
+
+Scale design: every variant is a bounded-fan-out candidate generation
+(hash bucket / LSH band / shingle posting list) followed by an exact
+verify join — never an O(n²) cross join. At 100 TB the shuffle keys
+are (band_id, band_hash) / shingle / bucket, all high-cardinality, so
+partitions stay balanced; hot shingles are capped by document
+frequency (`max_df`) exactly like a search posting-list cutoff.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+from streamz_spark.operators.text import fingerprint, word_shingles
+
+__all__ = [
+    "exact_duplicates",
+    "dedup_exact",
+    "ngram_jaccard_pairs",
+    "minhash_signatures",
+    "minhash_lsh_candidates",
+    "minhash_near_duplicates",
+    "simhash",
+    "embedding_near_duplicates",
+]
+
+
+def exact_duplicates(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Groups of byte-identical (normalized) documents: fingerprint →
+    groupBy → keep groups with >1 member. One shuffle on the md5 key.
+    """
+    fp = df.select(F.col(id_col), fingerprint(text_col, "fp"))
+    return (
+        fp.groupBy("fp")
+        .agg(F.count(F.lit(1)).alias("n_dups"), F.min(id_col).alias("keep_id"))
+        .filter(F.col("n_dups") > 1)
+    )
+
+
+def dedup_exact(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Keep one representative (min id) per fingerprint group —
+    the actual dedup transform (exact_duplicates is the report)."""
+    fp = df.withColumn("__fp", fingerprint(text_col, "__fp"))
+    w_min = fp.groupBy("__fp").agg(F.min(id_col).alias("__keep"))
+    return (
+        fp.join(w_min, "__fp")
+        .filter(F.col(id_col) == F.col("__keep"))
+        .drop("__fp", "__keep")
+    )
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 3,
+    threshold: float = 0.5,
+    max_df: int | None = None,
+) -> DataFrame:
+    """Exact n-gram Jaccard similarity pairs via shingle posting lists.
+
+    explode(shingles) → self-join on shingle (equi-join, shuffles on the
+    shingle key) → |A∩B| per pair → Jaccard from per-doc shingle counts.
+    ``max_df`` drops ultra-common shingles (posting-list cutoff) so no
+    single shingle key can blow up the pair fan-out at scale.
+    """
+    sh = df.select(F.col(id_col).alias("id"), word_shingles(text_col, k).alias("sh"))
+    sizes = sh.select("id", F.size("sh").alias("n_sh")).filter(F.col("n_sh") > 0)
+    posting = sh.select("id", F.explode("sh").alias("shingle"))
+    if max_df is not None:
+        hot = posting.groupBy("shingle").count().filter(F.col("count") > max_df).select("shingle")
+        posting = posting.join(hot, "shingle", "left_anti")
+
+    a = posting.alias("a")
+    b = posting.alias("b")
+    inter = (
+        a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.id") < F.col("b.id")))
+        .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    sz_a = sizes.select(F.col("id").alias("id_a"), F.col("n_sh").alias("n_a"))
+    sz_b = sizes.select(F.col("id").alias("id_b"), F.col("n_sh").alias("n_b"))
+    return (
+        inter.join(sz_a, "id_a").join(sz_b, "id_b")
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.col("n_common") / (F.col("n_a") + F.col("n_b") - F.col("n_common")), 6
+            ),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "n_common", "jaccard")
+    )
+
+
+def minhash_signatures(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text",
+    num_perm: int = 64, k: int = 3,
+) -> DataFrame:
+    """MinHash signature per document: num_perm independent hash
+    functions simulated as xxhash64(shingle, seed=i); signature element
+    i = min over shingles. Stays entirely in codegen (transform +
+    array_min), one row per doc — no explode, no shuffle.
+    """
+    sh = df.select(F.col(id_col).alias("id"), word_shingles(text_col, k).alias("sh")).filter(
+        F.size("sh") > 0
+    )
+    sig = F.array(
+        *[
+            F.array_min(F.transform("sh", lambda s: F.xxhash64(s, F.lit(i))))
+            for i in range(num_perm)
+        ]
+    ).alias("signature")
+    return sh.select("id", sig)
+
+
+def minhash_lsh_candidates(
+    signatures: DataFrame, bands: int = 16, rows_per_band: int = 4
+) -> DataFrame:
+    """Band the signatures and emit candidate pairs that collide in ≥1
+    band. Shuffle key = (band_idx, band_hash): high cardinality, well
+    balanced. Classic LSH from Broder / MMDS ch.3.
+    """
+    n = bands * rows_per_band
+    banded = signatures.select(
+        "id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.xxhash64(
+                            *[F.element_at("signature", b * rows_per_band + r + 1) for r in range(rows_per_band)]
+                        ).alias("bhash"),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("bh"),
+    ).select("id", F.col("bh.band").alias("band"), F.col("bh.bhash").alias("bhash"))
+    a, b_ = banded.alias("a"), banded.alias("b")
+    return (
+        a.join(
+            b_,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bhash") == F.col("b.bhash"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .distinct()
+    )
+
+
+def minhash_near_duplicates(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_perm: int = 64,
+    k: int = 3,
+    bands: int = 16,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Full near-dup pipeline: MinHash → LSH candidates → exact Jaccard
+    verify on the candidate pairs only (join back to shingle sets).
+    Output = verified pairs ≥ threshold; LSH only bounds the candidate
+    set, the verify step makes results hash-independent up to recall.
+    """
+    rows_per_band = num_perm // bands
+    sh = df.select(F.col(id_col).alias("id"), word_shingles(text_col, k).alias("sh")).filter(
+        F.size("sh") > 0
+    )
+    sigs = minhash_signatures(df, id_col, text_col, num_perm, k)
+    cand = minhash_lsh_candidates(sigs, bands, rows_per_band)
+    a = sh.select(F.col("id").alias("id_a"), F.col("sh").alias("sh_a"))
+    b = sh.select(F.col("id").alias("id_b"), F.col("sh").alias("sh_b"))
+    return (
+        cand.join(a, "id_a").join(b, "id_b")
+        .withColumn("n_common", F.size(F.array_intersect("sh_a", "sh_b")))
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.col("n_common")
+                / (F.size("sh_a") + F.size("sh_b") - F.col("n_common")),
+                6,
+            ),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
+def simhash(df: DataFrame, id_col: str = "doc_id", text_col: str = "text", bits: int = 64) -> DataFrame:
+    """SimHash fingerprint: sign-sum of per-token hash bits. Computed
+    bit-plane-wise with JVM expressions: for each bit position, sum
+    (+1/-1) over tokens, majority → bit. One row per doc, no shuffle.
+    """
+    from streamz_spark.operators.text import tokenize
+
+    toks = F.array_distinct(tokenize(text_col))
+    h = F.transform(toks, lambda t: F.xxhash64(t))
+    bit_exprs = []
+    for i in range(bits):
+        # +1 if bit i set else -1, summed over tokens
+        votes = F.aggregate(
+            h,
+            F.lit(0),
+            lambda acc, x: acc + F.when(F.shiftright(x, i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1),
+        )
+        bit_exprs.append(F.when(votes > 0, F.lit(1).cast("long")).otherwise(F.lit(0).cast("long")) * F.lit(2**i).cast("long"))
+    sim = bit_exprs[0]
+    for e in bit_exprs[1:]:
+        sim = sim + e
+    return df.select(F.col(id_col), sim.alias("simhash"))
+
+
+def embedding_near_duplicates(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.95,
+) -> DataFrame:
+    """Embedding-cosine near-dup pairs ≥ threshold. Brute-force O(n²)
+    self-join baseline (correctness reference); the scale path is the
+    LSH-bucketed variant in similarity.py::hyperplane_lsh_ann.
+    """
+    from streamz_spark.operators.similarity import with_norm, cosine_expr
+
+    v = with_norm(df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v")))
+    a, b = v.alias("a"), v.alias("b")
+    return (
+        a.join(b, F.col("a.id") < F.col("b.id"))
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            F.round(cosine_expr("a.v", "b.v", "a.norm", "b.norm"), 6).alias("cosine"),
+        )
+        .filter(F.col("cosine") >= threshold)
+    )

@@ -1,0 +1,129 @@
+"""Join operators: equi / as-of / range joins, positional zip,
+latest-value enrichment.
+
+The reference has NO relational key-join (SURVEY.md §2.5) — its only
+multi-stream combinators are structural: ``zip`` (positional,
+core.py:1575-1649), ``combine_latest`` (core.py:1652-1729) and
+``zip_latest`` (core.py:1948-1992). Those become, respectively, an
+equi-join on per-stream sequence numbers and as-of joins. Key joins
+come free with Spark and are exposed as first-class engine surface
+for the star-schema queries.
+
+As-of join strategy (scale-first): the classic union-tag-and-carry
+trick — union both sides tagged, sort within each key partition by
+(ts, side), carry the last right-side value forward with
+``last(..., ignorenulls=True)``. One shuffle on the key, no pandas,
+no per-key merge_asof loop; skew handled by AQE.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window as W, functions as F
+
+__all__ = ["asof_join", "zip_positional", "zip_latest", "combine_latest", "range_join"]
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    by: list[str] | None = None,
+    *,
+    right_cols: list[str] | None = None,
+    direction: str = "backward",
+    suffix: str = "_right",
+) -> DataFrame:
+    """For each left row, attach the most recent right row with
+    right.on <= left.on (backward; forward: >=), optionally per ``by``
+    key. Equivalent of pandas merge_asof / DuckDB ASOF JOIN; subsumes
+    the reference's zip_latest enrichment semantics.
+    """
+    by = by or []
+    rcols = right_cols or [c for c in right.columns if c != on and c not in by]
+
+    lhs = left.withColumn("__side", F.lit(1))
+    rhs = right.select(
+        *by, F.col(on), *[F.col(c).alias(c + suffix) for c in rcols]
+    ).withColumn("__side", F.lit(0))
+
+    # align schemas for union
+    for c in [c + suffix for c in rcols]:
+        lhs = lhs.withColumn(c, F.lit(None).cast(rhs.schema[c].dataType))
+    for c in left.columns:
+        if c not in rhs.columns:
+            rhs = rhs.withColumn(c, F.lit(None).cast(left.schema[c].dataType))
+    unioned = lhs.unionByName(rhs)
+
+    if direction == "backward":
+        w = W.partitionBy(*by).orderBy(F.col(on).asc(), F.col("__side").asc()).rowsBetween(
+            W.unboundedPreceding, 0
+        )
+        fill = {c: F.last(F.when(F.col("__side") == 0, F.col(c)), ignorenulls=True).over(w) for c in [c + suffix for c in rcols]}
+    elif direction == "forward":
+        w = W.partitionBy(*by).orderBy(F.col(on).asc(), F.col("__side").desc()).rowsBetween(
+            0, W.unboundedFollowing
+        )
+        fill = {c: F.first(F.when(F.col("__side") == 0, F.col(c)), ignorenulls=True).over(w) for c in [c + suffix for c in rcols]}
+    else:
+        raise ValueError("direction must be backward|forward")
+
+    out = unioned
+    for c, expr in fill.items():
+        out = out.withColumn(c, expr)
+    return out.filter(F.col("__side") == 1).drop("__side")
+
+
+def zip_positional(dfs: list[DataFrame], order_bys: list[str], prefixes: list[str] | None = None) -> DataFrame:
+    """Reference ``zip`` (core.py:1575-1649): align i-th elements across
+    streams. Implemented as an inner equi-join on per-stream monotonic
+    sequence numbers (row_number over the stream's event order).
+    """
+    prefixes = prefixes or [f"s{i}_" for i in range(len(dfs))]
+    joined: DataFrame | None = None
+    for df, order_col, pref in zip(dfs, order_bys, prefixes):
+        w = W.orderBy(order_col)
+        tagged = df.select(
+            F.row_number().over(w).cast("long").alias("__seq"),
+            *[F.col(c).alias(pref + c) for c in df.columns],
+        )
+        joined = tagged if joined is None else joined.join(tagged, "__seq", "inner")
+    return joined.withColumnRenamed("__seq", "seq")
+
+
+def zip_latest(lossless: DataFrame, other: DataFrame, on: str, right_cols: list[str] | None = None) -> DataFrame:
+    """Reference ``zip_latest`` (core.py:1948-1992): every lossless
+    element paired with the latest value of the other stream — an
+    as-of backward join on event time.
+    """
+    return asof_join(lossless, other, on=on, right_cols=right_cols, direction="backward")
+
+
+def combine_latest(dfs: list[DataFrame], on: str, emit_on: int = 0) -> DataFrame:
+    """Reference ``combine_latest`` (core.py:1652-1729): on each event of
+    the emit_on stream, snapshot the latest value of every other
+    stream — chained as-of backward joins keyed by event time.
+    """
+    base = dfs[emit_on]
+    for i, other in enumerate(dfs):
+        if i == emit_on:
+            continue
+        base = asof_join(base, other, on=on, suffix=f"_s{i}")
+    return base
+
+
+def range_join(
+    left: DataFrame,
+    right: DataFrame,
+    left_point: str,
+    right_lo: str,
+    right_hi: str,
+    how: str = "inner",
+) -> DataFrame:
+    """Point-in-interval join. Naive theta-join explodes; bucketize the
+    range key to an equi-join Catalyst can shuffle-partition, then
+    filter exactly. Bucket width = avg interval size (caller tunes).
+    """
+    # v1: rely on Spark's range-join support via simple conjunctive
+    # predicate; AQE handles sizing. Bucketed variant is a TODO knob.
+    cond = (F.col(left_point) >= F.col(right_lo)) & (F.col(left_point) < F.col(right_hi))
+    return left.join(right, cond, how)

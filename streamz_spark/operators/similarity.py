@@ -1,0 +1,145 @@
+"""Similarity search over embedding columns (array<float>).
+
+Baseline: brute-force cosine top-k — exact, O(n·m), fine for reranking
+and for small query sets against broadcastable corpora. Scale path:
+random-hyperplane LSH bucketing (Charikar's SimHash for cosine) so
+candidate generation shuffles on bucket keys instead of cross-joining;
+verify step is exact cosine on candidates only.
+
+All vector math is F.zip_with / F.aggregate over double-cast arrays —
+JVM-side, codegen'd, no Python in the loop. The hyperplanes are
+deterministic pseudo-random values derived from xxhash64(dim, plane),
+so results are reproducible without shipping a random matrix.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window as W, functions as F
+
+__all__ = ["with_norm", "cosine_expr", "brute_force_topk", "hyperplane_lsh_ann"]
+
+
+def with_norm(df: DataFrame, vec_col: str = "v", norm_col: str = "norm") -> DataFrame:
+    """Attach the L2 norm (double) of a vector column."""
+    v = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    return df.withColumn(vec_col, v).withColumn(
+        norm_col, F.sqrt(F.aggregate(vec_col, F.lit(0.0), lambda acc, x: acc + x * x))
+    )
+
+
+def cosine_expr(a: str, b: str, norm_a: str, norm_b: str) -> Column:
+    """cosine(a, b) given precomputed norms; 0.0 for zero vectors."""
+    dot = F.aggregate(
+        F.zip_with(F.col(a), F.col(b), lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    denom = F.col(norm_a) * F.col(norm_b)
+    return F.when(denom > 0, dot / denom).otherwise(F.lit(0.0))
+
+
+def brute_force_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "vec_id",
+) -> DataFrame:
+    """Exact top-k neighbors per query vector (excluding self-matches).
+
+    The query side is broadcast (small by construction); the corpus
+    streams through — no shuffle of the big side, ranking is a window
+    partitioned by query id. Deterministic tie-break on corpus id.
+    """
+    c = with_norm(corpus.select(F.col(id_col).alias("cid"), F.col(vec_col).alias("cv")), "cv", "cnorm")
+    q = with_norm(queries.select(F.col(query_id_col).alias("qid"), F.col(vec_col).alias("qv")), "qv", "qnorm")
+    scored = (
+        c.join(F.broadcast(q), F.col("cid") != F.col("qid"))
+        .select(
+            "qid",
+            "cid",
+            F.round(cosine_expr("qv", "cv", "qnorm", "cnorm"), 6).alias("cosine"),
+        )
+    )
+    w = W.partitionBy("qid").orderBy(F.col("cosine").desc(), F.col("cid").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("qid", "cid", "cosine", "rank")
+    )
+
+
+def _hyperplane_sign(vec_col: str, plane: int, dim: int) -> Column:
+    """Sign bit of <v, r_plane> where r_plane[d] is a deterministic
+    pseudo-random value in [-1, 1) from xxhash64(d, plane)."""
+    # build the plane as an array expression of the same length
+    denom = F.lit(float(2**63))
+    r = F.transform(
+        F.sequence(F.lit(0), F.lit(dim - 1)),
+        lambda d: F.xxhash64(d, F.lit(plane)).cast("double") / denom,
+    )
+    dot = F.aggregate(
+        F.zip_with(F.col(vec_col), r, lambda x, y: x.cast("double") * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    return (dot >= 0).cast("int")
+
+
+def hyperplane_lsh_ann(
+    corpus: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    planes: int = 12,
+    tables: int = 4,
+    dim: int | None = None,
+) -> DataFrame:
+    """Approximate all-pairs top-k via random-hyperplane LSH.
+
+    Each of `tables` hash tables buckets vectors by a `planes`-bit
+    signature; candidates = same-bucket pairs in any table; verify =
+    exact cosine. Shuffle key = (table, bucket) — bounded fan-out,
+    no cross join. Recall rises with `tables`, cost with
+    `tables · planes`.
+    """
+    if dim is None:
+        dim = len(corpus.select(vec_col).first()[0])
+    v = with_norm(corpus.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v")), "v", "norm")
+
+    buckets = v.select(
+        "id", "v", "norm",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(t).alias("tbl"),
+                        sum(
+                            _hyperplane_sign("v", t * planes + p, dim) * F.lit(2**p)
+                            for p in range(planes)
+                        ).alias("bucket"),
+                    )
+                    for t in range(tables)
+                ]
+            )
+        ).alias("tb"),
+    ).select("id", "v", "norm", F.col("tb.tbl").alias("tbl"), F.col("tb.bucket").alias("bucket"))
+
+    a, b = buckets.alias("a"), buckets.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.tbl") == F.col("b.tbl"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.id") != F.col("b.id")),
+        )
+        .select(
+            F.col("a.id").alias("qid"),
+            F.col("b.id").alias("cid"),
+            F.round(cosine_expr("a.v", "b.v", "a.norm", "b.norm"), 6).alias("cosine"),
+        )
+        .distinct()
+    )
+    w = W.partitionBy("qid").orderBy(F.col("cosine").desc(), F.col("cid").asc())
+    return cand.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)

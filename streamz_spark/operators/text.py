@@ -1,0 +1,126 @@
+"""Text-analysis operators for training-data pipelines.
+
+All hot-path expressions are JVM-side ``pyspark.sql.functions`` —
+regex tokenization, ratio features, md5 fingerprints — so they stay
+inside whole-stage codegen and parallelize embarrassingly (narrow,
+no shuffle). No reference equivalent (streamz users call pandas
+string methods through map_partitions); semantics defined here and
+mirrored 1:1 in the DuckDB oracles.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+__all__ = [
+    "tokenize",
+    "token_count",
+    "quality_features",
+    "language_id",
+    "fingerprint",
+    "word_shingles",
+]
+
+# tiny deterministic stopword lists for the heuristic language id
+STOPWORDS = {
+    "en": ["the", "and", "of", "to", "in", "is", "that", "for", "with", "was"],
+    "de": ["der", "die", "und", "das", "ist", "nicht", "mit", "ein", "von", "zu"],
+    "fr": ["le", "la", "et", "les", "des", "est", "dans", "que", "pour", "une"],
+    "es": ["el", "la", "de", "que", "los", "es", "en", "por", "con", "para"],
+}
+
+
+def tokenize(col: Column | str) -> Column:
+    """Whitespace tokens of trimmed lowercased text ([] for empty)."""
+    c = F.lower(F.trim(F.col(col) if isinstance(col, str) else col))
+    return F.when(F.length(c) == 0, F.array().cast("array<string>")).otherwise(
+        F.split(c, r"\s+")
+    )
+
+
+def token_count(col: Column | str) -> Column:
+    return F.size(tokenize(col)).cast("long")
+
+
+def quality_features(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Length / punctuation / digit / whitespace ratio features plus a
+    composite [0,1] quality score — the standard cheap pre-filter for
+    LLM corpus cleaning.
+    """
+    t = F.col(text_col)
+    n = F.length(t).cast("double")
+    nonempty = n > 0
+    punct = F.length(F.regexp_replace(t, r"[^.,;:!?'\"()\[\]{}-]", "")).cast("double")
+    digits = F.length(F.regexp_replace(t, r"[^0-9]", "")).cast("double")
+    spaces = F.length(F.regexp_replace(t, r"[^ \t\n]", "")).cast("double")
+    upper = F.length(F.regexp_replace(t, r"[^A-Z]", "")).cast("double")
+    ntok = token_count(t)
+    mean_word_len = F.when(ntok > 0, (n - spaces) / ntok).otherwise(F.lit(0.0))
+
+    punct_ratio = F.when(nonempty, punct / n).otherwise(F.lit(0.0))
+    digit_ratio = F.when(nonempty, digits / n).otherwise(F.lit(0.0))
+    space_ratio = F.when(nonempty, spaces / n).otherwise(F.lit(0.0))
+    upper_ratio = F.when(nonempty, upper / n).otherwise(F.lit(0.0))
+
+    # composite score: penalize extreme ratios and degenerate word lengths
+    score = (
+        F.lit(1.0)
+        - F.least(F.lit(1.0), punct_ratio * 4)
+        * F.lit(0.25)
+        - F.least(F.lit(1.0), digit_ratio * 4) * F.lit(0.25)
+        - F.when((mean_word_len < 2) | (mean_word_len > 12), F.lit(0.25)).otherwise(F.lit(0.0))
+        - F.when(ntok < 5, F.lit(0.25)).otherwise(F.lit(0.0))
+    )
+    return df.select(
+        "*",
+        F.round(punct_ratio, 6).alias("punct_ratio"),
+        F.round(digit_ratio, 6).alias("digit_ratio"),
+        F.round(space_ratio, 6).alias("space_ratio"),
+        F.round(upper_ratio, 6).alias("upper_ratio"),
+        ntok.alias("n_tokens"),
+        F.round(mean_word_len, 6).alias("mean_word_len"),
+        F.round(F.greatest(score, F.lit(0.0)), 6).alias("quality_score"),
+    )
+
+
+def language_id(df: DataFrame, text_col: str = "text", out_col: str = "lang_pred") -> DataFrame:
+    """Heuristic language id: count stopword hits per language over the
+    token set, argmax with deterministic tie-break on language code.
+    Pure expressions (arrays_overlap-style counting), no UDF.
+    """
+    toks = tokenize(text_col)
+    hit_cols = []
+    for lang, words in sorted(STOPWORDS.items()):
+        arr = F.array(*[F.lit(w) for w in words])
+        hits = F.size(F.array_intersect(toks, arr))
+        hit_cols.append((lang, hits))
+    # argmax via greatest + chained when (deterministic order)
+    best = F.greatest(*[h for _, h in hit_cols])
+    expr = F.lit("und")
+    for lang, hits in reversed(hit_cols):  # earlier langs win ties
+        expr = F.when((best > 0) & (hits == best), F.lit(lang)).otherwise(expr)
+    return df.withColumn(out_col, expr)
+
+
+def fingerprint(col: Column | str, out_name: str = "fingerprint") -> Column:
+    """Document fingerprint: md5 of whitespace-normalized lowercased
+    text — identical builtin exists in DuckDB, so exact-dup queries are
+    oracle-checkable end to end.
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    norm = F.regexp_replace(F.lower(F.trim(c)), r"\s+", " ")
+    return F.md5(norm).alias(out_name)
+
+
+def word_shingles(col: Column | str, k: int = 3) -> Column:
+    """Distinct k-word shingles ('a b c') — the MinHash/Jaccard unit.
+    Built with transform over a token-index sequence: JVM-side, no UDF.
+    """
+    toks = tokenize(col)
+    n = F.size(toks)
+    idx = F.sequence(F.lit(0), F.greatest(n - k, F.lit(-1)))
+    sh = F.transform(
+        idx,
+        lambda i: F.concat_ws(" ", *[F.element_at(toks, (i + j + 1).cast("int")) for j in range(k)]),
+    )
+    return F.array_distinct(sh)

@@ -1,0 +1,249 @@
+"""Window operators: rolling / expanding / cumulative / EWM / count-windows.
+
+Re-expresses the reference's window surface (streamz/dataframe/core.py:
+94-197, 413-510, 582-656, 659-754; aggregations.py:151-320) on Spark
+window functions. The reference keeps a backlog deque of chunks and
+add/subtracts expired rows (`on_new`/`on_old`); Catalyst's window exec
+computes the same result declaratively — per-partition sorted scan
+with a sliding frame, no Python in the loop, and it scales out by the
+partition key instead of a single driver-side deque.
+
+EWM is the one genuinely order-dependent recurrence (reference
+EWMean: aggregations.py:151-170); it runs as an Arrow-batched
+grouped-map pandas UDF — one sequential scan per key, distributed
+across keys. At 100 TB you EWM per entity (user, symbol), never
+globally, so per-key parallelism is the right scale story.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window as W, functions as F
+
+__all__ = [
+    "rolling_count_window",
+    "rolling_time_window",
+    "expanding",
+    "cumulative",
+    "ewm_mean",
+    "sliding_window_list",
+    "tumbling_window",
+]
+
+_AGG_FNS = {
+    "sum": F.sum,
+    "mean": F.avg,
+    "min": F.min,
+    "max": F.max,
+    "count": F.count,
+    "std": F.stddev_samp,
+    "var": F.var_samp,
+    "median": lambda c: F.percentile(c, F.lit(0.5)),
+}
+
+
+def _agg_over(col: str, op: str, frame) -> Column:
+    if op in _AGG_FNS:
+        return _AGG_FNS[op](col).over(frame)
+    raise ValueError(f"unsupported rolling op: {op}")
+
+
+def rolling_count_window(
+    df: DataFrame,
+    order_by: str,
+    aggs: dict[str, tuple[str, str]],
+    n: int,
+    partition_by: list[str] | None = None,
+    min_periods: int = 1,
+) -> DataFrame:
+    """pandas-semantics rolling over the last ``n`` rows (result per row).
+
+    aggs: {out_name: (col, op)}. Reference: streamz rolling(int)
+    (dataframe/core.py:94-127,757-770).
+    """
+    w = W.partitionBy(*(partition_by or [])).orderBy(order_by)
+    frame = w.rowsBetween(-(n - 1), 0)
+    cnt_w = F.count(F.lit(1)).over(frame)
+    out = df
+    for name, (col, op) in aggs.items():
+        expr = _agg_over(col, op, frame)
+        if min_periods > 1:
+            expr = F.when(cnt_w >= min_periods, expr)
+        out = out.withColumn(name, expr)
+    return out
+
+
+def rolling_time_window(
+    df: DataFrame,
+    ts_col: str,
+    interval_seconds: float,
+    aggs: dict[str, tuple[str, str]],
+    partition_by: list[str] | None = None,
+) -> DataFrame:
+    """Rolling over a trailing time interval ``(ts - interval, ts]``.
+
+    Uses a range frame on epoch microseconds — pure Catalyst, no state
+    backlog; frame is (t - interval, t], pandas rolling semantics.
+    Reference: rolling('3h') via backlog + df.rolling
+    (dataframe/core.py:430-510).
+    """
+    epoch = F.unix_micros(F.col(ts_col).cast("timestamp"))
+    df = df.withColumn("__epoch", epoch)
+    w = (
+        W.partitionBy(*(partition_by or []))
+        .orderBy("__epoch")
+        .rangeBetween(-(int(interval_seconds * 1_000_000) - 1), 0)
+    )
+    out = df
+    for name, (col, op) in aggs.items():
+        out = out.withColumn(name, _agg_over(col, op, w))
+    return out.drop("__epoch")
+
+
+def expanding(
+    df: DataFrame,
+    order_by: str,
+    aggs: dict[str, tuple[str, str]],
+    partition_by: list[str] | None = None,
+) -> DataFrame:
+    """Everything-so-far window, result per row.
+
+    Reference: sdf.expanding() (dataframe/core.py:171-172,641-656).
+    """
+    w = (
+        W.partitionBy(*(partition_by or []))
+        .orderBy(order_by)
+        .rowsBetween(W.unboundedPreceding, 0)
+    )
+    out = df
+    for name, (col, op) in aggs.items():
+        out = out.withColumn(name, _agg_over(col, op, w))
+    return out
+
+
+def cumulative(
+    df: DataFrame,
+    order_by: str,
+    col: str,
+    op: str,
+    out_name: str,
+    partition_by: list[str] | None = None,
+) -> DataFrame:
+    """cumsum/cummax/cummin/cumprod (reference dataframe/core.py:177-197).
+
+    cumprod has no built-in — sign-aware exp(sum(log|x|)) with an
+    any-zero flag, still whole-stage-codegen'd (no UDF).
+    """
+    w = (
+        W.partitionBy(*(partition_by or []))
+        .orderBy(order_by)
+        .rowsBetween(W.unboundedPreceding, 0)
+    )
+    c = F.col(col)
+    if op == "sum":
+        expr = F.sum(c).over(w)
+    elif op == "max":
+        expr = F.max(c).over(w)
+    elif op == "min":
+        expr = F.min(c).over(w)
+    elif op == "prod":
+        any_zero = F.max((c == 0).cast("int")).over(w) == 1
+        neg_cnt = F.sum((c < 0).cast("int")).over(w)
+        magnitude = F.exp(F.sum(F.log(F.abs(c))).over(w))
+        sign = F.when(neg_cnt % 2 == 1, F.lit(-1.0)).otherwise(F.lit(1.0))
+        expr = F.when(any_zero, F.lit(0.0)).otherwise(sign * magnitude)
+    else:
+        raise ValueError(f"unsupported cumulative op: {op}")
+    return df.withColumn(out_name, expr)
+
+
+def ewm_mean(
+    df: DataFrame,
+    order_by: str,
+    col: str,
+    out_name: str,
+    *,
+    alpha: float | None = None,
+    com: float | None = None,
+    span: float | None = None,
+    halflife: float | None = None,
+    partition_by: list[str] | None = None,
+    adjust: bool = True,
+) -> DataFrame:
+    """Exponentially-weighted mean, pandas semantics (reference EWMean,
+    streamz/dataframe/aggregations.py:151-170 — keeps (result, old_wt)
+    state; here: one Arrow-batched sequential scan per key).
+    """
+    if alpha is None:
+        if com is not None:
+            alpha = 1.0 / (1.0 + com)
+        elif span is not None:
+            alpha = 2.0 / (span + 1.0)
+        elif halflife is not None:
+            import math
+
+            alpha = 1.0 - math.exp(-math.log(2.0) / halflife)
+        else:
+            raise ValueError("one of alpha/com/span/halflife required")
+
+    from pyspark.sql.types import DoubleType, IntegerType, StructField, StructType
+
+    keys = partition_by or []
+    # fresh StructType — .add() would mutate the DataFrame's cached schema
+    schema = StructType(list(df.schema.fields) + [StructField(out_name, DoubleType())])
+    a = alpha
+
+    def scan(pdf):
+        pdf = pdf.sort_values(order_by)
+        pdf[out_name] = pdf[col].ewm(alpha=a, adjust=adjust).mean()
+        return pdf
+
+    if keys:
+        return df.groupBy(*keys).applyInPandas(scan, schema=schema)
+    # global EWM: inherently sequential — single group (scale caveat
+    # documented in module docstring; prefer per-key EWM at scale)
+    g_schema = StructType(
+        list(df.schema.fields)
+        + [StructField("__g", IntegerType()), StructField(out_name, DoubleType())]
+    )
+    return (
+        df.withColumn("__g", F.lit(1))
+        .groupBy("__g")
+        .applyInPandas(lambda pdf: scan(pdf), schema=g_schema)
+        .drop("__g")
+    )
+
+
+def sliding_window_list(
+    df: DataFrame,
+    order_by: str,
+    col: str,
+    n: int,
+    out_name: str = "window",
+    partition_by: list[str] | None = None,
+    return_partial: bool = True,
+) -> DataFrame:
+    """Overlapping tuples of the last n events (reference sliding_window,
+    core.py:1269-1316) — collect_list over a row frame.
+    """
+    w = W.partitionBy(*(partition_by or [])).orderBy(order_by).rowsBetween(-(n - 1), 0)
+    out = df.withColumn(out_name, F.collect_list(col).over(w))
+    if not return_partial:
+        out = out.filter(F.size(out_name) == n)
+    return out
+
+
+def tumbling_window(
+    df: DataFrame,
+    ts_col: str,
+    interval: str,
+    aggs: dict[str, Column],
+    extra_keys: list[str] | None = None,
+) -> DataFrame:
+    """timed_window (reference core.py:1326-1362): everything seen per
+    interval, as F.window tumbling buckets + aggregates.
+    """
+    keys = [F.window(ts_col, interval).alias("win")] + [F.col(k) for k in (extra_keys or [])]
+    out = df.groupBy(*keys).agg(*[c.alias(n) for n, c in aggs.items()])
+    return out.withColumn("window_start", F.col("win.start")).withColumn(
+        "window_end", F.col("win.end")
+    ).drop("win")

@@ -1,0 +1,280 @@
+"""Window operators (SURVEY.md §2 Phases 3-4, batch semantics).
+
+Count/time rolling, expanding, cumulative, EWM, sliding tuples,
+tumbling/timed windows, sessionization. Batch compilation targets
+Catalyst's WindowExec (per-key sorted scan — the distributed analogue
+of the reference's backlog-deque + add/subtract state machines,
+aggregations.py:173-320). EWM is the order-dependent exception: an
+Arrow-batched per-key scan, oracled with a duckdb recursive CTE-free
+closed form over bounded partitions.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window as W, functions as F
+
+from streamz_spark.catalog import register
+from streamz_spark.io import load_table
+from streamz_spark.operators import windows as ops
+
+
+@register(
+    "cumsum_per_user",
+    oracle="""
+        SELECT event_id, user_id,
+               ROUND(SUM(value) OVER (PARTITION BY user_id ORDER BY event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 6) AS cum_value,
+               MAX(value) OVER (PARTITION BY user_id ORDER BY event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_max
+        FROM events
+    """,
+    doc="sdf.cumsum/cummax — streamz dataframe/core.py:177-197,413-427; ordered cumulative window",
+)
+def cumsum_per_user(spark, sf_dir):
+    ev = load_table(spark, sf_dir, "events")
+    out = ops.cumulative(ev, "event_id", "value", "sum", "cum_value", ["user_id"])
+    out = ops.cumulative(out, "event_id", "value", "max", "cum_max", ["user_id"])
+    return out.select(
+        "event_id", "user_id", F.round("cum_value", 6).alias("cum_value"), "cum_max"
+    )
+
+
+@register(
+    "cumprod_per_user",
+    # oracle mirrors the engine's sign-aware exp(sum(log)) formula so both
+    # engines run the same float ops; cumprod semantics themselves are
+    # verified against pandas in tests/test_windows.py
+    oracle="""
+        SELECT event_id, user_id,
+               ROUND(CASE WHEN MAX(CASE WHEN 1.0 + value/1000 = 0 THEN 1 ELSE 0 END)
+                          OVER w = 1 THEN 0.0
+                    ELSE (CASE WHEN SUM(CASE WHEN 1.0 + value/1000 < 0 THEN 1 ELSE 0 END)
+                               OVER w % 2 = 1 THEN -1.0 ELSE 1.0 END)
+                         * EXP(SUM(LN(ABS(1.0 + value/1000))) OVER w)
+               END, 6) AS cum_prod
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    """,
+    doc="sdf.cumprod — streamz dataframe/core.py:177-197; exp(sum(log)) with sign/zero tracking, no UDF",
+)
+def cumprod_per_user(spark, sf_dir):
+    ev = load_table(spark, sf_dir, "events").withColumn(
+        "growth", 1.0 + F.col("value") / 1000
+    )
+    out = ops.cumulative(ev, "event_id", "growth", "prod", "cum_prod", ["user_id"])
+    return out.select("event_id", "user_id", F.round("cum_prod", 6).alias("cum_prod"))
+
+
+@register(
+    "rolling_count_window",
+    oracle="""
+        SELECT event_id, user_id,
+               ROUND(SUM(value) OVER w, 6) AS roll_sum,
+               ROUND(AVG(value) OVER w, 6) AS roll_mean,
+               MIN(value) OVER w AS roll_min,
+               MAX(value) OVER w AS roll_max,
+               COUNT(value) OVER w AS roll_count
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY event_id
+                     ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
+    """,
+    doc="sdf.rolling(7) — streamz dataframe/core.py:94-127,757-770; row frame replaces backlog deque",
+)
+def rolling_count_window(spark, sf_dir):
+    ev = load_table(spark, sf_dir, "events")
+    out = ops.rolling_count_window(
+        ev,
+        "event_id",
+        {
+            "roll_sum": ("value", "sum"),
+            "roll_mean": ("value", "mean"),
+            "roll_min": ("value", "min"),
+            "roll_max": ("value", "max"),
+            "roll_count": ("value", "count"),
+        },
+        n=7,
+        partition_by=["user_id"],
+    )
+    return out.select(
+        "event_id", "user_id",
+        F.round("roll_sum", 6).alias("roll_sum"),
+        F.round("roll_mean", 6).alias("roll_mean"),
+        "roll_min", "roll_max", "roll_count",
+    )
+
+
+@register(
+    "rolling_time_window",
+    oracle="""
+        SELECT event_id, user_id,
+               ROUND(SUM(value) OVER w, 6)  AS roll_sum,
+               COUNT(value) OVER w          AS roll_count
+        FROM (SELECT *, epoch_us(ts) AS e FROM events)
+        WINDOW w AS (PARTITION BY user_id ORDER BY e
+                     RANGE BETWEEN 3599999999 PRECEDING AND CURRENT ROW)
+    """,
+    doc="sdf.rolling('1h') — streamz dataframe/core.py:430-510; range frame on epoch µs, (t-1h, t]",
+)
+def rolling_time_window(spark, sf_dir):
+    ev = load_table(spark, sf_dir, "events")
+    out = ops.rolling_time_window(
+        ev, "ts", 3600.0,
+        {"roll_sum": ("value", "sum"), "roll_count": ("value", "count")},
+        partition_by=["user_id"],
+    )
+    return out.select(
+        "event_id", "user_id",
+        F.round("roll_sum", 6).alias("roll_sum"),
+        "roll_count",
+    )
+
+
+@register(
+    "expanding_stats",
+    # raw doubles: both engines evaluate cumulative frames sequentially in
+    # the same order → bit-identical; rounding would *introduce* divergence
+    # (Spark HALF_UP-on-shortest-repr vs duckdb scale-and-round disagree on
+    # grid-boundary values like mean = x.xxxxx5)
+    # duckdb's windowed SUM block-accumulates (ulp-diverges from Spark's
+    # sequential running sum above ~32 rows), but list_sum over the
+    # in-order window list sums left-to-right exactly like Spark's
+    # AggregateProcessor — bit-identical, so raw doubles compare clean
+    oracle="""
+        SELECT event_id, user_id,
+               COUNT(value) OVER w AS exp_count,
+               list_sum(list(value) OVER w) / COUNT(value) OVER w AS exp_mean
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    """,
+    doc="sdf.expanding() — streamz dataframe/core.py:171-172,641-656",
+)
+def expanding_stats(spark, sf_dir):
+    from pyspark.sql import Window as W
+
+    ev = load_table(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("event_id").rowsBetween(W.unboundedPreceding, 0)
+    return ev.select(
+        "event_id", "user_id",
+        F.count("value").over(w).alias("exp_count"),
+        (F.sum("value").over(w) / F.count("value").over(w)).alias("exp_mean"),
+    )
+
+
+@register(
+    "sliding_window_tuples",
+    oracle="""
+        SELECT event_id, user_id,
+               array_to_string(list(value) OVER (PARTITION BY user_id ORDER BY event_id
+                     ROWS BETWEEN 2 PRECEDING AND CURRENT ROW), ',') AS last3
+        FROM events
+    """,
+    doc="Stream.sliding_window(3) — streamz core.py:1269-1316; collect_list over row frame",
+)
+def sliding_window_tuples(spark, sf_dir):
+    ev = load_table(spark, sf_dir, "events")
+    out = ops.sliding_window_list(ev, "event_id", "value", 3, "last3", ["user_id"])
+    return out.select(
+        "event_id", "user_id", F.concat_ws(",", F.col("last3")).alias("last3")
+    )
+
+
+@register(
+    "tumbling_window_hourly",
+    # window_start emitted as an ISO string: Spark's pandas bridge yields
+    # datetime64[ns], duckdb's [us] — a formatted string is dtype-proof
+    oracle="""
+        SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS window_start,
+               event_type,
+               COUNT(*) AS n,
+               ROUND(SUM(value), 4) AS sum_value
+        FROM events
+        GROUP BY 1, 2
+    """,
+    doc="Stream.timed_window — streamz core.py:1326-1362; F.window tumbling buckets",
+)
+def tumbling_window_hourly(spark, sf_dir):
+    ev = load_table(spark, sf_dir, "events")
+    out = ops.tumbling_window(
+        ev, "ts", "1 hour",
+        {"n": F.count(F.lit(1)), "sum_value": F.round(F.sum("value"), 4)},
+        extra_keys=["event_type"],
+    )
+    return out.select(
+        F.date_format("window_start", "yyyy-MM-dd HH:mm:ss").alias("window_start"),
+        "event_type", "n", "sum_value",
+    )
+
+
+@register(
+    "timed_window_unique",
+    oracle="""
+        SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS window_start,
+               COUNT(DISTINCT user_id) AS n_users
+        FROM events
+        GROUP BY 1
+    """,
+    doc="Stream.timed_window_unique — streamz core.py:1365-1481; per-window dedup by key",
+)
+def timed_window_unique(spark, sf_dir):
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "1 hour").alias("win"))
+        .agg(F.countDistinct("user_id").alias("n_users"))
+        .select(
+            F.date_format("win.start", "yyyy-MM-dd HH:mm:ss").alias("window_start"),
+            "n_users",
+        )
+    )
+
+
+@register(
+    "sessionize",
+    oracle="""
+        WITH gaps AS (
+            SELECT user_id, ts, value,
+                   CASE WHEN epoch_us(ts) - epoch_us(LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id))
+                             > 1800 * 1000000 OR LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+                        THEN 1 ELSE 0 END AS new_session
+            FROM events
+        ), sess AS (
+            SELECT user_id, ts, value,
+                   CAST(SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
+            FROM gaps
+        )
+        SELECT user_id, session_id, COUNT(*) AS n_events,
+               ROUND(SUM(value), 4) AS session_value
+        FROM sess GROUP BY user_id, session_id
+    """,
+    doc="sessionization: lag-gap-cumsum (batch analogue of session_window in streaming)",
+)
+def sessionize(spark, sf_dir):
+    ev = load_table(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.unix_micros(F.col("ts").cast("timestamp")) - F.unix_micros(
+        F.lag("ts").over(w).cast("timestamp")
+    )
+    new_sess = F.when(gap.isNull() | (gap > 1800 * 1_000_000), 1).otherwise(0)
+    wc = W.partitionBy("user_id").orderBy("ts").rowsBetween(W.unboundedPreceding, 0)
+    sess = ev.withColumn("session_id", F.sum(new_sess).over(wc))
+    return sess.groupBy("user_id", "session_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.round(F.sum("value"), 4).alias("session_value"),
+    )
+
+
+@register(
+    "ewm_mean_per_user",
+    oracle=None,  # order-dependent recurrence: no portable SQL form; pandas-differential in tests/test_windows.py
+    doc="sdf.ewm(alpha).mean() — streamz dataframe/core.py:659-754, EWMean aggregations.py:151-170; per-key Arrow scan",
+)
+def ewm_mean_per_user(spark, sf_dir):
+    ev = load_table(spark, sf_dir, "events")
+    out = ops.ewm_mean(
+        ev.select("event_id", "user_id", "value"),
+        "event_id", "value", "ewm",
+        alpha=0.3, partition_by=["user_id"],
+    )
+    return out.select("event_id", "user_id", F.round("ewm", 6).alias("ewm"))
