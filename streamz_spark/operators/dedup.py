@@ -86,9 +86,7 @@ def ngram_jaccard_pairs(
         inter.join(sz_a, "id_a").join(sz_b, "id_b")
         .withColumn(
             "jaccard",
-            F.round(
-                F.col("n_common") / (F.col("n_a") + F.col("n_b") - F.col("n_common")), 6
-            ),
+            F.col("n_common") / (F.col("n_a") + F.col("n_b") - F.col("n_common")),
         )
         .filter(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", "n_common", "jaccard")
@@ -180,11 +178,8 @@ def minhash_near_duplicates(
         .withColumn("n_common", F.size(F.array_intersect("sh_a", "sh_b")))
         .withColumn(
             "jaccard",
-            F.round(
-                F.col("n_common")
-                / (F.size("sh_a") + F.size("sh_b") - F.col("n_common")),
-                6,
-            ),
+            F.col("n_common")
+            / (F.size("sh_a") + F.size("sh_b") - F.col("n_common")),
         )
         .filter(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", "jaccard")
@@ -234,7 +229,7 @@ def embedding_near_duplicates(
         .select(
             F.col("a.id").alias("id_a"),
             F.col("b.id").alias("id_b"),
-            F.round(cosine_expr("a.v", "b.v", "a.norm", "b.norm"), 6).alias("cosine"),
+            cosine_expr("a.v", "b.v", "a.norm", "b.norm").alias("cosine"),
         )
         .filter(F.col("cosine") >= threshold)
     )

@@ -59,7 +59,7 @@ def brute_force_topk(
         .select(
             "qid",
             "cid",
-            F.round(cosine_expr("qv", "cv", "qnorm", "cnorm"), 6).alias("cosine"),
+            cosine_expr("qv", "cv", "qnorm", "cnorm").alias("cosine"),
         )
     )
     w = W.partitionBy("qid").orderBy(F.col("cosine").desc(), F.col("cid").asc())
@@ -137,7 +137,7 @@ def hyperplane_lsh_ann(
         .select(
             F.col("a.id").alias("qid"),
             F.col("b.id").alias("cid"),
-            F.round(cosine_expr("a.v", "b.v", "a.norm", "b.norm"), 6).alias("cosine"),
+            cosine_expr("a.v", "b.v", "a.norm", "b.norm").alias("cosine"),
         )
         .distinct()
     )

@@ -71,15 +71,16 @@ def quality_features(df: DataFrame, text_col: str = "text") -> DataFrame:
         - F.when((mean_word_len < 2) | (mean_word_len > 12), F.lit(0.25)).otherwise(F.lit(0.0))
         - F.when(ntok < 5, F.lit(0.25)).otherwise(F.lit(0.0))
     )
+    # raw doubles: per-row ratio arithmetic is bit-identical across engines
     return df.select(
         "*",
-        F.round(punct_ratio, 6).alias("punct_ratio"),
-        F.round(digit_ratio, 6).alias("digit_ratio"),
-        F.round(space_ratio, 6).alias("space_ratio"),
-        F.round(upper_ratio, 6).alias("upper_ratio"),
+        punct_ratio.alias("punct_ratio"),
+        digit_ratio.alias("digit_ratio"),
+        space_ratio.alias("space_ratio"),
+        upper_ratio.alias("upper_ratio"),
         ntok.alias("n_tokens"),
-        F.round(mean_word_len, 6).alias("mean_word_len"),
-        F.round(F.greatest(score, F.lit(0.0)), 6).alias("quality_score"),
+        mean_word_len.alias("mean_word_len"),
+        F.greatest(score, F.lit(0.0)).alias("quality_score"),
     )
 
 

@@ -4,4 +4,13 @@ Module per SURVEY.md §2 area; each module's import populates
 ``streamz_spark.catalog.REGISTRY``.
 """
 
-from streamz_spark.queries import aggs, core, joins, stateless, tpch, windows  # noqa: F401
+from streamz_spark.queries import (  # noqa: F401
+    aggs,
+    core,
+    dedup_queries,
+    joins,
+    stateless,
+    text_analysis,
+    tpch,
+    windows,
+)

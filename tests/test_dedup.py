@@ -1,0 +1,90 @@
+"""Property tests for hash-dependent operators (no SQL oracle possible).
+
+Mirrors the reference's differential strategy where an oracle exists
+(exact Jaccard), and uses planted-duplicate / determinism properties
+where results depend on hash functions (MinHash, LSH, SimHash).
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from streamz_spark.io import load_table
+from streamz_spark.operators import dedup as dd
+from streamz_spark.operators import similarity as sim
+
+from .conftest import SF_DIR
+
+
+def test_minhash_pairs_subset_of_exact_with_high_recall(spark):
+    """Every MinHash-reported pair is exactly verified (precision 1.0 by
+    construction); LSH recall vs the exact posting-list pairs ≥ 0.8."""
+    docs = load_table(spark, SF_DIR, "documents")
+    exact = {(r.id_a, r.id_b) for r in dd.ngram_jaccard_pairs(docs, k=3, threshold=0.5).collect()}
+    mh = {(r.id_a, r.id_b) for r in dd.minhash_near_duplicates(docs, num_perm=64, bands=16, threshold=0.5).collect()}
+    assert mh <= exact, f"false positives: {mh - exact}"
+    if exact:
+        assert len(mh & exact) / len(exact) >= 0.8
+
+
+def test_simhash_identical_docs_same_hash(spark):
+    """Byte-identical texts must collide; simhash is deterministic."""
+    docs = load_table(spark, SF_DIR, "documents")
+    fp = load_table(spark, SF_DIR, "documents").select(
+        "doc_id", F.md5(F.col("text")).alias("exact_fp")
+    )
+    sh = dd.simhash(docs, bits=16)
+    joined = sh.join(fp, "doc_id")
+    groups = (
+        joined.groupBy("exact_fp")
+        .agg(F.countDistinct("simhash").alias("n_hashes"), F.count(F.lit(1)).alias("n"))
+        .filter(F.col("n") > 1)
+    )
+    bad = groups.filter(F.col("n_hashes") > 1).count()
+    assert bad == 0
+
+    # deterministic across runs
+    a = sorted((r.doc_id, r.simhash) for r in sh.collect())
+    b = sorted((r.doc_id, r.simhash) for r in dd.simhash(docs, bits=16).collect())
+    assert a == b
+
+
+def test_lsh_ann_finds_planted_near_duplicates(spark):
+    """Vectors duplicated with tiny noise (cosine ≈ 1) must be retrieved
+    by the hyperplane-LSH path — the property LSH actually guarantees."""
+    import numpy as np
+
+    rng = np.random.RandomState(7)
+    base = rng.randn(40, 16).astype("float32")
+    rows = []
+    for i, v in enumerate(base):
+        rows.append((i, [float(x) for x in v]))
+        rows.append((1000 + i, [float(x) for x in (v + 0.001 * rng.randn(16).astype("float32"))]))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    out = sim.hyperplane_lsh_ann(df, k=1, planes=8, tables=6, dim=16)
+    got = {(r.qid, r.cid) for r in out.filter(F.col("rank") == 1).collect()}
+    expected = {(i, 1000 + i) for i in range(40)} | {(1000 + i, i) for i in range(40)}
+    recall = len(got & expected) / len(expected)
+    assert recall >= 0.9, f"planted-pair recall {recall}"
+
+
+def test_lsh_ann_cosines_match_brute_force(spark):
+    """Candidate cosines reported by LSH must equal the exact cosine
+    (verify step is exact); checked against brute force on the overlap."""
+    emb = load_table(spark, SF_DIR, "embeddings").limit(100)
+    bf = {(r.qid, r.cid): r.cosine for r in sim.brute_force_topk(emb, emb, k=99).collect()}
+    lsh = sim.hyperplane_lsh_ann(emb, k=5, planes=8, tables=4, dim=64)
+    for r in lsh.collect():
+        if (r.qid, r.cid) in bf:
+            assert r.cosine == pytest.approx(bf[(r.qid, r.cid)], abs=0, rel=0), (r.qid, r.cid)
+
+
+def test_dedup_exact_removes_only_duplicates(spark):
+    """Row count after dedup = distinct fingerprints; kept ids minimal."""
+    docs = load_table(spark, SF_DIR, "documents")
+    from streamz_spark.operators.text import fingerprint
+
+    n_fp = docs.select(fingerprint("text", "f")).distinct().count()
+    kept = dd.dedup_exact(docs)
+    assert kept.count() == n_fp
