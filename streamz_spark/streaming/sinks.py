@@ -1,0 +1,74 @@
+"""Streaming sinks (reference: streamz/sinks.py — SURVEY.md §2.2).
+
+| reference                          | here                          |
+|------------------------------------|-------------------------------|
+| sink(func) (sinks.py:27)           | ``sink_foreach_batch``        |
+| sink_to_list (core.py:571)         | ``sink_to_list`` (test staple)|
+| sink_to_textfile (sinks.py:77)     | ``sink_to_directory``         |
+| to_kafka (sinks.py:116)            | writeStream.format("kafka")   |
+
+``sink_to_list`` is the engine's analogue of the reference's core test
+harness: run the stream to completion (availableNow) and collect each
+micro-batch's result as a pandas frame, in batch order.
+"""
+
+from __future__ import annotations
+
+import tempfile
+
+from pyspark.sql import DataFrame
+
+
+def run_available_now(writer, timeout: int = 300):
+    """Start a writeStream with the availableNow trigger and block until
+    it drains — the synchronous replay harness used by all tests."""
+    q = writer.trigger(availableNow=True).start()
+    q.awaitTermination(timeout)
+    return q
+
+
+def sink_to_list(
+    df: DataFrame, output_mode: str = "append", timeout: int = 300
+) -> list:
+    """Collect per-micro-batch pandas frames into a Python list —
+    reference Stream.sink_to_list (core.py:571-585). Returns the list
+    of (batch_id, pandas.DataFrame) in batch order."""
+    out: list = []
+
+    def collect(batch_df, batch_id):
+        out.append((batch_id, batch_df.toPandas()))
+
+    writer = df.writeStream.outputMode(output_mode).foreachBatch(collect)
+    run_available_now(writer, timeout)
+    out.sort(key=lambda t: t[0])
+    return [pdf for _, pdf in out]
+
+
+def sink_foreach_batch(df: DataFrame, func, output_mode: str = "append", timeout: int = 300):
+    """Apply ``func(batch_df, batch_id)`` per micro-batch — reference
+    Stream.sink (sinks.py:27-73); exactly-once when func is idempotent."""
+    writer = df.writeStream.outputMode(output_mode).foreachBatch(func)
+    return run_available_now(writer, timeout)
+
+
+def sink_to_memory(
+    df: DataFrame, name: str, output_mode: str = "append", timeout: int = 300
+):
+    """Memory sink: results queryable as ``SELECT * FROM <name>``."""
+    writer = df.writeStream.outputMode(output_mode).format("memory").queryName(name)
+    return run_available_now(writer, timeout)
+
+
+def sink_to_directory(
+    df: DataFrame, path: str, fmt: str = "parquet",
+    checkpoint: str | None = None, timeout: int = 300,
+):
+    """File sink with checkpointed exactly-once semantics — reference
+    sink_to_textfile (sinks.py:77-112), upgraded from its best-effort
+    append to WAL-tracked output files."""
+    checkpoint = checkpoint or tempfile.mkdtemp(prefix="streamz_spark_ckpt_")
+    writer = (
+        df.writeStream.outputMode("append").format(fmt)
+        .option("path", path).option("checkpointLocation", checkpoint)
+    )
+    return run_available_now(writer, timeout)

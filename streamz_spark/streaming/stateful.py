@@ -1,0 +1,141 @@
+"""Custom stateful streaming operators (SURVEY.md §4.3 'the hard 20%').
+
+All built on ``applyInPandasWithState`` — the public stateful API —
+keyed by a grouping column so state shards across executors (the
+reference's single-process accumulate state, core.py:928-1026, becomes
+per-key distributed state in the RocksDB-backed store).
+
+NOTE: deliberately no ``from __future__ import annotations`` —
+evaluated type hints matter for PySpark's UDF inference.
+"""
+
+import pandas as pd
+
+from pyspark.sql import DataFrame
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+
+def accumulate(
+    sdf: DataFrame,
+    keys,
+    func,
+    state_schema: str,
+    output_schema: str,
+    start=None,
+    output_mode: str = "update",
+) -> DataFrame:
+    """Generic keyed accumulate: ``state, out = func(state, chunk_pdf)``
+    per micro-batch — the reference's accumulate/scan node
+    (core.py:928-1026) and custom Aggregation protocol
+    (dataframe/aggregations.py:11-148: initial/on_new), distributed
+    per key.
+
+    ``start`` is the initial state tuple (reference ``start=`` /
+    ``with_state`` resume, test_dataframes.py:993-1101); durable resume
+    is the Spark checkpoint dir.
+    """
+
+    def wrapped(key, pdfs, state: GroupState):
+        st = state.get if state.exists else start
+        out_frames = []
+        for pdf in pdfs:
+            st, out = func(st, pdf)
+            if out is not None and len(out):
+                out_frames.append(out)
+        state.update(tuple(st) if not isinstance(st, tuple) else st)
+        if out_frames:
+            yield pd.concat(out_frames, ignore_index=True)
+
+    return sdf.groupBy(*keys).applyInPandasWithState(
+        wrapped, output_schema, state_schema, output_mode,
+        GroupStateTimeout.NoTimeout,
+    )
+
+
+def running_sum(sdf: DataFrame, key: str, value_col: str = "value") -> DataFrame:
+    """Keyed running total — accumulate's canonical instantiation
+    (reference scan example, core.py:616-619)."""
+
+    def step(state, pdf):
+        total = (state[0] if state else 0.0) + float(pdf[value_col].sum())
+        out = pd.DataFrame({key: pdf[key].iloc[:1], "running_sum": [total]})
+        return (total,), out
+
+    return accumulate(
+        sdf.select(key, value_col), [key], step,
+        state_schema="running_sum double",
+        output_schema=f"{key} long, running_sum double",
+    )
+
+
+def partition_batches(
+    sdf: DataFrame,
+    key: str,
+    n: int,
+    timeout_ms: int | None = None,
+    value_col: str = "value",
+) -> DataFrame:
+    """Group events into arrays of ``n`` per key, flushing on count or
+    processing-time timeout — reference partition(n, timeout, key)
+    (core.py:1078-1165). Buffer rides in state; timeout flushes
+    partial groups.
+    """
+    timeout_conf = (
+        GroupStateTimeout.ProcessingTimeTimeout if timeout_ms else GroupStateTimeout.NoTimeout
+    )
+
+    def flush(key_, pdfs, state: GroupState):
+        buf = list(state.get[0]) if state.exists else []
+        emitted = []
+        if state.hasTimedOut:
+            if buf:
+                emitted.append(buf)
+            state.remove()
+        else:
+            for pdf in pdfs:
+                for v in pdf[value_col]:
+                    buf.append(float(v))
+                    if len(buf) >= n:
+                        emitted.append(buf)
+                        buf = []
+            state.update((buf,))
+            if timeout_ms:
+                state.setTimeoutDuration(timeout_ms)
+        if emitted:
+            yield pd.DataFrame(
+                {
+                    "key": [key_[0]] * len(emitted),
+                    "batch": emitted,
+                }
+            )
+
+    return sdf.groupBy(key).applyInPandasWithState(
+        flush,
+        "key long, batch array<double>",
+        "buf array<double>",
+        "append",
+        timeout_conf,
+    )
+
+
+def count_window_sum(sdf: DataFrame, key: str, n: int, value_col: str = "value") -> DataFrame:
+    """Sliding count-window aggregate per key: sum over the last ``n``
+    rows seen so far, emitted per micro-batch — reference window(n=)
+    (dataframe/core.py:129-169,582-596) whose deque state
+    (rolling_accumulator, core.py:757-770) becomes an array column in
+    the state store.
+    """
+
+    def step(state, pdf):
+        tail = list(state[0]) if state else []
+        vals = tail + [float(v) for v in pdf[value_col]]
+        tail = vals[-n:]
+        out = pd.DataFrame({key: pdf[key].iloc[:1], "window_sum": [sum(tail)],
+                            "window_len": [len(tail)]})
+        return (tail,), out
+
+    return accumulate(
+        sdf.select(key, value_col), [key], step,
+        state_schema="tail array<double>",
+        output_schema=f"{key} long, window_sum double, window_len int",
+    )

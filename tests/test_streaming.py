@@ -1,0 +1,128 @@
+"""End-to-end Structured Streaming tests: replay test tables as
+micro-batch streams, run the engine's operators, compare against the
+batch result (the reference's stream-chunks-vs-full-frame oracle,
+SURVEY.md §5.2).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from streamz_spark.io import load_table
+from streamz_spark.streaming import (
+    from_iterable,
+    replay_table,
+    sink_to_list,
+    sink_to_memory,
+)
+from streamz_spark.streaming.stateful import partition_batches, running_sum
+
+from .conftest import SF_DIR
+
+
+def test_streaming_groupby_agg_complete_mode(spark):
+    """updating-stream semantics: final complete-mode emission == batch
+    aggregate (reference test_dataframes.py:110-111 'compare final')."""
+    src = replay_table(spark, SF_DIR, "events", n_chunks=3, chunk_col="event_id")
+    agg = src.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"), F.sum("value").alias("sum_value")
+    )
+    sink_to_memory(agg, "t_complete", output_mode="complete")
+    got = spark.sql("SELECT * FROM t_complete").toPandas().sort_values("event_type", ignore_index=True)
+    ev = load_table(spark, SF_DIR, "events")
+    want = (
+        ev.groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("value").alias("sum_value"))
+        .toPandas().sort_values("event_type", ignore_index=True)
+    )
+    assert got.n.tolist() == want.n.tolist()
+    np.testing.assert_allclose(got.sum_value, want.sum_value, rtol=1e-9)
+
+
+def test_streaming_map_filter_append_concat(spark):
+    """streaming-stream semantics: concatenation of per-chunk emissions
+    == whole-table result (reference test_pair_arithmetic,
+    test_dataframes.py:241-251)."""
+    src = replay_table(spark, SF_DIR, "events", n_chunks=3, chunk_col="event_id")
+    mapped = src.filter(F.col("value") > 100).select(
+        "event_id", (F.col("value") * 2).alias("doubled")
+    )
+    batches = sink_to_list(mapped)
+    assert len(batches) >= 3  # one emission per chunk (+ possible empty)
+    got = pd.concat(batches, ignore_index=True).sort_values("event_id", ignore_index=True)
+    ev = load_table(spark, SF_DIR, "events")
+    want = (
+        ev.filter(F.col("value") > 100)
+        .select("event_id", (F.col("value") * 2).alias("doubled"))
+        .toPandas().sort_values("event_id", ignore_index=True)
+    )
+    pd.testing.assert_frame_equal(got, want)
+
+
+def test_from_iterable_chunk_cadence(spark):
+    """One micro-batch per emitted chunk — the reference's emit
+    cadence (core.py:464-501) under maxFilesPerTrigger=1."""
+    chunks = [
+        [(1, 10.0), (2, 20.0)],
+        [(3, 30.0)],
+        [(4, 40.0), (5, 50.0)],
+    ]
+    src = from_iterable(spark, chunks, "id long, x double")
+    batches = sink_to_list(src.select("id", "x"))
+    sizes = sorted(len(b) for b in batches if len(b))
+    assert sizes == [1, 2, 2]
+    allrows = pd.concat(batches).sort_values("id")["x"].tolist()
+    assert allrows == [10.0, 20.0, 30.0, 40.0, 50.0]
+
+
+def test_stateful_running_sum_matches_batch_total(spark):
+    """accumulate: per-key running total's final emission equals the
+    batch per-key sum (reference scan, core.py:928-1026)."""
+    src = replay_table(spark, SF_DIR, "events", n_chunks=3, chunk_col="event_id")
+    out = running_sum(src.select("user_id", "value"), "user_id")
+    batches = sink_to_list(out, output_mode="update")
+    all_updates = pd.concat(batches, ignore_index=True)
+    final = all_updates.groupby("user_id")["running_sum"].last()
+    ev = load_table(spark, SF_DIR, "events")
+    want = ev.groupBy("user_id").agg(F.sum("value").alias("s")).toPandas().set_index("user_id")["s"]
+    final, want = final.sort_index(), want.sort_index()
+    np.testing.assert_allclose(final.to_numpy(), want.to_numpy(), rtol=1e-9)
+
+
+def test_partition_batches_count_flush(spark):
+    """partition(n): full groups of n per key; leftovers stay buffered
+    (reference core.py:1078-1165)."""
+    chunks = [[(1, float(i)) for i in range(7)]]
+    src = from_iterable(spark, chunks, "user_id long, value double")
+    out = partition_batches(src, "user_id", n=3)
+    batches = sink_to_list(out, output_mode="append")
+    groups = pd.concat(batches, ignore_index=True) if batches else pd.DataFrame()
+    # 7 values → two full groups of 3, one leftover held in state
+    assert len(groups) == 2
+    assert all(len(b) == 3 for b in groups["batch"])
+
+
+def test_streaming_time_window_with_watermark(spark):
+    """windowed agg + watermark: late-data policy the reference lacks
+    (SURVEY.md §2.5) — results match batch tumbling windows."""
+    src = replay_table(spark, SF_DIR, "events", n_chunks=3, chunk_col="event_id")
+    agg = (
+        src.withColumn("ts", F.col("ts").cast("timestamp"))
+        .withWatermark("ts", "1 day")
+        .groupBy(F.window("ts", "1 hour").alias("win"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.col("win.start").alias("ws"), "n")
+    )
+    sink_to_memory(agg, "t_win", output_mode="complete")
+    got = spark.sql("SELECT * FROM t_win").toPandas().sort_values("ws", ignore_index=True)
+    ev = load_table(spark, SF_DIR, "events")
+    want = (
+        ev.groupBy(F.window(F.col("ts").cast("timestamp"), "1 hour").alias("win"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.col("win.start").alias("ws"), "n")
+        .toPandas().sort_values("ws", ignore_index=True)
+    )
+    pd.testing.assert_frame_equal(got, want)
