@@ -9,7 +9,12 @@ store; its pandas micro-batches become Arrow-backed Spark micro-batches.
 
 from streamz_spark.session import get_spark
 from streamz_spark.io import load_table, load_tables, register_views
+from streamz_spark.core import Stream
+from streamz_spark.frame import StreamingFrame
 
 __version__ = "0.1.0"
 
-__all__ = ["get_spark", "load_table", "load_tables", "register_views", "__version__"]
+__all__ = [
+    "get_spark", "load_table", "load_tables", "register_views",
+    "Stream", "StreamingFrame", "__version__",
+]

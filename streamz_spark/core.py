@@ -1,0 +1,262 @@
+"""Stream: the core-layer fluent API (reference: streamz/core.py).
+
+A Stream wraps a DataFrame of events with a monotonic ``seq`` column —
+the explicit form of the reference's implicit emission order (its
+push-based DAG delivers events depth-first in insertion order,
+core.py:429-462). Scalar streams carry a single ``value`` column;
+record streams carry arbitrary columns.
+
+The fluent methods build lazy DataFrame lineage — graph construction
+IS logical-plan construction, exactly the reference's model
+(SURVEY.md §3 entry point A) with Catalyst replacing the hand-wired
+node DAG. Flow-control nodes (buffer/rate_limit/delay/latest,
+core.py:1484-1572,1995-2041) are execution concerns subsumed by Spark
+triggers and backpressure options; they are provided as documented
+no-ops so reference pipelines port verbatim.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import Column, DataFrame, Window as W, functions as F
+
+__all__ = ["Stream"]
+
+
+class Stream:
+    """Fluent event-stream API over a (batch or streaming) DataFrame."""
+
+    def __init__(self, df: DataFrame, seq_col: str = "seq"):
+        self.df = df
+        self.seq_col = seq_col
+
+    # ---------- construction ----------
+    @classmethod
+    def from_iterable(cls, spark, values, schema: str | None = None) -> "Stream":
+        """Lift an iterable into a Stream (reference from_iterable,
+        sources.py:766-795). Scalars become a ``value`` column."""
+        rows = list(values)
+        if rows and not isinstance(rows[0], (tuple, dict)):
+            df = spark.createDataFrame(
+                [(i, v) for i, v in enumerate(rows)],
+                schema or "seq long, value " + _infer(rows[0]),
+            )
+            return cls(df)
+        df = spark.createDataFrame(rows, schema=schema)
+        w = W.orderBy(F.monotonically_increasing_id())
+        return cls(df.withColumn("seq", F.row_number().over(w).cast("long") - 1))
+
+    @classmethod
+    def from_dataframe(cls, df: DataFrame, seq_col: str) -> "Stream":
+        return cls(df, seq_col)
+
+    def _with(self, df: DataFrame) -> "Stream":
+        return Stream(df, self.seq_col)
+
+    # ---------- element-wise (reference core.py:679-925) ----------
+    def map(self, fn_or_expr, dtype: str = "double", *cols) -> "Stream":
+        """Column expression → pure Catalyst; Python callable → Arrow
+        pandas UDF (reference map, core.py:679-719)."""
+        if isinstance(fn_or_expr, Column):
+            return self._with(self.df.withColumn("value", fn_or_expr))
+        udf = F.pandas_udf(dtype)(fn_or_expr)
+        target = list(cols) or ["value"]
+        return self._with(self.df.withColumn("value", udf(*target)))
+
+    def starmap(self, expr: Column) -> "Stream":
+        """Multi-column expression (reference starmap, core.py:838-881)."""
+        return self._with(self.df.withColumn("value", expr))
+
+    def filter(self, predicate) -> "Stream":
+        """Column/SQL-string predicate (reference filter, core.py:888-925)."""
+        from streamz_spark.frame import StreamingSeries
+
+        pred = predicate.expr if isinstance(predicate, StreamingSeries) else predicate
+        return self._with(self.df.filter(pred))
+
+    def remove(self, predicate: Column) -> "Stream":
+        """Inverse filter (reference core.py:559-561)."""
+        return self._with(self.df.filter(~predicate))
+
+    def pluck(self, field: str) -> "Stream":
+        """Extract a field (reference pluck, core.py:1862-1898); nested
+        access via dotted paths."""
+        return self._with(self.df.select(self.seq_col, F.col(field).alias("value")))
+
+    def flatten(self, col: str = "value") -> "Stream":
+        """Explode iterable elements (reference flatten, core.py:1732-1773)."""
+        return self._with(
+            self.df.select(self.seq_col, F.explode(F.col(col)).alias("value"))
+        )
+
+    def union(self, *others: "Stream") -> "Stream":
+        """Merge streams (reference union, core.py:1842-1859)."""
+        out = self.df
+        for o in others:
+            out = out.unionByName(o.df)
+        return self._with(out)
+
+    def unique(self, key: str = "value") -> "Stream":
+        """Drop previously-seen elements (reference unique,
+        core.py:1776-1839): batch = keep first occurrence by seq;
+        streaming = dropDuplicates (state-backed)."""
+        if self.df.isStreaming:
+            return self._with(self.df.dropDuplicates([key]))
+        w = W.partitionBy(key).orderBy(self.seq_col)
+        return self._with(
+            self.df.withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") == 1).drop("__rn")
+        )
+
+    def frequencies(self, key: str = "value") -> DataFrame:
+        """Running occurrence counts (reference frequencies,
+        core.py:587-592) — an updating result (update/complete mode)."""
+        return self.df.groupBy(key).agg(F.count(F.lit(1)).alias("count"))
+
+    # ---------- windows & batching (reference core.py:1078-1481) ----------
+    def sliding_window(self, n: int, return_partial: bool = True) -> "Stream":
+        """Overlapping tuples of the last n events (core.py:1269-1316)."""
+        w = W.orderBy(self.seq_col).rowsBetween(-(n - 1), 0)
+        out = self.df.select(
+            self.seq_col, F.collect_list("value").over(w).alias("value")
+        )
+        if not return_partial:
+            out = out.filter(F.size("value") == n)
+        return self._with(out)
+
+    def partition(self, n: int) -> "Stream":
+        """Non-overlapping groups of n (reference partition,
+        core.py:1078-1165; streaming variant with timeout:
+        streaming.stateful.partition_batches)."""
+        w = W.orderBy(self.seq_col)
+        grouped = (
+            self.df.withColumn("__g", F.floor((F.row_number().over(w) - 1) / n))
+            .groupBy("__g")
+            .agg(
+                F.sort_array(F.collect_list(F.struct(self.seq_col, "value"))).alias("__s")
+            )
+            .select(
+                F.col("__g").alias("seq"),
+                F.transform("__s", lambda s: s.getField("value")).alias("value"),
+            )
+        )
+        return Stream(grouped, "seq")
+
+    def timed_window(self, ts_col: str, interval: str) -> DataFrame:
+        """Everything per interval (reference timed_window,
+        core.py:1326-1362)."""
+        return (
+            self.df.groupBy(F.window(ts_col, interval).alias("win"))
+            .agg(F.collect_list("value").alias("values"))
+            .select(F.col("win.start").alias("window_start"), "values")
+        )
+
+    # ---------- multi-stream alignment (core.py:1575-1992) ----------
+    def zip(self, *others: "Stream") -> "Stream":
+        """Positional alignment (reference zip, core.py:1575-1649):
+        equi-join on per-stream sequence numbers."""
+        from streamz_spark.operators.joins import zip_positional
+
+        dfs = [self.df] + [o.df for o in others]
+        orders = [self.seq_col] + [o.seq_col for o in others]
+        return Stream(zip_positional(dfs, orders), "seq")
+
+    def zip_latest(self, other: "Stream", on: str) -> "Stream":
+        """Pair each element with the latest of other (core.py:1948-1992)."""
+        from streamz_spark.operators.joins import asof_join
+
+        return self._with(asof_join(self.df, other.df, on=on))
+
+    def combine_latest(self, *others: "Stream", on: str) -> "Stream":
+        """Snapshot of latest values across streams (core.py:1652-1729)."""
+        from streamz_spark.operators.joins import combine_latest
+
+        return self._with(combine_latest([self.df] + [o.df for o in others], on=on))
+
+    # ---------- stateful (core.py:928-1026) ----------
+    def accumulate(self, fn: Callable, start, state_dtype: str = "double") -> "Stream":
+        """Ordered scan ``state, out = fn(state, value)`` (reference
+        accumulate/scan). Batch: single ordered Arrow pass (use the
+        keyed streaming variant `streaming.stateful.accumulate` at
+        scale); emits one result per event like the reference.
+        """
+        out_schema = f"{self.seq_col} long, value {state_dtype}"
+        order = self.seq_col
+
+        def scan(it):
+            import pandas as pd
+
+            state = start
+            for pdf in it:
+                pdf = pdf.sort_values(order)
+                outs = []
+                for v in pdf["value"]:
+                    state, out = fn(state, v)
+                    outs.append(out)
+                yield pd.DataFrame({order: pdf[order], "value": outs})
+
+        return Stream(
+            self.df.select(order, "value").coalesce(1).sortWithinPartitions(order)
+            .mapInPandas(scan, schema=out_schema),
+            self.seq_col,
+        )
+
+    def scan(self, fn, start, state_dtype: str = "double") -> "Stream":
+        return self.accumulate(fn, start, state_dtype)
+
+    # ---------- flow control: no-ops under Spark's scheduler ----------
+    def buffer(self, n: int) -> "Stream":
+        """Reference core.py:1545-1572 — backpressure decoupling is
+        Spark's trigger/offset management; pass-through."""
+        return self
+
+    def rate_limit(self, interval) -> "Stream":
+        """Reference core.py:1514-1542 — use maxOffsetsPerTrigger /
+        maxFilesPerTrigger on the source; pass-through."""
+        return self
+
+    def delay(self, interval) -> "Stream":
+        """Reference core.py:1484-1511 — trigger pacing; pass-through."""
+        return self
+
+    def latest(self) -> "Stream":
+        """Reference core.py:1995-2041 — drop-to-latest under pressure;
+        Spark's update mode keeps only the latest per key; pass-through."""
+        return self
+
+    # ---------- egress ----------
+    def sink_to_list(self) -> list:
+        """Collect values in seq order (reference sink_to_list,
+        core.py:571-585). Batch: one collect; streaming: per-batch
+        collection via streaming.sinks.sink_to_list."""
+        if self.df.isStreaming:
+            from streamz_spark.streaming.sinks import sink_to_list as stl
+
+            frames = stl(self.df.select(self.seq_col, "value"))
+            import pandas as pd
+
+            allf = pd.concat(frames, ignore_index=True).sort_values(self.seq_col)
+            return allf["value"].tolist()
+        rows = self.df.select(self.seq_col, "value").orderBy(self.seq_col).collect()
+        return [r["value"] for r in rows]
+
+    def to_frame(self) -> "DataFrame":
+        return self.df
+
+    def to_dataframe(self):
+        """Lift into the collection layer (reference to_dataframe,
+        core.py:609-642)."""
+        from streamz_spark.frame import StreamingFrame
+
+        return StreamingFrame(self.df, order_col=self.seq_col)
+
+
+def _infer(v) -> str:
+    if isinstance(v, bool):
+        return "boolean"
+    if isinstance(v, int):
+        return "long"
+    if isinstance(v, float):
+        return "double"
+    return "string"

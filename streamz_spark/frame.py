@@ -1,0 +1,397 @@
+"""StreamingFrame: the user-facing streaming-dataframe API.
+
+Mirrors the reference's collection layer (streamz/collection.py +
+streamz/dataframe/core.py) over a PySpark DataFrame — batch or
+streaming; the expression surface is identical because Spark unifies
+the two. Where streamz type-checks chunks against an ``example`` frame
+(collection.py:176-181), here the schema IS the DataFrame schema and
+Catalyst's analyzer does the propagation the reference performs by
+eagerly executing ops on the empty example (collection.py:20-21).
+
+Semantics map (SURVEY.md §1.1):
+- streamz "streaming" streams (per-chunk disjoint results) → append
+  output mode / narrow transformations;
+- streamz "updating" streams (aggregates re-emitting current value)
+  → complete/update output mode at sink time.
+
+Order-dependent ops (cumulative, rolling by position, ewm) require an
+``order_col`` — the reference's implicit pandas index made explicit
+(SURVEY.md §7 'event-time axis').
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window as W, functions as F
+
+from streamz_spark.operators import windows as _w
+
+__all__ = ["StreamingFrame", "StreamingSeries", "FrameGroupBy"]
+
+
+def _col(x) -> Column:
+    if isinstance(x, StreamingSeries):
+        return x.expr
+    if isinstance(x, Column):
+        return x
+    return F.lit(x)
+
+
+class StreamingSeries:
+    """A column expression bound to a StreamingFrame — streamz Series
+    (dataframe/core.py:368-402). Arithmetic/comparison dunders build
+    Column expressions (the OperatorMixin surface, collection.py:51-152).
+    """
+
+    def __init__(self, frame: "StreamingFrame", expr: Column, name: str = "value"):
+        self.frame = frame
+        self.expr = expr
+        self.name = name
+
+    def _wrap(self, expr: Column, name: str | None = None) -> "StreamingSeries":
+        return StreamingSeries(self.frame, expr, name or self.name)
+
+    # --- arithmetic (collection.py:51-152) ---
+    def __add__(self, o): return self._wrap(self.expr + _col(o))
+    def __radd__(self, o): return self._wrap(_col(o) + self.expr)
+    def __sub__(self, o): return self._wrap(self.expr - _col(o))
+    def __rsub__(self, o): return self._wrap(_col(o) - self.expr)
+    def __mul__(self, o): return self._wrap(self.expr * _col(o))
+    def __rmul__(self, o): return self._wrap(_col(o) * self.expr)
+    def __truediv__(self, o): return self._wrap(self.expr / _col(o))
+    def __rtruediv__(self, o): return self._wrap(_col(o) / self.expr)
+    def __floordiv__(self, o): return self._wrap(F.floor(self.expr / _col(o)))
+    def __mod__(self, o): return self._wrap(self.expr % _col(o))
+    def __pow__(self, o): return self._wrap(F.pow(self.expr, _col(o)))
+    def __neg__(self): return self._wrap(-self.expr)
+    def __abs__(self): return self._wrap(F.abs(self.expr))
+    def abs(self): return self.__abs__()
+
+    # --- comparison → boolean series (filter masks) ---
+    def __gt__(self, o): return self._wrap(self.expr > _col(o))
+    def __ge__(self, o): return self._wrap(self.expr >= _col(o))
+    def __lt__(self, o): return self._wrap(self.expr < _col(o))
+    def __le__(self, o): return self._wrap(self.expr <= _col(o))
+    def __eq__(self, o): return self._wrap(self.expr == _col(o))  # type: ignore[override]
+    def __ne__(self, o): return self._wrap(self.expr != _col(o))  # type: ignore[override]
+    def __and__(self, o): return self._wrap(self.expr & _col(o))
+    def __or__(self, o): return self._wrap(self.expr | _col(o))
+    def __invert__(self): return self._wrap(~self.expr)
+
+    def isin(self, values): return self._wrap(self.expr.isin(*values))
+
+    # --- elementwise helpers (dataframe/core.py:19-43) ---
+    def round(self, decimals: int = 0): return self._wrap(F.round(self.expr, decimals))
+    def astype(self, dtype: str): return self._wrap(self.expr.cast(dtype))
+
+    def map(self, fn, dtype: str = "double"):
+        """Arbitrary Python callable via Arrow-batched pandas UDF —
+        streamz Series.map (dataframe/core.py:42-43), the sanctioned
+        slow path."""
+        import pandas as pd  # noqa: F401
+
+        udf = F.pandas_udf(dtype)(fn)
+        return self._wrap(udf(self.expr))
+
+    # --- aggregations → one-row updating frame (dataframe/core.py:59-92) ---
+    def _agg(self, agg: Column, name: str) -> "StreamingFrame":
+        return StreamingFrame(self.frame.df.agg(agg.alias(name)))
+
+    def sum(self): return self._agg(F.sum(self.expr), f"{self.name}_sum")
+    def count(self): return self._agg(F.count(self.expr), f"{self.name}_count")
+    def mean(self): return self._agg(F.avg(self.expr), f"{self.name}_mean")
+    def min(self): return self._agg(F.min(self.expr), f"{self.name}_min")
+    def max(self): return self._agg(F.max(self.expr), f"{self.name}_max")
+    def var(self, ddof: int = 1):
+        fn = F.var_samp if ddof == 1 else F.var_pop
+        return self._agg(fn(self.expr), f"{self.name}_var")
+    def std(self, ddof: int = 1):
+        fn = F.stddev_samp if ddof == 1 else F.stddev_pop
+        return self._agg(fn(self.expr), f"{self.name}_std")
+
+    def value_counts(self) -> "StreamingFrame":
+        """streamz Series.value_counts (dataframe/core.py:394-398)."""
+        return StreamingFrame(
+            self.frame.df.groupBy(self.expr.alias(self.name)).agg(
+                F.count(F.lit(1)).alias("count")
+            )
+        )
+
+    def to_frame(self) -> "StreamingFrame":
+        return StreamingFrame(self.frame.df.select(self.expr.alias(self.name)),
+                              order_col=self.frame.order_col)
+
+
+class StreamingFrame:
+    """streamz DataFrame equivalent (dataframe/core.py:299-356)."""
+
+    def __init__(self, df: DataFrame, order_col: str | None = None):
+        self.df = df
+        self.order_col = order_col
+
+    # --- construction ---
+    @classmethod
+    def from_table(cls, spark, sf_dir: str, name: str, order_col: str | None = None):
+        from streamz_spark.io import load_table
+
+        return cls(load_table(spark, sf_dir, name), order_col=order_col)
+
+    @property
+    def columns(self) -> list[str]:
+        return self.df.columns
+
+    def _series(self, name: str) -> StreamingSeries:
+        return StreamingSeries(self, F.col(name), name)
+
+    # --- projection / filter (dataframe/core.py:239-246) ---
+    def __getitem__(self, key):
+        if isinstance(key, str):
+            return self._series(key)
+        if isinstance(key, list):
+            return StreamingFrame(self.df.select(*key), order_col=self.order_col)
+        if isinstance(key, StreamingSeries):  # boolean mask
+            return StreamingFrame(self.df.filter(key.expr), order_col=self.order_col)
+        raise TypeError(f"cannot index with {type(key)}")
+
+    def __getattr__(self, name: str):
+        if name.startswith("_"):
+            raise AttributeError(name)
+        if name in self.df.columns:
+            return self._series(name)
+        raise AttributeError(name)
+
+    def query(self, expr: str) -> "StreamingFrame":
+        """SQL-string predicate — streamz query (dataframe/core.py:294)."""
+        return StreamingFrame(self.df.filter(expr), order_col=self.order_col)
+
+    def assign(self, **kwargs) -> "StreamingFrame":
+        """streamz assign/setitem (dataframe/core.py:255-292)."""
+        out = self.df.withColumns({k: _col(v) for k, v in kwargs.items()})
+        return StreamingFrame(out, order_col=self.order_col)
+
+    def __setitem__(self, key: str, value):
+        self.df = self.df.withColumn(key, _col(value))
+
+    def select_expr(self, *exprs: str) -> "StreamingFrame":
+        return StreamingFrame(self.df.selectExpr(*exprs), order_col=self.order_col)
+
+    def map_partitions(self, fn, schema) -> "StreamingFrame":
+        """Arbitrary per-chunk pandas function — streamz map_partitions
+        (collection.py:9-48) as mapInPandas (Arrow batches)."""
+
+        def gen(it):
+            for pdf in it:
+                yield fn(pdf)
+
+        return StreamingFrame(self.df.mapInPandas(gen, schema=schema),
+                              order_col=self.order_col)
+
+    # --- reductions (updating; dataframe/core.py:59-92,203-227) ---
+    def _num_cols(self):
+        from pyspark.sql.types import NumericType
+
+        return [f.name for f in self.df.schema.fields if isinstance(f.dataType, NumericType)]
+
+    def _agg_all(self, fn, suffix: str) -> "StreamingFrame":
+        aggs = [fn(c).alias(f"{c}{suffix}") for c in self._num_cols()]
+        return StreamingFrame(self.df.agg(*aggs))
+
+    def sum(self): return self._agg_all(F.sum, "_sum")
+    def mean(self): return self._agg_all(F.avg, "_mean")
+    def count(self): return self._agg_all(F.count, "_count")
+    @property
+    def size(self) -> "StreamingFrame":
+        return StreamingFrame(self.df.agg(F.count(F.lit(1)).alias("size")))
+
+    def tail(self, n: int) -> "StreamingFrame":
+        if not self.order_col:
+            raise ValueError("tail requires order_col")
+        w = W.orderBy(F.col(self.order_col).desc())
+        return StreamingFrame(
+            self.df.withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") <= n).drop("__rn"),
+            order_col=self.order_col,
+        )
+
+    def nlargest(self, n: int, col: str) -> "StreamingFrame":
+        return StreamingFrame(self.df.orderBy(F.col(col).desc()).limit(n))
+
+    # --- groupby (dataframe/core.py:789-838) ---
+    def groupby(self, by) -> "FrameGroupBy":
+        return FrameGroupBy(self, by)
+
+    # --- windows (dataframe/core.py:94-197,413-510,582-656) ---
+    def rolling(self, window, min_periods: int = 1, partition_by: list[str] | None = None):
+        return Rolling(self, window, min_periods, partition_by or [])
+
+    def expanding(self, partition_by: list[str] | None = None):
+        return Expanding(self, partition_by or [])
+
+    def ewm(self, com=None, span=None, halflife=None, alpha=None,
+            partition_by: list[str] | None = None):
+        return EWM(self, dict(com=com, span=span, halflife=halflife, alpha=alpha),
+                   partition_by or [])
+
+    def _cum(self, col: str, op: str, partition_by=None) -> "StreamingFrame":
+        if not self.order_col:
+            raise ValueError("cumulative ops require order_col")
+        return StreamingFrame(
+            _w.cumulative(self.df, self.order_col, col, op, f"{col}_cum{op}", partition_by),
+            order_col=self.order_col,
+        )
+
+    def cumsum(self, col: str, partition_by=None): return self._cum(col, "sum", partition_by)
+    def cummax(self, col: str, partition_by=None): return self._cum(col, "max", partition_by)
+    def cummin(self, col: str, partition_by=None): return self._cum(col, "min", partition_by)
+    def cumprod(self, col: str, partition_by=None): return self._cum(col, "prod", partition_by)
+
+    # --- plumbing ---
+    def to_spark(self) -> DataFrame:
+        return self.df
+
+    def explain(self, mode: str = "formatted"):
+        return self.df.explain(mode)
+
+    def to_pandas(self):
+        return self.df.toPandas()
+
+
+_GROUP_AGGS = {
+    "sum": F.sum, "mean": F.avg, "count": F.count,
+    "min": F.min, "max": F.max,
+    "var": F.var_samp, "std": F.stddev_samp,
+}
+
+
+class FrameGroupBy:
+    """streamz GroupBy (dataframe/core.py:789-881): grouper may be a
+    column name, list of names, or computed StreamingSeries
+    (``sdf.groupby(sdf.x % 3)``)."""
+
+    def __init__(self, frame: StreamingFrame, by, cols: list[str] | None = None):
+        self.frame = frame
+        if isinstance(by, StreamingSeries):
+            self._keys = [by.expr.alias(f"key_{by.name}")]
+            self._keynames = [f"key_{by.name}"]
+        elif isinstance(by, str):
+            self._keys = [F.col(by)]
+            self._keynames = [by]
+        else:
+            self._keys = [F.col(c) for c in by]
+            self._keynames = list(by)
+        self._cols = cols
+
+    def __getitem__(self, cols) -> "FrameGroupBy":
+        cols = [cols] if isinstance(cols, str) else list(cols)
+        out = FrameGroupBy(self.frame, "_")
+        out._keys, out._keynames, out._cols = self._keys, self._keynames, cols
+        return out
+
+    def __getattr__(self, name):
+        if name.startswith("_"):
+            raise AttributeError(name)
+        if name in self.frame.df.columns:
+            return self[name]
+        raise AttributeError(name)
+
+    def _value_cols(self) -> list[str]:
+        if self._cols:
+            return self._cols
+        from pyspark.sql.types import NumericType
+
+        return [
+            f.name for f in self.frame.df.schema.fields
+            if isinstance(f.dataType, NumericType) and f.name not in self._keynames
+        ]
+
+    def _agg(self, op: str) -> StreamingFrame:
+        fn = _GROUP_AGGS[op]
+        aggs = [fn(c).alias(f"{c}_{op}") for c in self._value_cols()]
+        return StreamingFrame(self.frame.df.groupBy(*self._keys).agg(*aggs))
+
+    def sum(self): return self._agg("sum")
+    def mean(self): return self._agg("mean")
+    def count(self): return self._agg("count")
+    def min(self): return self._agg("min")
+    def max(self): return self._agg("max")
+    def var(self): return self._agg("var")
+    def std(self): return self._agg("std")
+
+    def size(self) -> StreamingFrame:
+        return StreamingFrame(
+            self.frame.df.groupBy(*self._keys).agg(F.count(F.lit(1)).alias("size"))
+        )
+
+    def agg(self, **aliased) -> StreamingFrame:
+        aggs = [_col(v).alias(k) for k, v in aliased.items()]
+        return StreamingFrame(self.frame.df.groupBy(*self._keys).agg(*aggs))
+
+
+class Rolling:
+    """streamz rolling (dataframe/core.py:94-127): int window → last-n
+    rows; str/interval → trailing time window on order_col/ts."""
+
+    def __init__(self, frame: StreamingFrame, window, min_periods: int, partition_by):
+        self.frame, self.window = frame, window
+        self.min_periods, self.partition_by = min_periods, partition_by
+
+    def _run(self, col: str, op: str) -> StreamingFrame:
+        f = self.frame
+        if not f.order_col:
+            raise ValueError("rolling requires order_col")
+        name = f"{col}_roll_{op}"
+        if isinstance(self.window, int):
+            out = _w.rolling_count_window(
+                f.df, f.order_col, {name: (col, op)}, self.window,
+                self.partition_by, self.min_periods,
+            )
+        else:
+            import pandas as pd
+
+            seconds = pd.Timedelta(self.window).total_seconds()
+            out = _w.rolling_time_window(
+                f.df, f.order_col, seconds, {name: (col, op)}, self.partition_by
+            )
+        return StreamingFrame(out, order_col=f.order_col)
+
+    def __getattr__(self, op):
+        if op in ("sum", "mean", "min", "max", "count", "std", "var", "median"):
+            return lambda col: self._run(col, op)
+        raise AttributeError(op)
+
+
+class Expanding:
+    """streamz expanding (dataframe/core.py:171-172,641-656)."""
+
+    def __init__(self, frame: StreamingFrame, partition_by):
+        self.frame, self.partition_by = frame, partition_by
+
+    def __getattr__(self, op):
+        if op in ("sum", "mean", "min", "max", "count", "std", "var"):
+            def run(col):
+                f = self.frame
+                if not f.order_col:
+                    raise ValueError("expanding requires order_col")
+                out = _w.expanding(
+                    f.df, f.order_col, {f"{col}_exp_{op}": (col, op)}, self.partition_by
+                )
+                return StreamingFrame(out, order_col=f.order_col)
+            return run
+        raise AttributeError(op)
+
+
+class EWM:
+    """streamz ewm (dataframe/core.py:174-175,659-754) — mean only,
+    like the reference (EWMean is its only EWM agg)."""
+
+    def __init__(self, frame: StreamingFrame, params, partition_by):
+        self.frame, self.params, self.partition_by = frame, params, partition_by
+
+    def mean(self, col: str) -> StreamingFrame:
+        f = self.frame
+        if not f.order_col:
+            raise ValueError("ewm requires order_col")
+        out = _w.ewm_mean(
+            f.df, f.order_col, col, f"{col}_ewm",
+            partition_by=self.partition_by, **{k: v for k, v in self.params.items() if v is not None},
+        )
+        return StreamingFrame(out, order_col=f.order_col)

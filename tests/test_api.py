@@ -1,0 +1,160 @@
+"""API-parity tests: the reference's canonical examples re-run on the
+Spark-native Stream / StreamingFrame APIs (oracle = pandas, the
+reference's own differential strategy).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import functions as F
+
+from streamz_spark.core import Stream
+from streamz_spark.frame import StreamingFrame
+
+from .conftest import SF_DIR
+
+
+def test_stream_map_filter_sink(spark):
+    """source.map(inc).filter(even).sink_to_list() — the reference's
+    headline example (streamz core.py docstring)."""
+    s = Stream.from_iterable(spark, range(10))
+    out = (
+        s.map(F.col("value") + 1)
+        .filter(F.col("value") % 2 == 0)
+        .sink_to_list()
+    )
+    assert out == [x + 1 for x in range(10) if (x + 1) % 2 == 0]
+
+
+def test_stream_scan(spark):
+    """accumulate/scan running total (reference test_scan, tests/test_core.py:49)."""
+    s = Stream.from_iterable(spark, [1.0, 2.0, 3.0, 4.0])
+    out = s.accumulate(lambda acc, x: (acc + x, acc + x), start=0.0).sink_to_list()
+    assert out == [1.0, 3.0, 6.0, 10.0]
+
+
+def test_stream_unique_frequencies(spark):
+    """(reference test_unique tests/test_core.py:900, frequencies core.py:587)."""
+    s = Stream.from_iterable(spark, [1, 1, 2, 2, 2, 1, 3])
+    assert sorted(s.unique().sink_to_list()) == [1, 2, 3]
+    freqs = {r["value"]: r["count"] for r in s.frequencies().collect()}
+    assert freqs == {1: 3, 2: 3, 3: 1}
+
+
+def test_stream_partition_sliding(spark):
+    """(reference test_partition / test_sliding_window, tests/test_core.py)."""
+    s = Stream.from_iterable(spark, [float(i) for i in range(7)])
+    parts = s.partition(3).sink_to_list()
+    assert parts == [[0.0, 1.0, 2.0], [3.0, 4.0, 5.0], [6.0]]
+    slid = s.sliding_window(3).sink_to_list()
+    assert slid[:3] == [[0.0], [0.0, 1.0], [0.0, 1.0, 2.0]]
+    assert slid[-1] == [4.0, 5.0, 6.0]
+
+
+def test_stream_zip(spark):
+    """(reference test_zip, tests/test_core.py:661)."""
+    a = Stream.from_iterable(spark, [1, 2, 3])
+    b = Stream.from_iterable(spark, [10, 20, 30, 40])
+    z = a.zip(b)
+    rows = sorted((r.seq, r.s0_value, r.s1_value) for r in z.df.collect())
+    assert rows == [(1, 1, 10), (2, 2, 20), (3, 3, 30)]  # inner join on seq
+
+
+def test_stream_flatten(spark):
+    s = Stream.from_iterable(spark, [([1, 2],), ([3],)], schema="value array<long>")
+    # schema path: rows are tuples; seq assigned automatically
+    out = sorted(s.flatten().df.select("value").toPandas()["value"].tolist())
+    assert out == [1, 2, 3]
+
+
+def test_frame_arithmetic_parity(spark):
+    """sdf.x + sdf.y parity (reference test_pair_arithmetic,
+    test_dataframes.py:241-251)."""
+    sf = StreamingFrame.from_table(spark, SF_DIR, "events", order_col="event_id")
+    expr = (sf["value"] * 2 + 1).to_frame()
+    got = expr.to_pandas()["value"].sort_values(ignore_index=True)
+    pdf = sf.to_pandas()
+    want = (pdf["value"] * 2 + 1).sort_values(ignore_index=True)
+    np.testing.assert_allclose(got, want)
+
+
+def test_frame_mask_and_query(spark):
+    sf = StreamingFrame.from_table(spark, SF_DIR, "events", order_col="event_id")
+    got = sf[sf["value"] > 100].to_pandas()
+    want = sf.to_pandas().query("value > 100")
+    assert len(got) == len(want)
+    got2 = sf.query("value > 100 and user_id % 2 = 0").to_pandas()
+    want2 = sf.to_pandas().query("value > 100 and user_id % 2 == 0")
+    assert len(got2) == len(want2)
+
+
+def test_frame_groupby_computed_grouper(spark):
+    """sdf.groupby(sdf.x % 3).y.mean() (reference test_groupby_aggregate,
+    test_dataframes.py:267-304)."""
+    sf = StreamingFrame.from_table(spark, SF_DIR, "events", order_col="event_id")
+    got = (
+        sf.groupby(sf["user_id"] % 3)["value"].mean().to_pandas()
+        .set_index("key_user_id")["value_mean"].sort_index()
+    )
+    pdf = sf.to_pandas()
+    want = pdf.groupby(pdf.user_id % 3)["value"].mean().sort_index()
+    np.testing.assert_allclose(got.to_numpy(), want.to_numpy())
+
+
+def test_frame_reductions(spark):
+    sf = StreamingFrame.from_table(spark, SF_DIR, "events", order_col="event_id")
+    got = sf["value"].sum().to_pandas().iloc[0, 0]
+    want = sf.to_pandas()["value"].sum()
+    np.testing.assert_allclose(got, want)
+    got_std = sf["value"].std().to_pandas().iloc[0, 0]
+    np.testing.assert_allclose(got_std, sf.to_pandas()["value"].std(), rtol=1e-9)
+
+
+def test_frame_rolling_and_ewm(spark):
+    sf = StreamingFrame.from_table(spark, SF_DIR, "events", order_col="event_id")
+    roll = sf.rolling(5, partition_by=["user_id"]).mean("value").to_pandas()
+    pdf = sf.to_pandas().sort_values(["user_id", "event_id"])
+    want = pdf.groupby("user_id")["value"].transform(lambda s: s.rolling(5, min_periods=1).mean())
+    got = roll.sort_values(["user_id", "event_id"])["value_roll_mean"]
+    np.testing.assert_allclose(got.to_numpy(), want.to_numpy(), rtol=1e-12)
+
+    ewm = sf.ewm(alpha=0.5, partition_by=["user_id"]).mean("value").to_pandas()
+    want_e = pdf.groupby("user_id")["value"].transform(lambda s: s.ewm(alpha=0.5).mean())
+    got_e = ewm.sort_values(["user_id", "event_id"])["value_ewm"]
+    np.testing.assert_allclose(got_e.to_numpy(), want_e.to_numpy(), rtol=1e-12)
+
+
+def test_frame_value_counts_assign(spark):
+    sf = StreamingFrame.from_table(spark, SF_DIR, "events", order_col="event_id")
+    vc = sf["event_type"].value_counts().to_pandas().set_index("event_type")["count"]
+    want = sf.to_pandas()["event_type"].value_counts()
+    assert vc.sort_index().tolist() == want.sort_index().tolist()
+
+    sf2 = sf.assign(double_value=sf["value"] * 2)
+    assert "double_value" in sf2.columns
+
+
+def test_frame_cumsum_nlargest(spark):
+    sf = StreamingFrame.from_table(spark, SF_DIR, "events", order_col="event_id")
+    cs = sf.cumsum("value", partition_by=["user_id"]).to_pandas()
+    pdf = sf.to_pandas().sort_values(["user_id", "event_id"])
+    want = pdf.groupby("user_id")["value"].cumsum()
+    got = cs.sort_values(["user_id", "event_id"])["value_cumsum"]
+    np.testing.assert_allclose(got.to_numpy(), want.to_numpy(), rtol=1e-12)
+
+    top = sf.nlargest(5, "value").to_pandas()["value"].tolist()
+    want_top = sorted(pdf["value"], reverse=True)[:5]
+    assert top == want_top
+
+
+def test_frame_map_partitions(spark):
+    sf = StreamingFrame.from_table(spark, SF_DIR, "events", order_col="event_id")
+
+    def add_rank(pdf: pd.DataFrame) -> pd.DataFrame:
+        return pdf.assign(vrank=pdf["value"].rank())
+
+    out = sf[["event_id", "value"]].map_partitions(
+        add_rank, "event_id long, value double, vrank double"
+    )
+    assert out.to_pandas().shape[1] == 3
