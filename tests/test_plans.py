@@ -1,0 +1,76 @@
+"""Physical-plan contracts: the scale properties the engine claims are
+asserted against the formatted plan, per query family.
+
+If one of these breaks, a 100 TB run regresses from "scan 2 columns,
+broadcast the dims, one shuffle" to something that melts the cluster —
+that's why they're tests and not documentation.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from streamz_spark.catalog import load_all
+from streamz_spark.plans import (
+    broadcast_join_count,
+    exchange_count,
+    pushed_filters,
+    read_schema_columns,
+    sort_merge_join_count,
+)
+
+from .conftest import SF_DIR
+
+REG = load_all()
+
+
+def q(name, spark):
+    return REG[name].fn(spark, SF_DIR)
+
+
+def test_q6_filters_pushed_to_scan(spark):
+    df = q("tpch_q6_forecast_revenue", spark)
+    pf = " ".join(pushed_filters(df))
+    for col in ("l_shipdate", "l_discount", "l_quantity"):
+        assert col in pf, f"{col} not pushed: {pf}"
+
+
+def test_q6_column_pruning(spark):
+    df = q("tpch_q6_forecast_revenue", spark)
+    cols = read_schema_columns(df)
+    assert cols == {"l_quantity", "l_extendedprice", "l_discount", "l_shipdate"}, cols
+
+
+def test_map_select_prunes_unused_columns(spark):
+    df = q("map_select", spark)
+    cols = read_schema_columns(df)
+    assert "l_comment" not in cols and "l_shipdate" not in cols
+    assert {"l_orderkey", "l_linenumber", "l_extendedprice", "l_discount", "l_tax"} <= cols
+    assert len(cols) == 5
+
+
+def test_star_joins_broadcast_no_sort_merge(spark):
+    for name in ("tpch_q3_shipping_priority", "tpch_q5_local_supplier_volume", "join_star_schema"):
+        df = q(name, spark)
+        assert broadcast_join_count(df) >= 2, name
+        assert sort_merge_join_count(df) == 0, f"{name} fell back to sort-merge"
+
+
+def test_groupby_has_partial_aggregation(spark):
+    from streamz_spark.plans import explain_string
+
+    df = q("groupby_sum", spark)
+    plan = explain_string(df)
+    assert "partial_sum" in plan or "partial_" in plan, "no map-side combine before shuffle"
+
+
+def test_single_shuffle_for_keyed_window(spark):
+    # one Exchange (hash by user_id) should cover all the window aggs
+    df = q("rolling_count_window", spark)
+    assert exchange_count(df) == 1
+
+
+def test_filter_pushdown_events(spark):
+    df = q("filter_mask", spark)
+    pf = " ".join(pushed_filters(df))
+    assert "value" in pf and "event_type" in pf
