@@ -225,6 +225,24 @@ class Stream:
         Spark's update mode keeps only the latest per key; pass-through."""
         return self
 
+    # ---------- extension mechanism (reference core.py:120-188) ----------
+    @classmethod
+    def register_api(cls, name: str | None = None):
+        """Attach a custom operator as a chainable Stream method — the
+        reference's plugin surface (@Stream.register_api, core.py:120-165;
+        entry-point plugins, plugins.py:23-31).
+
+        >>> @Stream.register_api()
+        ... def double(stream):
+        ...     return stream.map(F.col("value") * 2)
+        """
+
+        def deco(fn):
+            setattr(cls, name or fn.__name__, fn)
+            return fn
+
+        return deco
+
     # ---------- egress ----------
     def sink_to_list(self) -> list:
         """Collect values in seq order (reference sink_to_list,

@@ -194,7 +194,23 @@ def ewm_mean(
 
     def scan(pdf):
         pdf = pdf.sort_values(order_by)
-        pdf[out_name] = pdf[col].ewm(alpha=a, adjust=adjust).mean()
+        if adjust:
+            # explicit num/den recurrence (same math as pandas adjust=True):
+            #   num_i = x_i + (1-a)·num_{i-1};  den_i = 1 + (1-a)·den_{i-1}
+            # written op-for-op like a SQL recursive CTE so a duckdb
+            # oracle reproduces it bit-exactly
+            x = pdf[col].to_numpy(dtype="float64")
+            num = 0.0
+            den = 0.0
+            out = []
+            decay = 1.0 - a
+            for v in x:
+                num = v + decay * num
+                den = 1.0 + decay * den
+                out.append(num / den)
+            pdf[out_name] = out
+        else:
+            pdf[out_name] = pdf[col].ewm(alpha=a, adjust=False).mean()
         return pdf
 
     if keys:

@@ -9,6 +9,7 @@ from streamz_spark.queries import (  # noqa: F401
     core,
     dedup_queries,
     joins,
+    misc,
     multimodal_queries,
     stateless,
     text_analysis,

@@ -267,7 +267,29 @@ def sessionize(spark, sf_dir):
 
 @register(
     "ewm_mean_per_user",
-    oracle=None,  # order-dependent recurrence: no portable SQL form; pandas-differential in tests/test_windows.py
+    # the engine's per-key Arrow scan runs the num/den recurrence with
+    # exactly the ops this recursive CTE performs → bit-identical raw
+    # doubles (pandas-differential check in tests/test_windows.py)
+    oracle="""
+        WITH RECURSIVE t AS (
+            SELECT user_id, event_id, value,
+                   ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY event_id) AS rn
+            FROM events
+        ), r AS (
+            -- all-DOUBLE arithmetic (bare literals would be DECIMAL and
+            -- silently round den at scale 2)
+            SELECT user_id, event_id, rn,
+                   value + 0.7::DOUBLE * 0.0::DOUBLE AS num,
+                   1.0::DOUBLE + 0.7::DOUBLE * 0.0::DOUBLE AS den
+            FROM t WHERE rn = 1
+            UNION ALL
+            SELECT t.user_id, t.event_id, t.rn,
+                   t.value + 0.7::DOUBLE * r.num,
+                   1.0::DOUBLE + 0.7::DOUBLE * r.den
+            FROM t JOIN r ON t.user_id = r.user_id AND t.rn = r.rn + 1
+        )
+        SELECT event_id, user_id, num / den AS ewm FROM r
+    """,
     doc="sdf.ewm(alpha).mean() — streamz dataframe/core.py:659-754, EWMean aggregations.py:151-170; per-key Arrow scan",
 )
 def ewm_mean_per_user(spark, sf_dir):
@@ -277,4 +299,4 @@ def ewm_mean_per_user(spark, sf_dir):
         "event_id", "value", "ewm",
         alpha=0.3, partition_by=["user_id"],
     )
-    return out.select("event_id", "user_id", F.round("ewm", 6).alias("ewm"))
+    return out.select("event_id", "user_id", "ewm")

@@ -158,3 +158,16 @@ def test_frame_map_partitions(spark):
         add_rank, "event_id long, value double, vrank double"
     )
     assert out.to_pandas().shape[1] == 3
+
+
+def test_stream_register_api(spark):
+    """Extension mechanism (reference @Stream.register_api, core.py:120-165)."""
+    from pyspark.sql import functions as F
+    from streamz_spark.core import Stream
+
+    @Stream.register_api()
+    def double(stream):
+        return stream.map(F.col("value") * 2)
+
+    s = Stream.from_iterable(spark, [1, 2, 3])
+    assert s.double().sink_to_list() == [2, 4, 6]
