@@ -35,6 +35,13 @@ HEADLINE = [
     "asof_join_enrich",
     "join_star_schema",
     "topk_per_group",
+    "ewm_mean_per_user",
+    "ngram_jaccard_pairs",
+    "minhash_near_duplicates",
+    "embedding_near_dups",
+    "ann_brute_force_topk",
+    "text_quality_features",
+    "doc_fingerprint",
 ]
 
 

@@ -66,7 +66,9 @@ def ngram_jaccard_pairs(
     ``max_df`` drops ultra-common shingles (posting-list cutoff) so no
     single shingle key can blow up the pair fan-out at scale.
     """
-    sh = df.select(F.col(id_col).alias("id"), word_shingles(text_col, k).alias("sh"))
+    # persist: the shingle set feeds three subtrees (sizes, both join
+    # sides) — without it Catalyst re-tokenizes the corpus per branch
+    sh = df.select(F.col(id_col).alias("id"), word_shingles(text_col, k).alias("sh")).persist()
     sizes = sh.select("id", F.size("sh").alias("n_sh")).filter(F.col("n_sh") > 0)
     posting = sh.select("id", F.explode("sh").alias("shingle"))
     if max_df is not None:
@@ -166,10 +168,17 @@ def minhash_near_duplicates(
     set, the verify step makes results hash-independent up to recall.
     """
     rows_per_band = num_perm // bands
+    # persist: shingles feed the signature path and both verify sides
     sh = df.select(F.col(id_col).alias("id"), word_shingles(text_col, k).alias("sh")).filter(
         F.size("sh") > 0
-    )
-    sigs = minhash_signatures(df, id_col, text_col, num_perm, k)
+    ).persist()
+    sig = F.array(
+        *[
+            F.array_min(F.transform("sh", lambda s: F.xxhash64(s, F.lit(i))))
+            for i in range(num_perm)
+        ]
+    ).alias("signature")
+    sigs = sh.select("id", sig)
     cand = minhash_lsh_candidates(sigs, bands, rows_per_band)
     a = sh.select(F.col("id").alias("id_a"), F.col("sh").alias("sh_a"))
     b = sh.select(F.col("id").alias("id_b"), F.col("sh").alias("sh_b"))
@@ -215,21 +224,70 @@ def embedding_near_duplicates(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     threshold: float = 0.95,
+    prefilter: str = "auto",
 ) -> DataFrame:
-    """Embedding-cosine near-dup pairs ≥ threshold. Brute-force O(n²)
-    self-join baseline (correctness reference); the scale path is the
-    LSH-bucketed variant in similarity.py::hyperplane_lsh_ann.
+    """Embedding-cosine near-dup pairs ≥ threshold.
+
+    Two-phase: (1) a BLAS prefilter — the L2-normalized matrix is
+    broadcast and each partition computes its block × matrixᵀ with
+    numpy, emitting candidate pairs above ``threshold − 1e-6``
+    (conservative margin ≫ float noise, so no false negatives);
+    (2) an exact verify join recomputes cosine with the deterministic
+    sequential expression, so results are independent of the BLAS
+    summation order. The expression-only self-join (prefilter="none")
+    is the semantic baseline; the LSH-bucketed variant
+    (similarity.hyperplane_lsh_ann) replaces the O(n²) prefilter when
+    the matrix no longer broadcasts.
     """
-    from streamz_spark.operators.similarity import with_norm, cosine_expr
+    from streamz_spark.operators.similarity import cosine_expr, with_norm
 
     v = with_norm(df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v")))
-    a, b = v.alias("a"), v.alias("b")
-    return (
-        a.join(b, F.col("a.id") < F.col("b.id"))
-        .select(
-            F.col("a.id").alias("id_a"),
-            F.col("b.id").alias("id_b"),
-            cosine_expr("a.v", "b.v", "a.norm", "b.norm").alias("cosine"),
+
+    if prefilter == "none":
+        a, b = v.alias("a"), v.alias("b")
+        return (
+            a.join(b, F.col("a.id") < F.col("b.id"))
+            .select(
+                F.col("a.id").alias("id_a"),
+                F.col("b.id").alias("id_b"),
+                cosine_expr("a.v", "b.v", "a.norm", "b.norm").alias("cosine"),
+            )
+            .filter(F.col("cosine") >= threshold)
         )
+
+    import numpy as np
+
+    spark = df.sparkSession
+    rows = v.select("id", "v").collect()  # matrix must broadcast (LSH path otherwise)
+    ids = np.array([r["id"] for r in rows], dtype="int64")
+    mat = np.array([r["v"] for r in rows], dtype="float64")
+    norms = np.linalg.norm(mat, axis=1)
+    norms[norms == 0] = 1.0
+    matn = mat / norms[:, None]
+    b_ids = spark.sparkContext.broadcast(ids)
+    b_mat = spark.sparkContext.broadcast(matn)
+    margin = threshold - 1e-6
+
+    def scan(batches):
+        import pandas as pd
+
+        all_ids, all_mat = b_ids.value, b_mat.value
+        pos = {i: p for p, i in enumerate(all_ids)}
+        for pdf in batches:
+            block_pos = np.array([pos[i] for i in pdf["id"]], dtype="int64")
+            sims = all_mat[block_pos] @ all_mat.T
+            out_a, out_b = [], []
+            for r, i in enumerate(pdf["id"]):
+                hits = all_ids[(sims[r] >= margin) & (all_ids > i)]
+                out_a.extend([i] * len(hits))
+                out_b.extend(hits.tolist())
+            yield pd.DataFrame({"id_a": out_a, "id_b": out_b}).astype("int64")
+
+    cand = v.select("id").mapInPandas(scan, schema="id_a long, id_b long")
+    a = v.select(F.col("id").alias("id_a"), F.col("v").alias("va"), F.col("norm").alias("na"))
+    b = v.select(F.col("id").alias("id_b"), F.col("v").alias("vb"), F.col("norm").alias("nb"))
+    return (
+        cand.join(a, "id_a").join(b, "id_b")
+        .select("id_a", "id_b", cosine_expr("va", "vb", "na", "nb").alias("cosine"))
         .filter(F.col("cosine") >= threshold)
     )

@@ -128,13 +128,13 @@ def simhash_fingerprints(spark, sf_dir):
         FROM n a JOIN n b ON a.id < b.id
         WHERE CASE WHEN a.norm * b.norm > 0
                    THEN list_dot_product(a.v, b.v) / (a.norm * b.norm)
-                   ELSE 0.0 END >= 0.99
+                   ELSE 0.0 END >= 0.5
     """,
-    doc="embedding-cosine near-dup pairs ≥0.99 (brute-force baseline; LSH variant = ann_lsh_topk)",
+    doc="embedding-cosine near-dup pairs ≥0.5: BLAS prefilter (broadcast matrix) + exact-expression verify — bit-matches the duckdb brute force",
 )
 def embedding_near_dups(spark, sf_dir):
     emb = load_table(spark, sf_dir, "embeddings")
-    return dd.embedding_near_duplicates(emb, threshold=0.99)
+    return dd.embedding_near_duplicates(emb, threshold=0.5)
 
 
 @register(

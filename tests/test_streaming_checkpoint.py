@@ -1,0 +1,76 @@
+"""Checkpoint/restart continuation — the engine's answer to the
+reference's start=/with_state resume tests (test_dataframes.py:993-1101):
+stop a stateful streaming query, add more data, restart from the same
+checkpoint, and assert state carried over.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import tempfile
+
+import numpy as np
+from pyspark.sql import functions as F
+
+from streamz_spark.io import load_table
+
+from .conftest import SF_DIR
+
+
+def test_stateful_agg_resumes_from_checkpoint(spark):
+    ev = load_table(spark, SF_DIR, "events").select("event_id", "user_id", "value")
+    src_dir = tempfile.mkdtemp(prefix="ckpt_src_")
+    ckpt = tempfile.mkdtemp(prefix="ckpt_state_")
+    out_sink = tempfile.mkdtemp(prefix="ckpt_out_")
+
+    first = ev.filter(F.col("event_id") % 2 == 0)
+    second = ev.filter(F.col("event_id") % 2 == 1)
+    first.write.mode("overwrite").parquet(os.path.join(src_dir, "chunk=0"))
+
+    def run_query():
+        src = (
+            spark.readStream.schema(ev.schema)
+            .option("pathGlobFilter", "*.parquet")
+            .parquet(os.path.join(src_dir, "chunk=*"))
+        )
+        agg = src.groupBy("user_id").agg(
+            F.sum("value").alias("total"), F.count(F.lit(1)).alias("n")
+        )
+
+        def write(batch_df, batch_id):
+            batch_df.write.mode("overwrite").parquet(
+                os.path.join(out_sink, f"epoch={batch_id}")
+            )
+
+        q = (
+            agg.writeStream.outputMode("complete")
+            .foreachBatch(write)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    # phase 1: half the data
+    run_query()
+    # phase 2: add the second half, restart from the SAME checkpoint
+    second.write.mode("overwrite").parquet(os.path.join(src_dir, "chunk=1"))
+    run_query()
+
+    # the latest epoch must aggregate over BOTH phases (state resumed,
+    # phase-1 files not reprocessed as new)
+    epochs = sorted(os.listdir(out_sink))
+    final = spark.read.parquet(os.path.join(out_sink, epochs[-1])).toPandas()
+    want = (
+        ev.groupBy("user_id")
+        .agg(F.sum("value").alias("total"), F.count(F.lit(1)).alias("n"))
+        .toPandas()
+    )
+    final = final.sort_values("user_id", ignore_index=True)
+    want = want.sort_values("user_id", ignore_index=True)
+    assert final["n"].tolist() == want["n"].tolist()
+    np.testing.assert_allclose(final["total"], want["total"], rtol=1e-9)
+
+    for d in (src_dir, ckpt, out_sink):
+        shutil.rmtree(d, ignore_errors=True)
