@@ -1,0 +1,59 @@
+"""Skew-handling utilities for hot-key joins and aggregations.
+
+AQE's skew-join splitting (on by default in session.py) handles most
+cases at runtime; these helpers are for the pathological hot keys a
+planner can't split — the classic salt-and-replicate pattern:
+
+- aggregation: two-phase — aggregate on (key, salt), then re-aggregate
+  on key. Shuffle 1 spreads a hot key over `salt_buckets` reducers;
+  shuffle 2 moves only `salt_buckets` rows per key.
+- join: salt the big (skewed) side; replicate the small side once per
+  salt bucket; join on (key, salt).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+__all__ = ["salted_agg", "salted_join"]
+
+
+def salted_agg(
+    df: DataFrame,
+    key: str,
+    aggs: dict[str, tuple[str, str]],
+    salt_buckets: int = 16,
+) -> DataFrame:
+    """Two-phase skew-safe aggregation. Supports the decomposable aggs
+    (sum/count/min/max); avg = sum/count downstream.
+
+    aggs: {out_name: (col, op)} with op in sum|count|min|max.
+    """
+    first = {"sum": F.sum, "count": F.count, "min": F.min, "max": F.max}
+    second = {"sum": F.sum, "count": F.sum, "min": F.min, "max": F.max}
+    salt = (F.rand(seed=42) * salt_buckets).cast("int")
+    phase1 = (
+        df.withColumn("__salt", salt)
+        .groupBy(key, "__salt")
+        .agg(*[first[op](c).alias(name) for name, (c, op) in aggs.items()])
+    )
+    return phase1.groupBy(key).agg(
+        *[second[op](name).alias(name) for name, (c, op) in aggs.items()]
+    )
+
+
+def salted_join(
+    big: DataFrame,
+    small: DataFrame,
+    key: str,
+    salt_buckets: int = 16,
+    how: str = "inner",
+) -> DataFrame:
+    """Skew-safe equi-join: salt the big side, replicate the small side
+    across all buckets (small × salt_buckets rows — keep it broadcast-
+    sized), join on (key, salt)."""
+    salted_big = big.withColumn("__salt", (F.rand(seed=42) * salt_buckets).cast("int"))
+    replicated = small.withColumn(
+        "__salt", F.explode(F.array(*[F.lit(i) for i in range(salt_buckets)]))
+    )
+    return salted_big.join(replicated, [key, "__salt"], how).drop("__salt")

@@ -118,6 +118,76 @@ def partition_batches(
     )
 
 
+def partition_unique(
+    sdf: DataFrame,
+    key: str,
+    n: int,
+    dedup_col: str = "value",
+    keep: str = "first",
+) -> DataFrame:
+    """Like partition(n) but deduplicates by value within each group —
+    reference partition_unique (core.py:1168-1266) with keep=first/last.
+    Buffer state is a map-like pair of arrays (insertion-ordered).
+    """
+
+    def flush(key_, pdfs, state: GroupState):
+        vals = list(state.get[0]) if state.exists else []
+        emitted = []
+        for pdf in pdfs:
+            for v in pdf[dedup_col]:
+                v = float(v)
+                if v in vals:
+                    if keep == "last":
+                        vals.remove(v)
+                        vals.append(v)
+                    continue
+                vals.append(v)
+                if len(vals) >= n:
+                    emitted.append(vals)
+                    vals = []
+        state.update((vals,))
+        if emitted:
+            yield pd.DataFrame({"key": [key_[0]] * len(emitted), "batch": emitted})
+
+    return sdf.groupBy(key).applyInPandasWithState(
+        flush, "key long, batch array<double>", "buf array<double>",
+        "append", GroupStateTimeout.NoTimeout,
+    )
+
+
+def collect_until_flush(
+    sdf: DataFrame,
+    key: str,
+    value_col: str = "value",
+    flush_col: str = "is_flush",
+) -> DataFrame:
+    """Reference Stream.collect (core.py:1901-1945): buffer everything
+    per key; when a flush-marked event arrives, emit the buffered tuple
+    and reset. The flush signal (a second stream in the reference) is a
+    boolean column on the unioned stream — the standard union-tagged
+    encoding of a control stream.
+    """
+
+    def step(key_, pdfs, state: GroupState):
+        buf = list(state.get[0]) if state.exists else []
+        out = []
+        for pdf in pdfs:
+            for v, is_flush in zip(pdf[value_col], pdf[flush_col]):
+                if is_flush:
+                    out.append(buf)
+                    buf = []
+                else:
+                    buf.append(float(v))
+        state.update((buf,))
+        if out:
+            yield pd.DataFrame({"key": [key_[0]] * len(out), "collected": out})
+
+    return sdf.groupBy(key).applyInPandasWithState(
+        step, "key long, collected array<double>", "buf array<double>",
+        "append", GroupStateTimeout.NoTimeout,
+    )
+
+
 def count_window_sum(sdf: DataFrame, key: str, n: int, value_col: str = "value") -> DataFrame:
     """Sliding count-window aggregate per key: sum over the last ``n``
     rows seen so far, emitted per micro-batch — reference window(n=)

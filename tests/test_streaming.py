@@ -126,3 +126,50 @@ def test_streaming_time_window_with_watermark(spark):
         .toPandas().sort_values("ws", ignore_index=True)
     )
     pd.testing.assert_frame_equal(got, want)
+
+
+def test_partition_unique_dedups_within_group(spark):
+    """partition_unique (reference core.py:1168-1266)."""
+    from streamz_spark.streaming.stateful import partition_unique
+
+    chunks = [[(1, v) for v in [1.0, 1.0, 2.0, 2.0, 3.0, 4.0, 5.0, 6.0]]]
+    src = from_iterable(spark, chunks, "user_id long, value double")
+    out = partition_unique(src, "user_id", n=3)
+    batches = sink_to_list(out, output_mode="append")
+    groups = pd.concat(batches, ignore_index=True)
+    flat = [v for b in groups["batch"] for v in b]
+    assert len(flat) == len(set(flat))  # no dup within emitted values
+    assert all(len(b) == 3 for b in groups["batch"])
+
+
+def test_collect_until_flush(spark):
+    """Stream.collect (reference core.py:1901-1945): flush-signal union."""
+    from streamz_spark.streaming.stateful import collect_until_flush
+
+    rows = [(1, 1.0, False), (1, 2.0, False), (1, 0.0, True),
+            (1, 3.0, False), (1, 0.0, True)]
+    src = from_iterable(spark, [rows], "user_id long, value double, is_flush boolean")
+    out = collect_until_flush(src, "user_id")
+    batches = sink_to_list(out, output_mode="append")
+    got = pd.concat(batches, ignore_index=True)["collected"].tolist()
+    assert [list(b) for b in got] == [[1.0, 2.0], [3.0]]
+
+
+def test_streaming_frame_fluent_api(spark):
+    """StreamingFrame compiles identically over a streaming source —
+    the dataframe layer works end-to-end on readStream input."""
+    from streamz_spark.frame import StreamingFrame
+
+    src = replay_table(spark, SF_DIR, "events", n_chunks=3, chunk_col="event_id")
+    sf = StreamingFrame(src)
+    agg = sf[sf["value"] > 50].groupby("event_type")["value"].sum()
+    sink_to_memory(agg.df, "t_fluent", output_mode="complete")
+    got = spark.sql("SELECT * FROM t_fluent").toPandas().sort_values("event_type", ignore_index=True)
+    ev = load_table(spark, SF_DIR, "events")
+    want = (
+        ev.filter(F.col("value") > 50).groupBy("event_type")
+        .agg(F.sum("value").alias("value_sum"))
+        .toPandas().sort_values("event_type", ignore_index=True)
+    )
+    assert got["event_type"].tolist() == want["event_type"].tolist()
+    np.testing.assert_allclose(got["value_sum"], want["value_sum"], rtol=1e-9)
