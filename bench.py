@@ -59,11 +59,15 @@ def main() -> None:
     total = 0.0
     for name in names:
         t0 = time.perf_counter()
-        df = registry[name].fn(spark, sf_dir)
-        df.count()  # force full plan execution
-        dt = time.perf_counter() - t0
+        try:
+            df = registry[name].fn(spark, sf_dir)
+            df.count()  # force full plan execution
+            dt = time.perf_counter() - t0
+        except Exception as exc:  # one bad query must not kill the bench line
+            print(f"bench: {name} failed: {exc}", file=sys.stderr)
+            dt = -1.0
         timings[name] = round(dt, 4)
-        total += dt
+        total += max(dt, 0.0)
 
     print(json.dumps({
         "metric": "headline_queries_total",

@@ -1,0 +1,57 @@
+"""Live-source tests: TCP socket word count — the reference's
+network wordcount example (streamz tests/test_sources.py:51,
+examples/network_wordcount.py) on the Spark socket source.
+"""
+
+from __future__ import annotations
+
+import socket
+import threading
+import time
+
+from pyspark.sql import functions as F
+
+from streamz_spark.streaming.sources import from_socket
+
+LINES = ["hello world", "hello spark", "world of streams"]
+EXPECTED = {"hello": 2, "world": 2, "spark": 1, "of": 1, "streams": 1}
+
+
+def test_socket_wordcount(spark):
+    server = socket.socket(socket.AF_INET, socket.SOCK_STREAM)
+    server.setsockopt(socket.SOL_SOCKET, socket.SO_REUSEADDR, 1)
+    server.bind(("127.0.0.1", 0))
+    port = server.getsockname()[1]
+    server.listen(1)
+
+    def serve():
+        conn, _ = server.accept()
+        for line in LINES:
+            conn.sendall((line + "\n").encode())
+        time.sleep(10)  # keep the connection open while Spark polls
+        conn.close()
+
+    threading.Thread(target=serve, daemon=True).start()
+
+    lines = from_socket(spark, "127.0.0.1", port)
+    words = (
+        lines.select(F.explode(F.split("value", " ")).alias("word"))
+        .groupBy("word").count()
+    )
+    q = (
+        words.writeStream.outputMode("complete").format("memory")
+        .queryName("t_wc").trigger(processingTime="500 milliseconds").start()
+    )
+    try:
+        deadline = time.time() + 45
+        total_expected = sum(EXPECTED.values())
+        while time.time() < deadline:
+            time.sleep(1)
+            n = spark.sql("SELECT sum(count) FROM t_wc").first()[0]
+            if n and n >= total_expected:
+                break
+        got = {r["word"]: r["count"] for r in spark.sql("SELECT * FROM t_wc").collect()}
+    finally:
+        q.stop()
+        server.close()
+    assert got == EXPECTED

@@ -173,3 +173,39 @@ def test_streaming_frame_fluent_api(spark):
     )
     assert got["event_type"].tolist() == want["event_type"].tolist()
     np.testing.assert_allclose(got["value_sum"], want["value_sum"], rtol=1e-9)
+
+
+def test_count_window_sum_last_n(spark):
+    """window(n=): sum over the last n rows seen per key (reference
+    dataframe/core.py:129-169; deque state -> array state column)."""
+    from streamz_spark.streaming.stateful import count_window_sum
+
+    chunks = [[(1, float(v)) for v in [1, 2, 3]],
+              [(1, float(v)) for v in [4, 5]]]
+    src = from_iterable(spark, chunks, "user_id long, value double")
+    out = count_window_sum(src, "user_id", n=3)
+    batches = sink_to_list(out, output_mode="update")
+    updates = pd.concat(batches, ignore_index=True)
+    # after chunk 1: window=[1,2,3] sum 6; after chunk 2: window=[3,4,5] sum 12
+    assert updates["window_sum"].tolist() == [6.0, 12.0]
+    assert updates["window_len"].tolist() == [3, 3]
+
+
+def test_integration_text_json_sdf_chain(spark):
+    """The reference's end-to-end fixture F6 (test_dataframes.py:466-475):
+    json text lines -> parse -> dataframe -> groupby sum."""
+    import json
+
+    rows = [[(i, json.dumps({"x": i % 3, "y": i})) for i in range(12)]]
+    src = from_iterable(spark, rows, "seq long, value string")
+    parsed = src.select(
+        F.get_json_object("value", "$.x").cast("long").alias("x"),
+        F.get_json_object("value", "$.y").cast("long").alias("y"),
+    )
+    agg = parsed.groupBy("x").agg(F.sum("y").alias("y_sum"))
+    sink_to_memory(agg, "t_chain", output_mode="complete")
+    got = spark.sql("SELECT * FROM t_chain").toPandas().sort_values("x", ignore_index=True)
+    want = {0: sum(i for i in range(12) if i % 3 == 0),
+            1: sum(i for i in range(12) if i % 3 == 1),
+            2: sum(i for i in range(12) if i % 3 == 2)}
+    assert dict(zip(got["x"], got["y_sum"])) == want
