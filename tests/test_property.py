@@ -1,0 +1,68 @@
+"""Property-based differential tests (hypothesis): random small frames
+through the StreamingFrame expression surface vs pandas — randomized
+coverage the reference's fixed fixtures don't give.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from hypothesis import given, settings, strategies as st
+
+from streamz_spark.frame import StreamingFrame
+
+finite = st.floats(min_value=-1e6, max_value=1e6, allow_nan=False, allow_infinity=False)
+
+
+@st.composite
+def xy_frame(draw):
+    n = draw(st.integers(min_value=1, max_value=24))
+    xs = draw(st.lists(finite, min_size=n, max_size=n))
+    ys = draw(st.lists(finite, min_size=n, max_size=n))
+    ks = draw(st.lists(st.integers(min_value=0, max_value=3), min_size=n, max_size=n))
+    return pd.DataFrame({"id": range(n), "k": ks, "x": xs, "y": ys})
+
+
+@given(pdf=xy_frame())
+@settings(max_examples=12, deadline=None)
+def test_arithmetic_and_mask_match_pandas(spark, pdf):
+    sf = StreamingFrame(
+        spark.createDataFrame(pdf, "id long, k long, x double, y double"),
+        order_col="id",
+    )
+    expr = (sf["x"] * 2 - sf["y"] / 3 + 1).to_frame()
+    got = expr.to_pandas()["x"].to_numpy()
+    want = (pdf["x"] * 2 - pdf["y"] / 3 + 1).to_numpy()
+    np.testing.assert_allclose(np.sort(got), np.sort(want), rtol=1e-12)
+
+    mask = sf[(sf["x"] > 0) & (sf["y"] <= 100)]
+    want_n = len(pdf[(pdf.x > 0) & (pdf.y <= 100)])
+    assert mask.to_pandas().shape[0] == want_n
+
+
+@given(pdf=xy_frame())
+@settings(max_examples=10, deadline=None)
+def test_grouped_sum_matches_pandas(spark, pdf):
+    sf = StreamingFrame(
+        spark.createDataFrame(pdf, "id long, k long, x double, y double"),
+        order_col="id",
+    )
+    got = (
+        sf.groupby("k")["x"].sum().to_pandas().set_index("k")["x_sum"].sort_index()
+    )
+    want = pdf.groupby("k")["x"].sum().sort_index()
+    np.testing.assert_allclose(got.to_numpy(), want.to_numpy(), rtol=1e-9, atol=1e-9)
+
+
+@given(pdf=xy_frame(), n=st.integers(min_value=1, max_value=5))
+@settings(max_examples=10, deadline=None)
+def test_rolling_sum_matches_pandas(spark, pdf, n):
+    from streamz_spark.operators.windows import rolling_count_window
+
+    df = spark.createDataFrame(pdf, "id long, k long, x double, y double")
+    got = (
+        rolling_count_window(df, "id", {"r": ("x", "sum")}, n=n)
+        .toPandas().sort_values("id", ignore_index=True)["r"]
+    )
+    want = pdf.sort_values("id")["x"].rolling(n, min_periods=1).sum()
+    np.testing.assert_allclose(got.to_numpy(), want.to_numpy(), rtol=1e-9, atol=1e-9)

@@ -209,3 +209,46 @@ def test_integration_text_json_sdf_chain(spark):
             1: sum(i for i in range(12) if i % 3 == 1),
             2: sum(i for i in range(12) if i % 3 == 2)}
     assert dict(zip(got["x"], got["y_sum"])) == want
+
+
+def test_stream_stream_join_with_watermarks(spark):
+    """stream-stream inner equi-join with watermarks + time bound —
+    the engine's keyed-join superset of the reference's structural
+    combinators (SURVEY.md §2.5), running genuinely stream-to-stream."""
+    src1 = replay_table(spark, SF_DIR, "events", n_chunks=2, chunk_col="event_id")
+    src2 = replay_table(spark, SF_DIR, "events", n_chunks=2, chunk_col="event_id")
+    clicks = (
+        src1.filter(F.col("event_type") == "click")
+        .withColumn("ts", F.col("ts").cast("timestamp"))
+        .withWatermark("ts", "1 hour")
+        .select("user_id", F.col("ts").alias("click_ts"), F.col("value").alias("click_value"))
+    )
+    purchases = (
+        src2.filter(F.col("event_type") == "purchase")
+        .withColumn("ts", F.col("ts").cast("timestamp"))
+        .withWatermark("ts", "1 hour")
+        .select(F.col("user_id").alias("p_user"), F.col("ts").alias("p_ts"),
+                F.col("value").alias("p_value"))
+    )
+    joined = clicks.join(
+        purchases,
+        (F.col("user_id") == F.col("p_user"))
+        & (F.col("p_ts") >= F.col("click_ts"))
+        & (F.col("p_ts") <= F.col("click_ts") + F.expr("INTERVAL 1 HOUR")),
+        "inner",
+    )
+    batches = sink_to_list(joined.select("user_id", "click_ts", "p_ts"))
+    got = pd.concat(batches, ignore_index=True) if batches else pd.DataFrame()
+
+    ev = load_table(spark, SF_DIR, "events").withColumn("ts", F.col("ts").cast("timestamp"))
+    c = ev.filter(F.col("event_type") == "click").select(
+        "user_id", F.col("ts").alias("click_ts"))
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("p_user"), F.col("ts").alias("p_ts"))
+    want = c.join(
+        p,
+        (F.col("user_id") == F.col("p_user"))
+        & (F.col("p_ts") >= F.col("click_ts"))
+        & (F.col("p_ts") <= F.col("click_ts") + F.expr("INTERVAL 1 HOUR")),
+    ).count()
+    assert len(got) == want
