@@ -300,3 +300,34 @@ def ewm_mean_per_user(spark, sf_dir):
         alpha=0.3, partition_by=["user_id"],
     )
     return out.select("event_id", "user_id", "ewm")
+
+
+@register(
+    "window_apply_custom",
+    # custom fn over the window's contents: collect the frame rows as an
+    # array and fold with F.aggregate — duckdb mirrors with list() OVER +
+    # list_transform/list_sum (sequential fold, bit-identical)
+    oracle="""
+        SELECT event_id, user_id,
+               list_sum(list_transform(lst, x -> x * x)) AS sum_sq_last5,
+               len(lst) AS n_in_window
+        FROM (
+            SELECT event_id, user_id,
+                   list(value) OVER (PARTITION BY user_id ORDER BY event_id
+                        ROWS BETWEEN 4 PRECEDING AND CURRENT ROW) AS lst
+            FROM events
+        )
+    """,
+    doc="Window.apply/aggregate — arbitrary fn over window contents (streamz dataframe/core.py:598-633, Full/apply aggregations.py:132-148): collect_list + F.aggregate fold",
+)
+def window_apply_custom(spark, sf_dir):
+    from pyspark.sql import Window as W
+
+    ev = load_table(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("event_id").rowsBetween(-4, 0)
+    lst = F.collect_list("value").over(w)
+    return ev.select(
+        "event_id", "user_id",
+        F.aggregate(lst, F.lit(0.0), lambda acc, x: acc + x * x).alias("sum_sq_last5"),
+        F.size(lst).alias("n_in_window"),
+    )
