@@ -245,3 +245,16 @@ def percentiles_exact(spark, sf_dir):
         F.round(F.percentile("value", F.lit(0.5)), 6).alias("p50"),
         F.round(F.percentile("value", F.lit(0.95)), 6).alias("p95"),
     )
+
+
+@register(
+    "approx_sketches",
+    oracle=None,  # HLL/quantile-sketch internals differ per engine; exactness bounds checked in tests/test_catalog_extra.py
+    doc="approximate sketches: approx_count_distinct (HLL) + percentile_approx — the mergeable at-scale alternatives to exact distinct/percentile",
+)
+def approx_sketches(spark, sf_dir):
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.approx_count_distinct("user_id").alias("approx_users"),
+        F.percentile_approx("value", 0.5).alias("p50_approx"),
+    )

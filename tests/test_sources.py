@@ -55,3 +55,25 @@ def test_socket_wordcount(spark):
         q.stop()
         server.close()
     assert got == EXPECTED
+
+
+def test_rate_source_produces_rows(spark):
+    """from_periodic / PeriodicDataFrame / Random equivalent: the rate
+    source emits (timestamp, value) rows on a timer."""
+    import time
+    from streamz_spark.streaming.sources import from_rate
+
+    src = from_rate(spark, rows_per_second=50)
+    q = (src.writeStream.outputMode("append").format("memory")
+         .queryName("t_rate").trigger(processingTime="250 milliseconds").start())
+    try:
+        deadline = time.time() + 20
+        n = 0
+        while time.time() < deadline:
+            time.sleep(1)
+            n = spark.sql("SELECT count(*) FROM t_rate").first()[0]
+            if n and n > 20:
+                break
+    finally:
+        q.stop()
+    assert n > 20
