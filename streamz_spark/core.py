@@ -64,6 +64,14 @@ class Stream:
         target = list(cols) or ["value"]
         return self._with(self.df.withColumn("value", udf(*target)))
 
+    def map_async(self, fn, dtype: str = "double", *cols) -> "Stream":
+        """Reference map_async (core.py:722-835): async fn with ordered
+        output despite parallel evaluation. Spark already evaluates
+        Arrow batches in parallel across partitions while preserving
+        intra-partition order, so this is `map`; run async I/O with an
+        event loop *inside* the batch function when needed."""
+        return self.map(fn, dtype, *cols)
+
     def starmap(self, expr: Column) -> "Stream":
         """Multi-column expression (reference starmap, core.py:838-881)."""
         return self._with(self.df.withColumn("value", expr))

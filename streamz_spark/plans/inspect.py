@@ -34,16 +34,19 @@ def read_schema_columns(df: DataFrame) -> set[str]:
     return cols
 
 
-def _count(df: DataFrame, token: str) -> int:
-    return explain_string(df).count(token)
+def _count_op(df: DataFrame, op: str) -> int:
+    """Count physical operators by their numbered-detail headers —
+    formatted explain prints each op twice (tree sketch + detail), so a
+    plain substring count double-counts."""
+    return len(re.findall(rf"\(\d+\) {op}\b", explain_string(df)))
 
 
 def broadcast_join_count(df: DataFrame) -> int:
-    return _count(df, "BroadcastHashJoin") + _count(df, "BroadcastNestedLoopJoin")
+    return _count_op(df, "BroadcastHashJoin") + _count_op(df, "BroadcastNestedLoopJoin")
 
 
 def sort_merge_join_count(df: DataFrame) -> int:
-    return _count(df, "SortMergeJoin")
+    return _count_op(df, "SortMergeJoin")
 
 
 def exchange_count(df: DataFrame) -> int:
