@@ -188,6 +188,40 @@ def collect_until_flush(
     )
 
 
+def ewm_mean_stream(
+    sdf: DataFrame,
+    key: str,
+    alpha: float,
+    value_col: str = "value",
+    order_col: str | None = None,
+) -> DataFrame:
+    """Streaming EWM: the (num, den) recurrence state rides in the state
+    store per key — the reference's EWMean (result, old_wt) state
+    (aggregations.py:151-170) as a streaming operator. Emits the mean
+    after each micro-batch (update cadence). Rows within a batch are
+    processed in order_col order when given (micro-batch arrival order
+    otherwise — the reference's emit order).
+    """
+    decay = 1.0 - alpha
+
+    def step(state, pdf):
+        num, den = state if state else (0.0, 0.0)
+        if order_col is not None:
+            pdf = pdf.sort_values(order_col)
+        for v in pdf[value_col].to_numpy(dtype="float64"):
+            num = v + decay * num
+            den = 1.0 + decay * den
+        out = pd.DataFrame({key: pdf[key].iloc[:1], "ewm": [num / den if den else None]})
+        return (num, den), out
+
+    cols = [key, value_col] + ([order_col] if order_col else [])
+    return accumulate(
+        sdf.select(*cols), [key], step,
+        state_schema="num double, den double",
+        output_schema=f"{key} long, ewm double",
+    )
+
+
 def count_window_sum(sdf: DataFrame, key: str, n: int, value_col: str = "value") -> DataFrame:
     """Sliding count-window aggregate per key: sum over the last ``n``
     rows seen so far, emitted per micro-batch — reference window(n=)

@@ -252,3 +252,38 @@ def test_stream_stream_join_with_watermarks(spark):
         & (F.col("p_ts") <= F.col("click_ts") + F.expr("INTERVAL 1 HOUR")),
     ).count()
     assert len(got) == want
+
+
+def test_streaming_ewm_matches_batch(spark):
+    """streaming EWM state continuation across micro-batches: with
+    prefix-ordered chunks (streaming delivery order == event order, the
+    reference's emit cadence), the final per-key emission equals the
+    pandas EWM of the full sequence exactly."""
+    from streamz_spark.streaming.stateful import ewm_mean_stream
+
+    vals = {1: [10.0, 20.0, 30.0, 40.0, 50.0], 2: [5.0, 15.0, 25.0]}
+    # prefix chunks: first two events per key, then the rest
+    chunk1 = [(k, i, v) for k, vs in vals.items() for i, v in enumerate(vs[:2])]
+    chunk2 = [(k, i + 2, v) for k, vs in vals.items() for i, v in enumerate(vs[2:])]
+    src = from_iterable(spark, [chunk1, chunk2], "user_id long, event_id long, value double")
+    out = ewm_mean_stream(src, "user_id", alpha=0.3, order_col="event_id")
+    batches = sink_to_list(out, output_mode="update")
+    final = pd.concat(batches, ignore_index=True).groupby("user_id")["ewm"].last()
+    for k, vs in vals.items():
+        want = pd.Series(vs).ewm(alpha=0.3, adjust=True).mean().iloc[-1]
+        np.testing.assert_allclose(final[k], want, rtol=1e-12)
+
+
+def test_empty_chunk_does_not_perturb_state(spark):
+    """FIXTURES F2: an empty micro-batch must leave stateful results
+    unchanged (the reference emits empty chunks in its agg matrices)."""
+    chunks = [
+        [(1, 10.0), (1, 20.0)],
+        [],  # empty chunk
+        [(1, 30.0)],
+    ]
+    src = from_iterable(spark, chunks, "user_id long, value double")
+    out = running_sum(src, "user_id")
+    batches = sink_to_list(out, output_mode="update")
+    updates = pd.concat([b for b in batches if len(b)], ignore_index=True)
+    assert updates["running_sum"].tolist() == [30.0, 60.0]
