@@ -87,6 +87,65 @@ def _hyperplane_sign(vec_col: str, plane: int, dim: int) -> Column:
     return (dot >= 0).cast("int")
 
 
+def ivf_ann(
+    corpus: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_cells: int = 16,
+    n_probe: int = 3,
+    seed: int = 42,
+) -> DataFrame:
+    """IVF (inverted-file) ANN: coarse-quantize vectors to their nearest
+    centroid cell; candidates = pairs whose cells overlap within each
+    query's ``n_probe`` closest cells. The centroid set is trained with
+    MLlib KMeans on the corpus (deterministic seed); assignment and
+    probing are broadcast joins against the tiny centroid table, and the
+    candidate join shuffles on cell id — the FAISS-style scale path when
+    the full matrix no longer broadcasts (cells shard independently).
+    """
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    spark = corpus.sparkSession
+    v = with_norm(corpus.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v")), "v", "norm")
+
+    train = v.select("id", array_to_vector(F.col("v")).alias("features"))
+    model = KMeans(k=n_cells, seed=seed, maxIter=10).fit(train)
+    centroids = [
+        (ci, [float(x) for x in c]) for ci, c in enumerate(model.clusterCenters())
+    ]
+    cent = F.broadcast(
+        spark.createDataFrame(centroids, "cell int, cvec array<double>")
+    )
+
+    # rank cells per vector by centroid distance; keep the n_probe nearest
+    scored = v.crossJoin(cent).select(
+        "id", "v", "norm", "cell",
+        F.aggregate(
+            F.zip_with(F.col("v"), F.col("cvec"), lambda x, y: (x - y) * (x - y)),
+            F.lit(0.0), lambda acc, x: acc + x,
+        ).alias("d2"),
+    )
+    w = W.partitionBy("id").orderBy(F.col("d2").asc(), F.col("cell").asc())
+    probes = scored.withColumn("rnk", F.row_number().over(w)).filter(F.col("rnk") <= n_probe)
+
+    a = probes.select(F.col("id").alias("qid"), F.col("v").alias("qv"),
+                      F.col("norm").alias("qnorm"), "cell")
+    b = probes.filter(F.col("rnk") == 1).select(
+        F.col("id").alias("cid"), F.col("v").alias("cv"),
+        F.col("norm").alias("cnorm"), "cell",
+    )
+    cand = (
+        a.join(b, "cell")
+        .filter(F.col("qid") != F.col("cid"))
+        .select("qid", "cid", cosine_expr("qv", "cv", "qnorm", "cnorm").alias("cosine"))
+        .distinct()
+    )
+    wr = W.partitionBy("qid").orderBy(F.col("cosine").desc(), F.col("cid").asc())
+    return cand.withColumn("rank", F.row_number().over(wr)).filter(F.col("rank") <= k)
+
+
 def hyperplane_lsh_ann(
     corpus: DataFrame,
     k: int = 5,

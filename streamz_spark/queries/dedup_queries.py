@@ -179,3 +179,13 @@ def ann_brute_force_topk(spark, sf_dir):
 def ann_lsh_topk(spark, sf_dir):
     emb = load_table(spark, sf_dir, "embeddings")
     return sim.hyperplane_lsh_ann(emb, k=5, planes=10, tables=4, dim=64)
+
+
+@register(
+    "ann_ivf_topk",
+    oracle=None,  # KMeans cell assignment is model-dependent; planted-dup recall tested in tests/test_dedup.py
+    doc="IVF (inverted-file) ANN top-k: KMeans coarse quantization, n_probe nearest cells, exact-cosine verify — the FAISS-style path when the matrix no longer broadcasts",
+)
+def ann_ivf_topk(spark, sf_dir):
+    emb = load_table(spark, sf_dir, "embeddings")
+    return sim.ivf_ann(emb, k=5, n_cells=8, n_probe=3)

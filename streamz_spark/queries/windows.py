@@ -329,5 +329,5 @@ def window_apply_custom(spark, sf_dir):
     return ev.select(
         "event_id", "user_id",
         F.aggregate(lst, F.lit(0.0), lambda acc, x: acc + x * x).alias("sum_sq_last5"),
-        F.size(lst).alias("n_in_window"),
+        F.size(lst).cast("long").alias("n_in_window"),
     )

@@ -88,3 +88,23 @@ def test_dedup_exact_removes_only_duplicates(spark):
     n_fp = docs.select(fingerprint("text", "f")).distinct().count()
     kept = dd.dedup_exact(docs)
     assert kept.count() == n_fp
+
+
+def test_ivf_ann_finds_planted_near_duplicates(spark):
+    """IVF cells must place near-identical vectors together (their
+    centroids coincide), so planted duplicates are retrieved at rank 1."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    rng = np.random.RandomState(11)
+    base = rng.randn(30, 16).astype("float32")
+    rows = []
+    for i, v in enumerate(base):
+        rows.append((i, [float(x) for x in v]))
+        rows.append((1000 + i, [float(x) for x in (v + 0.001 * rng.randn(16).astype("float32"))]))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    out = sim.ivf_ann(df, k=1, n_cells=4, n_probe=2)
+    got = {(r.qid, r.cid) for r in out.filter(F.col("rank") == 1).collect()}
+    expected = {(i, 1000 + i) for i in range(30)} | {(1000 + i, i) for i in range(30)}
+    recall = len(got & expected) / len(expected)
+    assert recall >= 0.9, f"planted-pair recall {recall}"
