@@ -331,3 +331,28 @@ def window_apply_custom(spark, sf_dir):
         F.aggregate(lst, F.lit(0.0), lambda acc, x: acc + x * x).alias("sum_sq_last5"),
         F.size(lst).cast("long").alias("n_in_window"),
     )
+
+
+@register(
+    "rolling_quantile",
+    # both engines sort the frame and linearly interpolate — same doubles
+    oracle="""
+        SELECT event_id, user_id,
+               quantile_cont(value, 0.5) OVER w AS roll_median,
+               quantile_cont(value, 0.9) OVER w AS roll_p90
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY event_id
+                     ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
+    """,
+    doc="rolling quantile/median — streamz rolling(...).quantile (dataframe/core.py:94-127); exact interpolated percentile over a row frame",
+)
+def rolling_quantile(spark, sf_dir):
+    from pyspark.sql import Window as W
+
+    ev = load_table(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("event_id").rowsBetween(-6, 0)
+    return ev.select(
+        "event_id", "user_id",
+        F.percentile("value", F.lit(0.5)).over(w).alias("roll_median"),
+        F.percentile("value", F.lit(0.9)).over(w).alias("roll_p90"),
+    )

@@ -66,3 +66,43 @@ def test_rolling_sum_matches_pandas(spark, pdf, n):
     )
     want = pdf.sort_values("id")["x"].rolling(n, min_periods=1).sum()
     np.testing.assert_allclose(got.to_numpy(), want.to_numpy(), rtol=1e-9, atol=1e-9)
+
+
+@st.composite
+def asof_frames(draw):
+    n_left = draw(st.integers(min_value=1, max_value=15))
+    n_right = draw(st.integers(min_value=1, max_value=15))
+    ts = st.integers(min_value=0, max_value=100)
+    ks = st.integers(min_value=0, max_value=2)
+    left = pd.DataFrame({
+        "k": draw(st.lists(ks, min_size=n_left, max_size=n_left)),
+        "t": draw(st.lists(ts, min_size=n_left, max_size=n_left, unique=True)),
+    })
+    right = pd.DataFrame({
+        "k": draw(st.lists(ks, min_size=n_right, max_size=n_right)),
+        "t": draw(st.lists(ts, min_size=n_right, max_size=n_right, unique=True)),
+        "rv": [float(i) for i in range(n_right)],
+    })
+    return left, right
+
+
+@given(frames=asof_frames())
+@settings(max_examples=10, deadline=None)
+def test_asof_join_matches_merge_asof(spark, frames):
+    """Homegrown union-carry as-of join vs pandas.merge_asof (backward,
+    per-key) — randomized differential over the tricky operator."""
+    from streamz_spark.operators.joins import asof_join
+
+    left, right = frames
+    ldf = spark.createDataFrame(left, "k long, t long")
+    rdf = spark.createDataFrame(right, "k long, t long, rv double")
+    got = (
+        asof_join(ldf, rdf, on="t", by=["k"], right_cols=["rv"])
+        .toPandas().sort_values(["k", "t"], ignore_index=True)
+    )
+    want = pd.merge_asof(
+        left.sort_values("t"), right.sort_values("t"),
+        on="t", by="k", direction="backward",
+    ).sort_values(["k", "t"], ignore_index=True)
+    assert got["rv_right"].where(got["rv_right"].notna(), -1).tolist() == \
+        want["rv"].where(want["rv"].notna(), -1).tolist()
