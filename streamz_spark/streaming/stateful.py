@@ -188,6 +188,44 @@ def collect_until_flush(
     )
 
 
+def online_linear_fit(
+    sdf: DataFrame,
+    key: str,
+    x_col: str = "x",
+    y_col: str = "y",
+    lr: float = 0.01,
+    epochs_per_batch: int = 5,
+) -> DataFrame:
+    """Online ML train/predict per micro-batch — the reference's River
+    integration (streamz/river.py:7-62 RiverTrain/RiverPredict) as a
+    stateful operator: per-key (w, b) weights ride in the state store,
+    each batch runs SGD steps on its rows and emits the updated model +
+    in-batch MSE. Model state persists across batches and restarts
+    (checkpoint).
+    """
+
+    def step(state, pdf):
+        import numpy as np
+
+        w, b = state if state else (0.0, 0.0)
+        x = pdf[x_col].to_numpy(dtype="float64")
+        y = pdf[y_col].to_numpy(dtype="float64")
+        for _ in range(epochs_per_batch):
+            pred = w * x + b
+            err = pred - y
+            w -= lr * float((err * x).mean())
+            b -= lr * float(err.mean())
+        mse = float(((w * x + b - y) ** 2).mean())
+        out = pd.DataFrame({key: pdf[key].iloc[:1], "w": [w], "b": [b], "mse": [mse]})
+        return (w, b), out
+
+    return accumulate(
+        sdf.select(key, x_col, y_col), [key], step,
+        state_schema="w double, b double",
+        output_schema=f"{key} long, w double, b double, mse double",
+    )
+
+
 def ewm_mean_stream(
     sdf: DataFrame,
     key: str,

@@ -74,3 +74,24 @@ def test_filter_pushdown_events(spark):
     df = q("filter_mask", spark)
     pf = " ".join(pushed_filters(df))
     assert "value" in pf and "event_type" in pf
+
+
+def test_partition_pruning_on_partitioned_layout(spark, tmp_path_factory):
+    """Hive-partitioned layout: a partition-key filter must prune at
+    planning time (PartitionFilters), reading only matching directories —
+    the layout knob that turns a 100 TB scan into a 1 TB scan."""
+    import os
+
+    from streamz_spark.io import load_table
+    from streamz_spark.plans.inspect import explain_string
+
+    out = str(tmp_path_factory.mktemp("part")) + "/events_by_type"
+    ev = load_table(spark, SF_DIR, "events")
+    ev.write.mode("overwrite").partitionBy("event_type").parquet(out)
+
+    df = spark.read.parquet(out).filter("event_type = 'purchase'").select("event_id", "value")
+    plan = explain_string(df)
+    assert "PartitionFilters" in plan and "event_type" in plan.split("PartitionFilters", 1)[1][:200]
+    # count matches the unpartitioned filter
+    want = ev.filter("event_type = 'purchase'").count()
+    assert df.count() == want

@@ -287,3 +287,22 @@ def test_empty_chunk_does_not_perturb_state(spark):
     batches = sink_to_list(out, output_mode="update")
     updates = pd.concat([b for b in batches if len(b)], ignore_index=True)
     assert updates["running_sum"].tolist() == [30.0, 60.0]
+
+
+def test_online_linear_fit_converges(spark):
+    """River-style online train (reference streamz/river.py): SGD state
+    across micro-batches converges toward y = 2x + 1."""
+    from streamz_spark.streaming.stateful import online_linear_fit
+
+    rng = np.random.RandomState(3)
+    chunks = []
+    for _ in range(4):
+        xs = rng.uniform(-1, 1, 50)
+        chunks.append([(1, float(x), float(2 * x + 1 + 0.01 * rng.randn())) for x in xs])
+    src = from_iterable(spark, chunks, "k long, x double, y double")
+    out = online_linear_fit(src, "k", lr=0.3, epochs_per_batch=50)
+    batches = sink_to_list(out, output_mode="update")
+    final = pd.concat(batches, ignore_index=True).iloc[-1]
+    assert abs(final["w"] - 2.0) < 0.2, final.to_dict()
+    assert abs(final["b"] - 1.0) < 0.2, final.to_dict()
+    assert final["mse"] < 0.05

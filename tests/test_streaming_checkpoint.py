@@ -74,3 +74,58 @@ def test_stateful_agg_resumes_from_checkpoint(spark):
 
     for d in (src_dir, ckpt, out_sink):
         shutil.rmtree(d, ignore_errors=True)
+
+
+def test_custom_stateful_op_resumes_from_checkpoint(spark):
+    """applyInPandasWithState state (running totals) survives a query
+    restart from the same checkpoint — the engine's start=/with_state
+    resume (reference test_dataframes.py:993-1101) without user-managed
+    state objects."""
+    from pyspark.sql import functions as F
+
+    from streamz_spark.streaming.stateful import running_sum
+
+    src_dir = tempfile.mkdtemp(prefix="ckpt2_src_")
+    ckpt = tempfile.mkdtemp(prefix="ckpt2_state_")
+    collected: list = []
+
+    rows1 = [(1, 10.0), (1, 20.0), (2, 5.0)]
+    rows2 = [(1, 30.0), (2, 15.0)]
+    schema = "user_id long, value double"
+
+    def write_chunk(rows, i):
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(os.path.join(src_dir, f"chunk={i}"))
+
+    def run_once():
+        src = (
+            spark.readStream.schema(schema)
+            .option("pathGlobFilter", "*.parquet")
+            .parquet(os.path.join(src_dir, "chunk=*"))
+        )
+        out = running_sum(src, "user_id")
+
+        def sink(batch_df, batch_id):
+            collected.append(batch_df.toPandas())
+
+        q = (
+            out.writeStream.outputMode("update").foreachBatch(sink)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True).start()
+        )
+        q.awaitTermination(120)
+
+    write_chunk(rows1, 0)
+    run_once()
+    write_chunk(rows2, 1)
+    run_once()  # restart: state must carry, chunk 0 must not reprocess
+
+    import pandas as pd
+
+    allu = pd.concat([c for c in collected if len(c)], ignore_index=True)
+    final = allu.groupby("user_id")["running_sum"].last().sort_index()
+    assert final.tolist() == [60.0, 20.0]  # 10+20+30, 5+15
+
+    shutil.rmtree(src_dir, ignore_errors=True)
+    shutil.rmtree(ckpt, ignore_errors=True)
