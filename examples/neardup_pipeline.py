@@ -1,0 +1,37 @@
+"""Training-data curation pipeline: quality filter -> exact dedup ->
+MinHash near-dup -> language id, over the documents table.
+
+Run: python examples/neardup_pipeline.py [sf_dir]
+"""
+
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from streamz_spark import get_spark, load_table
+from streamz_spark.operators import dedup as dd
+from streamz_spark.operators.text import language_id, quality_features
+
+
+def main(sf_dir: str = "/root/testdata/sf0.01"):
+    spark = get_spark("neardup-example")
+    docs = load_table(spark, sf_dir, "documents")
+
+    scored = quality_features(docs)
+    kept = scored.filter("n_tokens >= 5 AND punct_ratio < 0.2")
+    print("quality filter:", docs.count(), "->", kept.count())
+
+    deduped = dd.dedup_exact(kept.select(docs.columns))
+    print("exact dedup ->", deduped.count())
+
+    near = dd.minhash_near_duplicates(deduped, num_perm=64, bands=16, threshold=0.5)
+    print("near-dup pairs (MinHash->verified Jaccard>=0.5):", near.count())
+
+    lang = language_id(deduped)
+    lang.groupBy("lang", "lang_pred").count().orderBy("lang", "lang_pred").show(30)
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main(*sys.argv[1:])
