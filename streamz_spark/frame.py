@@ -122,18 +122,27 @@ class StreamingSeries:
 
 
 class StreamingFrame:
-    """streamz DataFrame equivalent (dataframe/core.py:299-356)."""
+    """streamz DataFrame equivalent (dataframe/core.py:299-356).
 
-    def __init__(self, df: DataFrame, order_col: str | None = None):
+    ``order_col`` is the explicit event order (the reference's implicit
+    pandas index); ``ts_col`` the event-time column for time-valued
+    windows (the reference's DatetimeIndex, dataframe/core.py:530-531).
+    """
+
+    def __init__(self, df: DataFrame, order_col: str | None = None, ts_col: str | None = None):
         self.df = df
         self.order_col = order_col
+        self.ts_col = ts_col
 
     # --- construction ---
     @classmethod
-    def from_table(cls, spark, sf_dir: str, name: str, order_col: str | None = None):
+    def from_table(
+        cls, spark, sf_dir: str, name: str,
+        order_col: str | None = None, ts_col: str | None = None,
+    ):
         from streamz_spark.io import load_table
 
-        return cls(load_table(spark, sf_dir, name), order_col=order_col)
+        return cls(load_table(spark, sf_dir, name), order_col=order_col, ts_col=ts_col)
 
     @property
     def columns(self) -> list[str]:
@@ -336,22 +345,27 @@ class Rolling:
 
     def _run(self, col: str, op: str) -> StreamingFrame:
         f = self.frame
-        if not f.order_col:
-            raise ValueError("rolling requires order_col")
         name = f"{col}_roll_{op}"
         if isinstance(self.window, int):
+            if not f.order_col:
+                raise ValueError("rolling(n) requires order_col")
             out = _w.rolling_count_window(
                 f.df, f.order_col, {name: (col, op)}, self.window,
                 self.partition_by, self.min_periods,
             )
         else:
+            # time-valued window: needs the event-time column, the
+            # reference's DatetimeIndex (dataframe/core.py:530-531)
+            ts = f.ts_col or f.order_col
+            if not ts:
+                raise ValueError("rolling('interval') requires ts_col")
             import pandas as pd
 
             seconds = pd.Timedelta(self.window).total_seconds()
             out = _w.rolling_time_window(
-                f.df, f.order_col, seconds, {name: (col, op)}, self.partition_by
+                f.df, ts, seconds, {name: (col, op)}, self.partition_by
             )
-        return StreamingFrame(out, order_col=f.order_col)
+        return StreamingFrame(out, order_col=f.order_col, ts_col=f.ts_col)
 
     def __getattr__(self, op):
         if op in ("sum", "mean", "min", "max", "count", "std", "var", "median"):

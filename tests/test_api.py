@@ -171,3 +171,24 @@ def test_stream_register_api(spark):
 
     s = Stream.from_iterable(spark, [1, 2, 3])
     assert s.double().sink_to_list() == [2, 4, 6]
+
+
+def test_frame_rolling_time_window(spark):
+    """rolling('1h') over the ts_col — pandas time-rolling oracle."""
+    sf = StreamingFrame.from_table(
+        spark, SF_DIR, "events", order_col="event_id", ts_col="ts"
+    )
+    got = (
+        sf.rolling("1h", partition_by=["user_id"]).sum("value")
+        .to_pandas().sort_values(["user_id", "event_id"], ignore_index=True)
+    )
+    pdf = sf.to_pandas().sort_values(["user_id", "ts"], ignore_index=True)
+    want = (
+        pdf.set_index("ts").groupby("user_id")["value"]
+        .transform(lambda s: s.rolling("1h").sum())
+    )
+    np.testing.assert_allclose(
+        got.sort_values(["user_id", "event_id"])["value_roll_sum"].to_numpy(),
+        want.to_numpy(),
+        rtol=1e-9,
+    )
