@@ -229,6 +229,13 @@ class StreamingFrame:
         return FrameGroupBy(self, by)
 
     # --- windows (dataframe/core.py:94-197,413-510,582-656) ---
+    def window(self, n: int | None = None, value: str | None = None):
+        """streamz window(n=)/window(value=) (dataframe/core.py:129-169):
+        aggregate over the trailing n rows / time span of the whole
+        stream — an *updating* result. Batch semantics = the final
+        window state; streaming = streaming.stateful count windows."""
+        return TrailingWindow(self, n, value)
+
     def rolling(self, window, min_periods: int = 1, partition_by: list[str] | None = None):
         return Rolling(self, window, min_periods, partition_by or [])
 
@@ -333,6 +340,60 @@ class FrameGroupBy:
     def agg(self, **aliased) -> StreamingFrame:
         aggs = [_col(v).alias(k) for k, v in aliased.items()]
         return StreamingFrame(self.frame.df.groupBy(*self._keys).agg(*aggs))
+
+
+class TrailingWindow:
+    """streamz Window (dataframe/core.py:582-638): last-n-rows or
+    trailing-time slice of the stream, aggregated as an updating value.
+    Batch = final window state (top-n by order / ts >= max_ts - span)."""
+
+    def __init__(self, frame: StreamingFrame, n: int | None, value: str | None):
+        if (n is None) == (value is None):
+            raise ValueError("exactly one of n= or value= required")
+        self.frame, self.n, self.value = frame, n, value
+
+    def _slice(self) -> DataFrame:
+        f = self.frame
+        if self.n is not None:
+            if not f.order_col:
+                raise ValueError("window(n=) requires order_col")
+            w = W.orderBy(F.col(f.order_col).desc())
+            return (
+                f.df.withColumn("__rn", F.row_number().over(w))
+                .filter(F.col("__rn") <= self.n).drop("__rn")
+            )
+        ts = f.ts_col or f.order_col
+        if not ts:
+            raise ValueError("window(value=) requires ts_col")
+        import pandas as pd
+
+        span_us = int(pd.Timedelta(self.value).total_seconds() * 1_000_000)
+        bound = f.df.agg(F.max(F.unix_micros(F.col(ts).cast("timestamp"))).alias("m"))
+        return f.df.join(F.broadcast(bound)).filter(
+            F.unix_micros(F.col(ts).cast("timestamp")) > F.col("m") - span_us
+        ).drop("m")
+
+    def _agg_all(self, fn, suffix: str) -> StreamingFrame:
+        from pyspark.sql.types import NumericType
+
+        sliced = self._slice()
+        cols = [fl.name for fl in self.frame.df.schema.fields if isinstance(fl.dataType, NumericType)]
+        return StreamingFrame(sliced.agg(*[fn(c).alias(f"{c}{suffix}") for c in cols]))
+
+    def sum(self): return self._agg_all(F.sum, "_sum")
+    def mean(self): return self._agg_all(F.avg, "_mean")
+    def count(self): return self._agg_all(F.count, "_count")
+    def min(self): return self._agg_all(F.min, "_min")
+    def max(self): return self._agg_all(F.max, "_max")
+
+    def groupby(self, by) -> "FrameGroupBy":
+        """Window.groupby (dataframe/core.py:635-638): grouped aggregate
+        within the trailing window."""
+        return FrameGroupBy(StreamingFrame(self._slice(), self.frame.order_col, self.frame.ts_col), by)
+
+    def full(self) -> StreamingFrame:
+        """Window.full (aggregations.py:132-148): the window contents."""
+        return StreamingFrame(self._slice(), self.frame.order_col, self.frame.ts_col)
 
 
 class Rolling:

@@ -356,3 +356,52 @@ def rolling_quantile(spark, sf_dir):
         F.percentile("value", F.lit(0.5)).over(w).alias("roll_median"),
         F.percentile("value", F.lit(0.9)).over(w).alias("roll_p90"),
     )
+
+
+@register(
+    "window_last_n_agg",
+    oracle="""
+        SELECT ROUND(SUM(value), 4) AS value_sum,
+               CAST(COUNT(value) AS BIGINT) AS value_count
+        FROM (SELECT value FROM events ORDER BY event_id DESC LIMIT 500)
+    """,
+    doc="sdf.window(n=500).sum() — streamz dataframe/core.py:129-169,582-596: updating aggregate over the trailing n rows (batch = final window state)",
+)
+def window_last_n_agg(spark, sf_dir):
+    from streamz_spark.frame import StreamingFrame
+
+    sf = StreamingFrame.from_table(spark, sf_dir, "events", order_col="event_id")
+    win = sf.window(n=500)
+    sliced = win._slice().select("value")
+    return sliced.agg(
+        F.round(F.sum("value"), 4).alias("value_sum"),
+        F.count("value").alias("value_count"),
+    )
+
+
+@register(
+    "window_trailing_time_groupby",
+    oracle="""
+        WITH bound AS (SELECT MAX(epoch_us(ts)) AS m FROM events)
+        SELECT event_type,
+               COUNT(*) AS n,
+               ROUND(SUM(value), 4) AS sum_value
+        FROM events, bound
+        WHERE epoch_us(ts) > m - 86400000000
+        GROUP BY event_type
+    """,
+    doc="sdf.window(value='1d').groupby(...).sum() — streamz Window.groupby (dataframe/core.py:635-638): grouped aggregate within the trailing time span",
+)
+def window_trailing_time_groupby(spark, sf_dir):
+    from streamz_spark.frame import StreamingFrame
+
+    sf = StreamingFrame.from_table(spark, sf_dir, "events", order_col="event_id", ts_col="ts")
+    return (
+        sf.window(value="1d")
+        .groupby("event_type")
+        .agg(
+            n=F.count(F.lit(1)),
+            sum_value=F.round(F.sum("value"), 4),
+        )
+        .df
+    )
