@@ -21,10 +21,17 @@ def test_bucketed_join_has_no_shuffle(spark):
     old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
     try:
+        import shutil
+
         orders = load_table(spark, SF_DIR, "orders").select("o_orderkey", "o_custkey", "o_totalprice")
         li = load_table(spark, SF_DIR, "lineitem").select("l_orderkey", "l_quantity")
         spark.sql("DROP TABLE IF EXISTS b_orders")
         spark.sql("DROP TABLE IF EXISTS b_lineitem")
+        # a killed run can leave the managed-table location behind while the
+        # catalog entry is gone — saveAsTable then fails LOCATION_ALREADY_EXISTS
+        wh = spark.conf.get("spark.sql.warehouse.dir").removeprefix("file:")
+        for t in ("b_orders", "b_lineitem"):
+            shutil.rmtree(f"{wh}/{t}", ignore_errors=True)
         (orders.write.mode("overwrite").bucketBy(8, "o_orderkey")
          .sortBy("o_orderkey").saveAsTable("b_orders"))
         (li.withColumnRenamed("l_orderkey", "o_orderkey")
