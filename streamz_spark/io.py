@@ -41,13 +41,24 @@ def _nanos_ts_columns(path: str) -> tuple[str, ...]:
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    """Read one test table, normalizing ns-timestamp columns."""
+    """Read one test table, normalizing ns-timestamp columns.
+
+    Works on any caller-supplied SparkSession: reading TIMESTAMP(NANOS)
+    parquet requires ``spark.sql.legacy.parquet.nanosAsLong`` (a runtime
+    SQL conf), so we set it here rather than relying on the session
+    factory in :mod:`streamz_spark.session`.
+    """
     path = os.path.join(sf_dir, f"{name}.parquet")
+    nanos_cols = _nanos_ts_columns(path)
+    if nanos_cols:
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(path)
-    for col in _nanos_ts_columns(path):
-        # ns int64 -> µs -> timestamp_ntz (data is µs-resolution; lossless)
+    for col in nanos_cols:
+        # ns int64 -> µs by *truncating* integer division (`div`), matching
+        # how DuckDB reads the same file as TIMESTAMP(us). Float division
+        # would round and diverge on rows with sub-µs bits (~99% of rows).
         df = df.withColumn(
-            col, F.timestamp_micros((F.col(col) / 1000).cast("long")).cast("timestamp_ntz")
+            col, F.timestamp_micros(F.expr(f"`{col}` div 1000")).cast("timestamp_ntz")
         )
     return df
 

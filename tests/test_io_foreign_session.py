@@ -1,0 +1,42 @@
+"""Regression: load_table must work on sessions the repo didn't build.
+
+Round-1 failure mode: ``spark.sql.legacy.parquet.nanosAsLong`` was set
+only in :func:`streamz_spark.session.get_spark`, so the driver's
+vanilla SparkSession crashed with PARQUET_TYPE_ILLEGAL on every
+events read. ``load_table`` now sets the conf itself (it is a runtime
+SQL conf) and converts ns->us by *truncating* integer division to
+match DuckDB's read of the same file.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+
+from streamz_spark.io import load_table
+
+from .conftest import SF_DIR
+
+
+def test_load_table_sets_nanos_conf_itself(spark):
+    # Simulate a foreign session: the conf is absent at call time.
+    spark.conf.unset("spark.sql.legacy.parquet.nanosAsLong")
+    try:
+        df = load_table(spark, SF_DIR, "events")
+        assert df.schema["ts"].dataType.typeName() == "timestamp_ntz"
+        assert df.count() > 0
+    finally:
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+
+
+def test_ns_to_us_truncates_like_duckdb(spark, duck):
+    # ~99% of events rows carry sub-us bits; DuckDB truncates ns->us.
+    # Float division would round and diverge on ~13% of rows.
+    sdf = load_table(spark, SF_DIR, "events").select("event_id", "ts")
+    spdf = sdf.toPandas().sort_values("event_id", ignore_index=True)
+    odf = duck.execute(
+        "SELECT event_id, ts FROM events ORDER BY event_id"
+    ).df()
+    assert (
+        pd.to_datetime(spdf["ts"]).astype("datetime64[us]").tolist()
+        == pd.to_datetime(odf["ts"]).astype("datetime64[us]").tolist()
+    )
