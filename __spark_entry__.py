@@ -25,7 +25,7 @@ SMOKE_SF_DIR = "/root/testdata/sf0.001"
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     registry = load_all()
-    return registry["groupby_sum"].fn(spark, SMOKE_SF_DIR)
+    return registry["groupby_multi_agg"].fn(spark, SMOKE_SF_DIR)
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

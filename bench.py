@@ -24,23 +24,23 @@ from streamz_spark.session import get_spark
 # Headline queries: a representative slice across operator areas.
 # Updated as coverage widens; falls back to whatever is registered.
 HEADLINE = [
-    "groupby_sum",
+    "groupby_multi_agg",
     "tpch_q1_pricing_summary",
     "tpch_q3_shipping_priority",
     "tpch_q5_local_supplier_volume",
     "tpch_q6_forecast_revenue",
     "rolling_count_window",
-    "cumsum_per_user",
+    "cumulative_expanding",
     "sessionize",
     "asof_join_enrich",
     "join_star_schema",
-    "topk_per_group",
+    "topk",
     "ewm_mean_per_user",
     "ngram_jaccard_pairs",
     "minhash_near_duplicates",
     "embedding_near_dups",
     "ann_brute_force_topk",
-    "text_quality_features",
+    "text_quality_profile",
     "doc_fingerprint",
 ]
 

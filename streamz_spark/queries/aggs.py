@@ -1,16 +1,21 @@
 """Aggregation operators (SURVEY.md §2 Phase 2).
 
 Global and grouped aggregations with computed groupers, value_counts /
-frequencies, top-k, rollup/cube/pivot, exact + approx distinct. All
-pure Catalyst: partial (map-side) aggregation means the shuffle moves
-one row per (partition × key) — the property that survives a 100×
-scale-up. Float outputs rounded identically on both sides so the
-driver's value-hash is stable across summation orders.
+frequencies, top-k (global + per-key), rollup/cube grouping sets,
+pivot, exact + approx distinct, exact percentiles. All pure Catalyst:
+partial (map-side) aggregation means the shuffle moves one row per
+(partition × key) — the property that survives a 100× scale-up. Float
+outputs rounded identically on both sides so the driver's value-hash
+is stable across summation orders.
+
+One registry entry per §2 family (the driver evaluates at most 50
+entries, so overlapping demos are consolidated — each entry's doc
+names every operator it covers).
 """
 
 from __future__ import annotations
 
-from pyspark.sql import functions as F
+from pyspark.sql import Window as W, functions as F
 
 from streamz_spark.catalog import register
 from streamz_spark.io import load_table
@@ -26,10 +31,14 @@ from streamz_spark.io import load_table
                ROUND(MIN(value), 6)           AS min_value,
                ROUND(MAX(value), 6)           AS max_value,
                ROUND(VAR_SAMP(value), 6)      AS var_value,
-               ROUND(STDDEV_SAMP(value), 6)   AS std_value
+               ROUND(STDDEV_SAMP(value), 6)   AS std_value,
+               ROUND(quantile_cont(value, 0.5), 6)  AS p50,
+               ROUND(quantile_cont(value, 0.95), 6) AS p95
         FROM events
     """,
-    doc="sdf.sum/count/size/mean/var/std — streamz dataframe/core.py:59-92, aggregations.py:15-129",
+    doc="sdf.sum/count/size/mean/var/std (streamz dataframe/core.py:59-92, "
+        "aggregations.py:15-129) + exact interpolated percentiles (the "
+        "reference's quantile — dataframe/core.py:94-127) in one global agg",
 )
 def global_aggs(spark, sf_dir):
     ev = load_table(spark, sf_dir, "events")
@@ -42,6 +51,8 @@ def global_aggs(spark, sf_dir):
         F.round(F.max("value"), 6).alias("max_value"),
         F.round(F.var_samp("value"), 6).alias("var_value"),
         F.round(F.stddev_samp("value"), 6).alias("std_value"),
+        F.round(F.percentile("value", F.lit(0.5)), 6).alias("p50"),
+        F.round(F.percentile("value", F.lit(0.95)), 6).alias("p95"),
     )
 
 
@@ -61,93 +72,77 @@ def frequencies(spark, sf_dir):
 
 
 @register(
-    "groupby_computed_grouper",
-    oracle="""
-        SELECT user_id % 7                  AS bucket,
-               ROUND(SUM(value), 4)         AS sum_value,
-               ROUND(AVG(value), 6)         AS mean_value,
-               COUNT(*)                     AS n
-        FROM events
-        GROUP BY user_id % 7
-    """,
-    doc="sdf.groupby(sdf.x % 7) computed grouper — streamz dataframe/core.py:789-838",
-)
-def groupby_computed_grouper(spark, sf_dir):
-    ev = load_table(spark, sf_dir, "events")
-    return ev.groupBy((F.col("user_id") % 7).alias("bucket")).agg(
-        F.round(F.sum("value"), 4).alias("sum_value"),
-        F.round(F.avg("value"), 6).alias("mean_value"),
-        F.count(F.lit(1)).alias("n"),
-    )
-
-
-@register(
     "groupby_multi_agg",
     oracle="""
         SELECT event_type,
                user_id % 3 AS cohort,
                COUNT(*) AS n,
                ROUND(SUM(value), 4) AS sum_value,
+               ROUND(AVG(value), 6) AS mean_value,
                ROUND(VAR_SAMP(value), 6) AS var_value,
                ROUND(STDDEV_SAMP(value), 6) AS std_value
         FROM events
         GROUP BY event_type, user_id % 3
     """,
-    doc="GroupBy.sum/count/mean/var/std matrix — streamz dataframe/core.py:840-881, aggregations.py:442-506",
+    doc="GroupBy.sum/count/mean/var/std matrix (streamz dataframe/"
+        "core.py:840-881, aggregations.py:442-506) with a *computed* grouper "
+        "(sdf.groupby(sdf.x % 3) — dataframe/core.py:789-838): cohort is an "
+        "expression key, not a column",
 )
 def groupby_multi_agg(spark, sf_dir):
     ev = load_table(spark, sf_dir, "events")
     return ev.groupBy("event_type", (F.col("user_id") % 3).alias("cohort")).agg(
         F.count(F.lit(1)).alias("n"),
         F.round(F.sum("value"), 4).alias("sum_value"),
+        F.round(F.avg("value"), 6).alias("mean_value"),
         F.round(F.var_samp("value"), 6).alias("var_value"),
         F.round(F.stddev_samp("value"), 6).alias("std_value"),
     )
 
 
 @register(
-    "nlargest_topk",
+    "topk",
     oracle="""
-        SELECT o_orderkey, o_totalprice
-        FROM orders
-        ORDER BY o_totalprice DESC, o_orderkey ASC
-        LIMIT 10
-    """,
-    doc="Frames.nlargest / tail — streamz dataframe/core.py:203-227; global top-k = TakeOrdered, no full sort",
-)
-def nlargest_topk(spark, sf_dir):
-    orders = load_table(spark, sf_dir, "orders")
-    return (
-        orders.select("o_orderkey", "o_totalprice")
-        .orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey").asc())
-        .limit(10)
-    )
-
-
-@register(
-    "topk_per_group",
-    oracle="""
-        SELECT * FROM (
+        SELECT 'global' AS scope, event_id, value,
+               CAST(rnk AS BIGINT) AS rnk
+        FROM (
+            SELECT event_id, value,
+                   ROW_NUMBER() OVER (ORDER BY value DESC, event_id ASC) AS rnk
+            FROM events
+        ) WHERE rnk <= 10
+        UNION ALL
+        SELECT event_type AS scope, event_id, value,
+               CAST(rnk AS BIGINT) AS rnk
+        FROM (
             SELECT event_type, event_id, value,
                    ROW_NUMBER() OVER (PARTITION BY event_type
                                       ORDER BY value DESC, event_id ASC) AS rnk
             FROM events
         ) WHERE rnk <= 3
     """,
-    doc="top-k per key (engine superset; reference only has global nlargest)",
+    doc="Frames.nlargest / tail (streamz dataframe/core.py:203-227): global "
+        "top-10 = TakeOrdered (no full sort) tagged scope='global', plus the "
+        "engine-superset per-key top-3 via ROW_NUMBER window",
 )
-def topk_per_group(spark, sf_dir):
-    from pyspark.sql import Window as W
-
+def topk(spark, sf_dir):
     ev = load_table(spark, sf_dir, "events")
-    w = W.partitionBy("event_type").orderBy(F.col("value").desc(), F.col("event_id").asc())
-    return (
+    wg = W.orderBy(F.col("value").desc(), F.col("event_id").asc())
+    global_top = (
         ev.select(
-            "event_type", "event_id", "value",
-            F.row_number().over(w).cast("long").alias("rnk"),  # long: duckdb ROW_NUMBER is int64
+            F.lit("global").alias("scope"), "event_id", "value",
+            F.row_number().over(wg).cast("long").alias("rnk"),
+        )
+        .filter(F.col("rnk") <= 10)
+    )
+    wp = W.partitionBy("event_type").orderBy(F.col("value").desc(), F.col("event_id").asc())
+    per_group = (
+        ev.select(
+            F.col("event_type").alias("scope"), "event_id", "value",
+            F.row_number().over(wp).cast("long").alias("rnk"),
         )
         .filter(F.col("rnk") <= 3)
     )
+    return global_top.unionByName(per_group)
 
 
 @register(
@@ -169,38 +164,26 @@ def distinct_exact(spark, sf_dir):
 
 
 @register(
-    "rollup_hierarchy",
+    "grouping_sets_rollup_cube",
     oracle="""
         SELECT l_returnflag, l_linestatus,
+               CAST(GROUPING(l_returnflag) * 2 + GROUPING(l_linestatus) AS BIGINT) AS gid,
                ROUND(SUM(l_quantity), 4) AS sum_qty,
                COUNT(*) AS n
         FROM lineitem
-        GROUP BY ROLLUP (l_returnflag, l_linestatus)
+        GROUP BY CUBE (l_returnflag, l_linestatus)
     """,
-    doc="rollup grouping sets (engine superset; SURVEY §2.5 absent-in-reference list)",
+    doc="rollup/cube grouping sets (engine superset; SURVEY §2.5 "
+        "absent-in-reference list). CUBE emits all 4 grouping sets — the "
+        "ROLLUP sets are the gid∈{0,1,3} subset — with grouping_id "
+        "disambiguating aggregate levels from genuine NULL keys",
 )
-def rollup_hierarchy(spark, sf_dir):
+def grouping_sets_rollup_cube(spark, sf_dir):
     li = load_table(spark, sf_dir, "lineitem")
-    return li.rollup("l_returnflag", "l_linestatus").agg(
+    return li.cube("l_returnflag", "l_linestatus").agg(
+        F.grouping_id().cast("long").alias("gid"),
         F.round(F.sum("l_quantity"), 4).alias("sum_qty"),
         F.count(F.lit(1)).alias("n"),
-    )
-
-
-@register(
-    "cube_matrix",
-    oracle="""
-        SELECT o_orderstatus, o_orderpriority,
-               ROUND(SUM(o_totalprice), 4) AS sum_price
-        FROM orders
-        GROUP BY CUBE (o_orderstatus, o_orderpriority)
-    """,
-    doc="cube grouping sets (engine superset)",
-)
-def cube_matrix(spark, sf_dir):
-    orders = load_table(spark, sf_dir, "orders")
-    return orders.cube("o_orderstatus", "o_orderpriority").agg(
-        F.round(F.sum("o_totalprice"), 4).alias("sum_price")
     )
 
 
@@ -230,31 +213,44 @@ def pivot_wide(spark, sf_dir):
 
 
 @register(
-    "percentiles_exact",
+    "approx_sketches",
+    # The sketches themselves (HLL++ register layout, KLL quantile sketch)
+    # are engine-internal, so the *scored* output is a differential
+    # accuracy check: the sketch estimate must land within tolerance of
+    # the exact answer, which DuckDB computes independently. A sketch
+    # regression flips the booleans and the oracle mismatch goes red.
     oracle="""
         SELECT event_type,
-               ROUND(quantile_cont(value, 0.5), 6)  AS p50,
-               ROUND(quantile_cont(value, 0.95), 6) AS p95
+               COUNT(DISTINCT user_id) AS n_users_exact,
+               TRUE AS hll_within_5pct,
+               TRUE AS p50_within_tolerance
         FROM events GROUP BY event_type
     """,
-    doc="exact interpolated percentiles (reference rolling quantile — dataframe/core.py:94-127)",
-)
-def percentiles_exact(spark, sf_dir):
-    ev = load_table(spark, sf_dir, "events")
-    return ev.groupBy("event_type").agg(
-        F.round(F.percentile("value", F.lit(0.5)), 6).alias("p50"),
-        F.round(F.percentile("value", F.lit(0.95)), 6).alias("p95"),
-    )
-
-
-@register(
-    "approx_sketches",
-    oracle=None,  # HLL/quantile-sketch internals differ per engine; exactness bounds checked in tests/test_catalog_extra.py
-    doc="approximate sketches: approx_count_distinct (HLL) + percentile_approx — the mergeable at-scale alternatives to exact distinct/percentile",
+    doc="approximate sketches: approx_count_distinct (HLL++) + "
+        "percentile_approx — the mergeable at-scale alternatives to exact "
+        "distinct/percentile, scored as within-tolerance-of-exact flags",
 )
 def approx_sketches(spark, sf_dir):
     ev = load_table(spark, sf_dir, "events")
-    return ev.groupBy("event_type").agg(
+    agg = ev.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("n_users_exact"),
         F.approx_count_distinct("user_id").alias("approx_users"),
         F.percentile_approx("value", 0.5).alias("p50_approx"),
+        F.percentile("value", F.lit(0.5)).alias("p50_exact"),
+        F.min("value").alias("vmin"),
+        F.max("value").alias("vmax"),
+    )
+    hll_ok = (
+        F.abs(F.col("approx_users") - F.col("n_users_exact"))
+        <= 0.05 * F.col("n_users_exact")
+    )
+    p50_ok = (
+        F.abs(F.col("p50_approx") - F.col("p50_exact"))
+        <= 0.05 * (F.col("vmax") - F.col("vmin"))
+    )
+    return agg.select(
+        "event_type",
+        "n_users_exact",
+        hll_ok.alias("hll_within_5pct"),
+        p50_ok.alias("p50_within_tolerance"),
     )

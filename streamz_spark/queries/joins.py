@@ -73,43 +73,38 @@ def join_left_null_handling(spark, sf_dir):
 
 
 @register(
-    "join_semi",
+    "join_semi_anti",
     oracle="""
-        SELECT c_nationkey, COUNT(*) AS n_customers_with_orders
+        SELECT 'semi' AS op, c_nationkey, COUNT(*) AS n_customers
         FROM customer c
         WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
         GROUP BY c_nationkey
+        UNION ALL
+        SELECT 'anti' AS op, c_nationkey, COUNT(*) AS n_customers
+        FROM customer c
+        WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+        GROUP BY c_nationkey
     """,
-    doc="left_semi join (EXISTS) — reference has no joins; Spark-native",
+    doc="left_semi (EXISTS) + left_anti (NOT EXISTS) joins in one tagged "
+        "output — reference has no joins; Spark-native SEMI/ANTI plans "
+        "(no distinct + inner-join detour)",
 )
-def join_semi(spark, sf_dir):
+def join_semi_anti(spark, sf_dir):
     customer = load_table(spark, sf_dir, "customer")
     orders = load_table(spark, sf_dir, "orders")
-    return (
+    semi = (
         customer.join(orders, customer.c_custkey == orders.o_custkey, "left_semi")
         .groupBy("c_nationkey")
-        .agg(F.count(F.lit(1)).alias("n_customers_with_orders"))
+        .agg(F.count(F.lit(1)).alias("n_customers"))
+        .select(F.lit("semi").alias("op"), "c_nationkey", "n_customers")
     )
-
-
-@register(
-    "join_anti",
-    oracle="""
-        SELECT p_brand, COUNT(*) AS n_unsold_parts
-        FROM part p
-        WHERE NOT EXISTS (SELECT 1 FROM lineitem l WHERE l.l_partkey = p.p_partkey)
-        GROUP BY p_brand
-    """,
-    doc="left_anti join (NOT EXISTS)",
-)
-def join_anti(spark, sf_dir):
-    part = load_table(spark, sf_dir, "part")
-    lineitem = load_table(spark, sf_dir, "lineitem")
-    return (
-        part.join(lineitem, part.p_partkey == lineitem.l_partkey, "left_anti")
-        .groupBy("p_brand")
-        .agg(F.count(F.lit(1)).alias("n_unsold_parts"))
+    anti = (
+        customer.join(orders, customer.c_custkey == orders.o_custkey, "left_anti")
+        .groupBy("c_nationkey")
+        .agg(F.count(F.lit(1)).alias("n_customers"))
+        .select(F.lit("anti").alias("op"), "c_nationkey", "n_customers")
     )
+    return semi.unionByName(anti)
 
 
 @register(

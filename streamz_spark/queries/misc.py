@@ -1,5 +1,5 @@
 """Remaining §2 surface: set operations, the scalar-function library,
-accumulate/partition batch forms.
+accumulate+slice, partition batching.
 
 The scalar library is engine surface the reference lacks (its users
 call pandas methods through map — SURVEY.md §2.5); exposed here as
@@ -15,51 +15,50 @@ from streamz_spark.io import load_table
 
 
 @register(
-    "set_intersect",
+    "set_ops",
     oracle="""
-        SELECT user_id FROM events WHERE event_type = 'purchase'
-        INTERSECT
-        SELECT user_id FROM events WHERE event_type = 'error'
+        SELECT 'intersect' AS op, user_id FROM (
+            SELECT user_id FROM events WHERE event_type = 'purchase'
+            INTERSECT
+            SELECT user_id FROM events WHERE event_type = 'error')
+        UNION ALL
+        SELECT 'except' AS op, user_id FROM (
+            SELECT user_id FROM events WHERE event_type = 'signup'
+            EXCEPT
+            SELECT user_id FROM events WHERE event_type = 'purchase')
+        UNION ALL
+        SELECT 'union_distinct' AS op, user_id FROM (
+            SELECT user_id FROM events WHERE event_type = 'purchase'
+            UNION
+            SELECT user_id FROM events WHERE event_type = 'signup')
+        UNION ALL
+        SELECT 'union_all' AS op, user_id FROM (
+            SELECT user_id FROM events WHERE event_type = 'purchase'
+            UNION ALL
+            SELECT user_id FROM events WHERE event_type = 'error')
     """,
-    doc="INTERSECT set op (engine superset; §2.5 absent-in-reference list)",
+    doc="set-operation family in one tagged output: INTERSECT / EXCEPT "
+        "(distinct) / UNION-distinct (engine superset, §2.5 "
+        "absent-in-reference list) + UNION ALL, which is Stream.union "
+        "(streamz core.py:1842-1859, unionByName)",
 )
-def set_intersect(spark, sf_dir):
+def set_ops(spark, sf_dir):
     ev = load_table(spark, sf_dir, "events")
-    a = ev.filter(F.col("event_type") == "purchase").select("user_id")
-    b = ev.filter(F.col("event_type") == "error").select("user_id")
-    return a.intersect(b)
 
+    def side(etype):
+        return ev.filter(F.col("event_type") == etype).select("user_id")
 
-@register(
-    "set_except",
-    oracle="""
-        SELECT user_id FROM events WHERE event_type = 'signup'
-        EXCEPT
-        SELECT user_id FROM events WHERE event_type = 'purchase'
-    """,
-    doc="EXCEPT set op: signed-up users who never purchased",
-)
-def set_except(spark, sf_dir):
-    ev = load_table(spark, sf_dir, "events")
-    a = ev.filter(F.col("event_type") == "signup").select("user_id")
-    b = ev.filter(F.col("event_type") == "purchase").select("user_id")
-    return a.subtract(b)  # EXCEPT DISTINCT (exceptAll would keep surplus dups)
-
-
-@register(
-    "union_distinct",
-    oracle="""
-        SELECT user_id FROM events WHERE event_type = 'purchase'
-        UNION
-        SELECT user_id FROM events WHERE event_type = 'signup'
-    """,
-    doc="UNION (distinct) set op",
-)
-def union_distinct(spark, sf_dir):
-    ev = load_table(spark, sf_dir, "events")
-    a = ev.filter(F.col("event_type") == "purchase").select("user_id")
-    b = ev.filter(F.col("event_type") == "signup").select("user_id")
-    return a.union(b).distinct()
+    purchase, error, signup = side("purchase"), side("error"), side("signup")
+    tagged = [
+        purchase.intersect(error).select(F.lit("intersect").alias("op"), "user_id"),
+        signup.subtract(purchase).select(F.lit("except").alias("op"), "user_id"),
+        purchase.union(signup).distinct().select(F.lit("union_distinct").alias("op"), "user_id"),
+        purchase.unionByName(error).select(F.lit("union_all").alias("op"), "user_id"),
+    ]
+    out = tagged[0]
+    for t in tagged[1:]:
+        out = out.unionByName(t)
+    return out
 
 
 @register(
@@ -79,7 +78,11 @@ def union_distinct(spark, sf_dir):
                greatest(o_totalprice, 100000.0) AS price_floor
         FROM orders
     """,
-    doc="scalar function library: string/date/math builtins (F.*), mirrored 1:1 in duckdb (sqrt/abs/mod are IEEE-exact; ln/exp are libm-dependent and excluded from hash checks)",
+    doc="scalar function library: string/date/math builtins (F.*), mirrored "
+        "1:1 in duckdb (sqrt/abs/mod are IEEE-exact; ln/exp are "
+        "libm-dependent and excluded from hash checks). order_dow doubles "
+        "as the dayofweek semantics guard: Spark 1=Sunday vs duckdb "
+        "0=Sunday, aligned via the +1 shift in the oracle",
 )
 def scalar_function_library(spark, sf_dir):
     orders = load_table(spark, sf_dir, "orders")
@@ -100,22 +103,40 @@ def scalar_function_library(spark, sf_dir):
 
 
 @register(
-    "accumulate_scan",
+    "accumulate_slice",
     # list_sum over the in-order frame = sequential left-to-right sum,
     # bit-identical to Spark's running aggregation (duckdb's windowed SUM
     # block-accumulates and drifts by ulps above ~32 rows)
     oracle="""
-        SELECT event_id, user_id,
-               list_sum(list(value) OVER (PARTITION BY user_id ORDER BY event_id
-                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)) AS acc
-        FROM events
+        WITH acc AS (
+            SELECT event_id, user_id,
+                   list_sum(list(value) OVER (PARTITION BY user_id ORDER BY event_id
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)) AS acc,
+                   ROW_NUMBER() OVER (ORDER BY event_id) AS rn
+            FROM events
+        )
+        SELECT event_id, user_id, acc
+        FROM acc
+        WHERE rn > 100 AND rn <= 4000 AND (rn - 101) % 3 = 0
     """,
-    doc="Stream.accumulate/scan (streamz core.py:928-1026): algebraic binop compiles to a cumulative window; general binop → streaming.stateful.accumulate",
+    doc="Stream.accumulate/scan (streamz core.py:928-1026: algebraic binop "
+        "compiles to a cumulative window; general binop → "
+        "streaming.stateful.accumulate) composed with Stream.slice(start, "
+        "end, step) (core.py:1029-1075: monotonic id + filter) over the "
+        "scan output",
 )
-def accumulate_scan(spark, sf_dir):
+def accumulate_slice(spark, sf_dir):
     ev = load_table(spark, sf_dir, "events")
     w = W.partitionBy("user_id").orderBy("event_id").rowsBetween(W.unboundedPreceding, 0)
-    return ev.select("event_id", "user_id", F.sum("value").over(w).alias("acc"))
+    acc = ev.select(
+        "event_id", "user_id", F.sum("value").over(w).alias("acc")
+    )
+    wg = W.orderBy("event_id")
+    return (
+        acc.select("event_id", "user_id", "acc", F.row_number().over(wg).alias("rn"))
+        .filter((F.col("rn") > 100) & (F.col("rn") <= 4000) & ((F.col("rn") - 101) % 3 == 0))
+        .select("event_id", "user_id", "acc")
+    )
 
 
 @register(
@@ -145,19 +166,4 @@ def partition_groups(spark, sf_dir):
             F.round(F.sum("value"), 4).alias("group_sum"),
             F.min("event_id").alias("first_event"),
         )
-    )
-
-
-@register(
-    "dayofweek_semantics_check",
-    oracle="""
-        SELECT CAST(dayofweek(o_orderdate) + 1 AS INT) AS dow, COUNT(*) AS n
-        FROM orders GROUP BY 1
-    """,
-    doc="guard query: Spark dayofweek (1=Sunday) vs duckdb dayofweek (0=Sunday) — verified aligned via +1 shift",
-)
-def dayofweek_semantics_check(spark, sf_dir):
-    orders = load_table(spark, sf_dir, "orders")
-    return orders.groupBy(F.dayofweek("o_orderdate").alias("dow")).agg(
-        F.count(F.lit(1)).alias("n")
     )

@@ -1,8 +1,13 @@
-"""Multimodal-column queries: binary media plumbing over documents.
+"""Multimodal-column query: binary media plumbing over documents.
 
-``media_metadata_stats`` is fully oracled (sha256/octet_length exist in
-both engines); the decode/featurize paths are rows-only (mapInPandas
-with stand-in codecs) and tested in tests/test_multimodal.py.
+One pipeline entry: the metadata-only scan (mime/bytes/sha256 — the
+prune-before-decode pass, pure JVM expressions) joined with the
+Arrow-batched mapInPandas featurizer. The stand-in featurizer derives
+features from the sha256 digest bytes, so the whole pipeline —
+including the mapInPandas plumbing — is reproducible in the DuckDB
+oracle; swap the featurizer for a model forward pass in production
+(decode hooks live in operators/multimodal.py, tested in
+tests/test_multimodal.py).
 """
 
 from __future__ import annotations
@@ -15,33 +20,32 @@ from streamz_spark.operators import multimodal as mm
 
 
 @register(
-    "media_metadata_stats",
+    "media_pipeline",
+    # feature[i] = digest_byte[i] / 255.0; feature_sum folds the 8
+    # doubles left-to-right on both engines → bit-exact, no rounding
     oracle="""
         SELECT doc_id,
                'application/octet-stream' AS mime,
                octet_length(encode(text)) AS n_bytes,
-               sha256(text) AS sha256
+               sha256(text) AS sha256,
+               list_sum(list_transform(range(0, 8),
+                   i -> ('0x' || substr(sha256(text), 2*i + 1, 2))::INT / 255.0)) AS feature_sum,
+               8 AS dim
         FROM documents
     """,
-    doc="metadata-only media pass (no decode): mime/bytes/sha256 — the prune-before-decode scan",
+    doc="multimodal binary-column pipeline: metadata scan (mime/bytes/"
+        "sha256, no decode — the partition-prune pass) + Arrow-batched "
+        "mapInPandas feature extraction with a deterministic digest-derived "
+        "stand-in featurizer (decode/frame-sample hooks in "
+        "operators/multimodal.py)",
 )
-def media_metadata_stats(spark, sf_dir):
+def media_pipeline(spark, sf_dir):
     docs = load_table(spark, sf_dir, "documents")
     with_media = mm.attach_media(docs, "text")
-    return mm.media_stats(with_media)
-
-
-@register(
-    "media_feature_extract",
-    oracle=None,  # mapInPandas featurizer (hash stand-in); plumbing tested in tests/test_multimodal.py
-    doc="Arrow-batched binary→feature extraction via mapInPandas (decode hook stubbed)",
-)
-def media_feature_extract(spark, sf_dir):
-    docs = load_table(spark, sf_dir, "documents")
-    with_media = mm.attach_media(docs, "text")
-    feats = mm.extract_features(with_media, dim=8)
-    return feats.select(
+    stats = mm.media_stats(with_media)
+    feats = mm.extract_features(with_media, dim=8).select(
         "doc_id",
-        F.round(F.aggregate("feature", F.lit(0.0), lambda a, x: a + x), 6).alias("feature_sum"),
+        F.aggregate("feature", F.lit(0.0), lambda a, x: a + x).alias("feature_sum"),
         F.size("feature").alias("dim"),
     )
+    return stats.join(feats, "doc_id")

@@ -16,33 +16,10 @@ from streamz_spark.operators import text as ops
 
 
 @register(
-    "text_token_stats",
-    oracle="""
-        SELECT doc_id,
-               CASE WHEN length(trim(lower(text))) = 0 THEN 0
-                    ELSE len(regexp_split_to_array(trim(lower(text)), '\\s+'))
-               END AS n_tokens,
-               length(text) AS n_chars_computed,
-               n_chars AS n_chars_declared
-        FROM documents
-    """,
-    doc="token counting (whitespace tokenizer) over documents",
-)
-def text_token_stats(spark, sf_dir):
-    docs = load_table(spark, sf_dir, "documents")
-    return docs.select(
-        "doc_id",
-        ops.token_count("text").alias("n_tokens"),
-        F.length("text").cast("long").alias("n_chars_computed"),
-        F.col("n_chars").alias("n_chars_declared"),
-    )
-
-
-@register(
-    "text_quality_features",
+    "text_quality_profile",
     oracle="""
         WITH q AS (
-            SELECT doc_id,
+            SELECT doc_id, n_chars,
                    length(text)::DOUBLE AS n,
                    length(regexp_replace(text, '[^.,;:!?''"()\\[\\]{}-]', '', 'g'))::DOUBLE AS punct,
                    length(regexp_replace(text, '[^0-9]', '', 'g'))::DOUBLE AS digits,
@@ -53,6 +30,8 @@ def text_token_stats(spark, sf_dir):
             FROM documents
         )
         SELECT doc_id,
+               CAST(n AS BIGINT) AS n_chars_computed,
+               n_chars AS n_chars_declared,
                CASE WHEN n > 0 THEN punct / n ELSE 0.0 END  AS punct_ratio,
                CASE WHEN n > 0 THEN digits / n ELSE 0.0 END AS digit_ratio,
                CASE WHEN n > 0 THEN spaces / n ELSE 0.0 END AS space_ratio,
@@ -60,13 +39,18 @@ def text_token_stats(spark, sf_dir):
                CASE WHEN n_tokens > 0 THEN (n - spaces) / n_tokens ELSE 0.0 END AS mean_word_len
         FROM q
     """,
-    doc="quality scoring: length/punct/digit/whitespace ratios (corpus pre-filter)",
+    doc="per-document text profile: token counting (whitespace tokenizer) "
+        "+ quality scoring (length/punct/digit/whitespace ratios, mean "
+        "word length — the standard cheap corpus pre-filter)",
 )
-def text_quality_features(spark, sf_dir):
+def text_quality_profile(spark, sf_dir):
     docs = load_table(spark, sf_dir, "documents")
     out = ops.quality_features(docs, "text")
     return out.select(
-        "doc_id", "punct_ratio", "digit_ratio", "space_ratio",
+        "doc_id",
+        F.length("text").cast("long").alias("n_chars_computed"),
+        F.col("n_chars").alias("n_chars_declared"),
+        "punct_ratio", "digit_ratio", "space_ratio",
         "n_tokens", "mean_word_len",
     )
 

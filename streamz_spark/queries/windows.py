@@ -19,67 +19,75 @@ from streamz_spark.operators import windows as ops
 
 
 @register(
-    "cumsum_per_user",
+    "cumulative_expanding",
+    # cum_prod oracle mirrors the engine's sign-aware exp(sum(log))
+    # formula so both engines run the same float ops (semantics verified
+    # against pandas in tests/test_windows.py); exp_mean uses the
+    # list_sum trick — duckdb's windowed SUM block-accumulates and
+    # ulp-diverges from Spark's sequential running sum above ~32 rows,
+    # but list_sum over the in-order window list sums left-to-right
+    # exactly like Spark's AggregateProcessor, so raw doubles compare
+    # clean
     oracle="""
         SELECT event_id, user_id,
-               ROUND(SUM(value) OVER (PARTITION BY user_id ORDER BY event_id
-                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 6) AS cum_value,
-               MAX(value) OVER (PARTITION BY user_id ORDER BY event_id
-                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_max
-        FROM events
-    """,
-    doc="sdf.cumsum/cummax — streamz dataframe/core.py:177-197,413-427; ordered cumulative window",
-)
-def cumsum_per_user(spark, sf_dir):
-    ev = load_table(spark, sf_dir, "events")
-    out = ops.cumulative(ev, "event_id", "value", "sum", "cum_value", ["user_id"])
-    out = ops.cumulative(out, "event_id", "value", "max", "cum_max", ["user_id"])
-    return out.select(
-        "event_id", "user_id", F.round("cum_value", 6).alias("cum_value"), "cum_max"
-    )
-
-
-@register(
-    "cumprod_per_user",
-    # oracle mirrors the engine's sign-aware exp(sum(log)) formula so both
-    # engines run the same float ops; cumprod semantics themselves are
-    # verified against pandas in tests/test_windows.py
-    oracle="""
-        SELECT event_id, user_id,
+               ROUND(SUM(value) OVER w, 6) AS cum_value,
+               MAX(value) OVER w AS cum_max,
                ROUND(CASE WHEN MAX(CASE WHEN 1.0 + value/1000 = 0 THEN 1 ELSE 0 END)
                           OVER w = 1 THEN 0.0
                     ELSE (CASE WHEN SUM(CASE WHEN 1.0 + value/1000 < 0 THEN 1 ELSE 0 END)
                                OVER w % 2 = 1 THEN -1.0 ELSE 1.0 END)
                          * EXP(SUM(LN(ABS(1.0 + value/1000))) OVER w)
-               END, 6) AS cum_prod
+               END, 6) AS cum_prod,
+               COUNT(value) OVER w AS exp_count,
+               list_sum(list(value) OVER w) / COUNT(value) OVER w AS exp_mean
         FROM events
         WINDOW w AS (PARTITION BY user_id ORDER BY event_id
                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
     """,
-    doc="sdf.cumprod — streamz dataframe/core.py:177-197; exp(sum(log)) with sign/zero tracking, no UDF",
+    doc="the cumulative family in one per-row output: sdf.cumsum/cummax "
+        "(streamz dataframe/core.py:177-197,413-427; ordered cumulative "
+        "window), sdf.cumprod (exp(sum(log)) with sign/zero tracking, no "
+        "UDF), and sdf.expanding().count()/.mean() "
+        "(dataframe/core.py:171-172,641-656)",
 )
-def cumprod_per_user(spark, sf_dir):
+def cumulative_expanding(spark, sf_dir):
     ev = load_table(spark, sf_dir, "events").withColumn(
         "growth", 1.0 + F.col("value") / 1000
     )
-    out = ops.cumulative(ev, "event_id", "growth", "prod", "cum_prod", ["user_id"])
-    return out.select("event_id", "user_id", F.round("cum_prod", 6).alias("cum_prod"))
+    out = ops.cumulative(ev, "event_id", "value", "sum", "cum_value", ["user_id"])
+    out = ops.cumulative(out, "event_id", "value", "max", "cum_max", ["user_id"])
+    out = ops.cumulative(out, "event_id", "growth", "prod", "cum_prod", ["user_id"])
+    w = W.partitionBy("user_id").orderBy("event_id").rowsBetween(W.unboundedPreceding, 0)
+    return out.select(
+        "event_id", "user_id",
+        F.round("cum_value", 6).alias("cum_value"),
+        "cum_max",
+        F.round("cum_prod", 6).alias("cum_prod"),
+        F.count("value").over(w).alias("exp_count"),
+        (F.sum("value").over(w) / F.count("value").over(w)).alias("exp_mean"),
+    )
 
 
 @register(
     "rolling_count_window",
+    # quantiles: both engines sort the frame and linearly interpolate on
+    # the same doubles — raw values compare bit-exact
     oracle="""
         SELECT event_id, user_id,
                ROUND(SUM(value) OVER w, 6) AS roll_sum,
                ROUND(AVG(value) OVER w, 6) AS roll_mean,
                MIN(value) OVER w AS roll_min,
                MAX(value) OVER w AS roll_max,
-               COUNT(value) OVER w AS roll_count
+               COUNT(value) OVER w AS roll_count,
+               quantile_cont(value, 0.5) OVER w AS roll_median,
+               quantile_cont(value, 0.9) OVER w AS roll_p90
         FROM events
         WINDOW w AS (PARTITION BY user_id ORDER BY event_id
                      ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
     """,
-    doc="sdf.rolling(7) — streamz dataframe/core.py:94-127,757-770; row frame replaces backlog deque",
+    doc="sdf.rolling(7) agg matrix (streamz dataframe/core.py:94-127,"
+        "757-770; row frame replaces backlog deque) incl. the exact "
+        "interpolated rolling quantile/median",
 )
 def rolling_count_window(spark, sf_dir):
     ev = load_table(spark, sf_dir, "events")
@@ -96,11 +104,14 @@ def rolling_count_window(spark, sf_dir):
         n=7,
         partition_by=["user_id"],
     )
+    w = W.partitionBy("user_id").orderBy("event_id").rowsBetween(-6, 0)
     return out.select(
         "event_id", "user_id",
         F.round("roll_sum", 6).alias("roll_sum"),
         F.round("roll_mean", 6).alias("roll_mean"),
         "roll_min", "roll_max", "roll_count",
+        F.percentile("value", F.lit(0.5)).over(w).alias("roll_median"),
+        F.percentile("value", F.lit(0.9)).over(w).alias("roll_p90"),
     )
 
 
@@ -131,38 +142,6 @@ def rolling_time_window(spark, sf_dir):
 
 
 @register(
-    "expanding_stats",
-    # raw doubles: both engines evaluate cumulative frames sequentially in
-    # the same order → bit-identical; rounding would *introduce* divergence
-    # (Spark HALF_UP-on-shortest-repr vs duckdb scale-and-round disagree on
-    # grid-boundary values like mean = x.xxxxx5)
-    # duckdb's windowed SUM block-accumulates (ulp-diverges from Spark's
-    # sequential running sum above ~32 rows), but list_sum over the
-    # in-order window list sums left-to-right exactly like Spark's
-    # AggregateProcessor — bit-identical, so raw doubles compare clean
-    oracle="""
-        SELECT event_id, user_id,
-               COUNT(value) OVER w AS exp_count,
-               list_sum(list(value) OVER w) / COUNT(value) OVER w AS exp_mean
-        FROM events
-        WINDOW w AS (PARTITION BY user_id ORDER BY event_id
-                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-    """,
-    doc="sdf.expanding() — streamz dataframe/core.py:171-172,641-656",
-)
-def expanding_stats(spark, sf_dir):
-    from pyspark.sql import Window as W
-
-    ev = load_table(spark, sf_dir, "events")
-    w = W.partitionBy("user_id").orderBy("event_id").rowsBetween(W.unboundedPreceding, 0)
-    return ev.select(
-        "event_id", "user_id",
-        F.count("value").over(w).alias("exp_count"),
-        (F.sum("value").over(w) / F.count("value").over(w)).alias("exp_mean"),
-    )
-
-
-@register(
     "sliding_window_tuples",
     oracle="""
         SELECT event_id, user_id,
@@ -188,44 +167,29 @@ def sliding_window_tuples(spark, sf_dir):
         SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS window_start,
                event_type,
                COUNT(*) AS n,
-               ROUND(SUM(value), 4) AS sum_value
+               ROUND(SUM(value), 4) AS sum_value,
+               COUNT(DISTINCT user_id) AS n_users
         FROM events
         GROUP BY 1, 2
     """,
-    doc="Stream.timed_window — streamz core.py:1326-1362; F.window tumbling buckets",
+    doc="Stream.timed_window (streamz core.py:1326-1362; F.window tumbling "
+        "buckets) + Stream.timed_window_unique (core.py:1365-1481; "
+        "per-window dedup by key) as the n_users distinct count",
 )
 def tumbling_window_hourly(spark, sf_dir):
     ev = load_table(spark, sf_dir, "events")
     out = ops.tumbling_window(
         ev, "ts", "1 hour",
-        {"n": F.count(F.lit(1)), "sum_value": F.round(F.sum("value"), 4)},
+        {
+            "n": F.count(F.lit(1)),
+            "sum_value": F.round(F.sum("value"), 4),
+            "n_users": F.countDistinct("user_id"),
+        },
         extra_keys=["event_type"],
     )
     return out.select(
         F.date_format("window_start", "yyyy-MM-dd HH:mm:ss").alias("window_start"),
-        "event_type", "n", "sum_value",
-    )
-
-
-@register(
-    "timed_window_unique",
-    oracle="""
-        SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS window_start,
-               COUNT(DISTINCT user_id) AS n_users
-        FROM events
-        GROUP BY 1
-    """,
-    doc="Stream.timed_window_unique — streamz core.py:1365-1481; per-window dedup by key",
-)
-def timed_window_unique(spark, sf_dir):
-    ev = load_table(spark, sf_dir, "events")
-    return (
-        ev.groupBy(F.window("ts", "1 hour").alias("win"))
-        .agg(F.countDistinct("user_id").alias("n_users"))
-        .select(
-            F.date_format("win.start", "yyyy-MM-dd HH:mm:ss").alias("window_start"),
-            "n_users",
-        )
+        "event_type", "n", "sum_value", "n_users",
     )
 
 
@@ -334,69 +298,45 @@ def window_apply_custom(spark, sf_dir):
 
 
 @register(
-    "rolling_quantile",
-    # both engines sort the frame and linearly interpolate — same doubles
+    "window_frame_aggregates",
     oracle="""
-        SELECT event_id, user_id,
-               quantile_cont(value, 0.5) OVER w AS roll_median,
-               quantile_cont(value, 0.9) OVER w AS roll_p90
-        FROM events
-        WINDOW w AS (PARTITION BY user_id ORDER BY event_id
-                     ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
-    """,
-    doc="rolling quantile/median — streamz rolling(...).quantile (dataframe/core.py:94-127); exact interpolated percentile over a row frame",
-)
-def rolling_quantile(spark, sf_dir):
-    from pyspark.sql import Window as W
-
-    ev = load_table(spark, sf_dir, "events")
-    w = W.partitionBy("user_id").orderBy("event_id").rowsBetween(-6, 0)
-    return ev.select(
-        "event_id", "user_id",
-        F.percentile("value", F.lit(0.5)).over(w).alias("roll_median"),
-        F.percentile("value", F.lit(0.9)).over(w).alias("roll_p90"),
-    )
-
-
-@register(
-    "window_last_n_agg",
-    oracle="""
-        SELECT ROUND(SUM(value), 4) AS value_sum,
-               CAST(COUNT(value) AS BIGINT) AS value_count
+        SELECT 'last_500_rows' AS win, '__all__' AS grp,
+               COUNT(value) AS n, ROUND(SUM(value), 4) AS sum_value
         FROM (SELECT value FROM events ORDER BY event_id DESC LIMIT 500)
-    """,
-    doc="sdf.window(n=500).sum() — streamz dataframe/core.py:129-169,582-596: updating aggregate over the trailing n rows (batch = final window state)",
-)
-def window_last_n_agg(spark, sf_dir):
-    from streamz_spark.frame import StreamingFrame
-
-    sf = StreamingFrame.from_table(spark, sf_dir, "events", order_col="event_id")
-    win = sf.window(n=500)
-    sliced = win._slice().select("value")
-    return sliced.agg(
-        F.round(F.sum("value"), 4).alias("value_sum"),
-        F.count("value").alias("value_count"),
-    )
-
-
-@register(
-    "window_trailing_time_groupby",
-    oracle="""
-        WITH bound AS (SELECT MAX(epoch_us(ts)) AS m FROM events)
-        SELECT event_type,
-               COUNT(*) AS n,
-               ROUND(SUM(value), 4) AS sum_value
-        FROM events, bound
+        UNION ALL
+        SELECT 'trailing_1d' AS win, event_type AS grp,
+               COUNT(*) AS n, ROUND(SUM(value), 4) AS sum_value
+        FROM events, (SELECT MAX(epoch_us(ts)) AS m FROM events) bound
         WHERE epoch_us(ts) > m - 86400000000
         GROUP BY event_type
     """,
-    doc="sdf.window(value='1d').groupby(...).sum() — streamz Window.groupby (dataframe/core.py:635-638): grouped aggregate within the trailing time span",
+    doc="StreamingFrame frame-level windows in one tagged output: "
+        "sdf.window(n=500).sum()/count() (streamz dataframe/"
+        "core.py:129-169,582-596: updating aggregate over the trailing n "
+        "rows; batch = final window state) and "
+        "sdf.window(value='1d').groupby(...).agg() (Window.groupby, "
+        "dataframe/core.py:635-638: grouped aggregate within the trailing "
+        "time span)",
 )
-def window_trailing_time_groupby(spark, sf_dir):
+def window_frame_aggregates(spark, sf_dir):
     from streamz_spark.frame import StreamingFrame
 
     sf = StreamingFrame.from_table(spark, sf_dir, "events", order_col="event_id", ts_col="ts")
-    return (
+    last_n = (
+        sf.window(n=500)
+        ._slice()
+        .select("value")
+        .agg(
+            F.count("value").alias("n"),
+            F.round(F.sum("value"), 4).alias("sum_value"),
+        )
+        .select(
+            F.lit("last_500_rows").alias("win"),
+            F.lit("__all__").alias("grp"),
+            "n", "sum_value",
+        )
+    )
+    trailing = (
         sf.window(value="1d")
         .groupby("event_type")
         .agg(
@@ -404,4 +344,10 @@ def window_trailing_time_groupby(spark, sf_dir):
             sum_value=F.round(F.sum("value"), 4),
         )
         .df
+        .select(
+            F.lit("trailing_1d").alias("win"),
+            F.col("event_type").alias("grp"),
+            "n", "sum_value",
+        )
     )
+    return last_n.unionByName(trailing)

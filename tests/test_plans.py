@@ -42,7 +42,7 @@ def test_q6_column_pruning(spark):
 
 
 def test_map_select_prunes_unused_columns(spark):
-    df = q("map_select", spark)
+    df = q("map_assign", spark)
     cols = read_schema_columns(df)
     assert "l_comment" not in cols and "l_shipdate" not in cols
     assert {"l_orderkey", "l_linenumber", "l_extendedprice", "l_discount", "l_tax"} <= cols
@@ -59,7 +59,7 @@ def test_star_joins_broadcast_no_sort_merge(spark):
 def test_groupby_has_partial_aggregation(spark):
     from streamz_spark.plans import explain_string
 
-    df = q("groupby_sum", spark)
+    df = q("groupby_multi_agg", spark)
     plan = explain_string(df)
     assert "partial_sum" in plan or "partial_" in plan, "no map-side combine before shuffle"
 
@@ -71,7 +71,7 @@ def test_single_shuffle_for_keyed_window(spark):
 
 
 def test_filter_pushdown_events(spark):
-    df = q("filter_mask", spark)
+    df = q("filter_query", spark)
     pf = " ".join(pushed_filters(df))
     assert "value" in pf and "event_type" in pf
 
