@@ -23,6 +23,7 @@ __all__ = [
     "minhash_lsh_candidates",
     "minhash_near_duplicates",
     "simhash",
+    "md5_hash60",
     "embedding_near_duplicates",
 ]
 
@@ -204,15 +205,36 @@ def minhash_near_duplicates(
     )
 
 
-def simhash(df: DataFrame, id_col: str = "doc_id", text_col: str = "text", bits: int = 64) -> DataFrame:
+def md5_hash60(col) -> F.Column:
+    """Deterministic 60-bit int64 hash from the md5 hex digest.
+
+    ``conv(substr(md5(x), 1, 15), 16, 10)`` has a bit-identical DuckDB
+    counterpart ``('0x' || substr(md5(x), 1, 15))::BIGINT`` (verified),
+    which makes every hash-derived pipeline (SimHash, MinHash, LSH)
+    reproducible in a SQL oracle. xxhash64 stays the production default
+    (single JVM intrinsic vs md5's digest + hex parse).
+    """
+    return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("long")
+
+
+def simhash(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text", bits: int = 64,
+    hash_fn: str = "xxhash64",
+) -> DataFrame:
     """SimHash fingerprint: sign-sum of per-token hash bits. Computed
     bit-plane-wise with JVM expressions: for each bit position, sum
     (+1/-1) over tokens, majority → bit. One row per doc, no shuffle.
+
+    ``hash_fn="md5"`` switches the token hash to the DuckDB-reproducible
+    md5-derived 60-bit variant (oracle-checkable); default xxhash64.
     """
     from streamz_spark.operators.text import tokenize
 
     toks = F.array_distinct(tokenize(text_col))
-    h = F.transform(toks, lambda t: F.xxhash64(t))
+    if hash_fn == "md5":
+        h = F.transform(toks, md5_hash60)
+    else:
+        h = F.transform(toks, lambda t: F.xxhash64(t))
     bit_exprs = []
     for i in range(bits):
         # +1 if bit i set else -1, summed over tokens
@@ -234,23 +256,54 @@ def embedding_near_duplicates(
     vec_col: str = "embedding",
     threshold: float = 0.95,
     prefilter: str = "auto",
+    broadcast_limit: int = 1_000_000,
 ) -> DataFrame:
     """Embedding-cosine near-dup pairs ≥ threshold.
 
-    Two-phase: (1) a BLAS prefilter — the L2-normalized matrix is
-    broadcast and each partition computes its block × matrixᵀ with
-    numpy, emitting candidate pairs above ``threshold − 1e-6``
-    (conservative margin ≫ float noise, so no false negatives);
-    (2) an exact verify join recomputes cosine with the deterministic
-    sequential expression, so results are independent of the BLAS
-    summation order. The expression-only self-join (prefilter="none")
-    is the semantic baseline; the LSH-bucketed variant
-    (similarity.hyperplane_lsh_ann) replaces the O(n²) prefilter when
-    the matrix no longer broadcasts.
+    Two-phase: a candidate prefilter, then an exact verify join that
+    recomputes cosine with the deterministic sequential expression, so
+    results are independent of the prefilter's summation order.
+
+    ``prefilter="auto"`` dispatches on corpus size: up to
+    ``broadcast_limit`` rows, a BLAS prefilter (the L2-normalized
+    matrix broadcasts and each partition computes its block × matrixᵀ
+    with numpy, margin ``threshold − 1e-6`` ≫ float noise → no false
+    negatives). Beyond the limit the matrix no longer fits on the
+    driver/executors, so candidates come from hyperplane-LSH buckets
+    instead (``prefilter="lsh"``; shuffles on (table, bucket), never
+    collects — approximate above the limit, like every
+    billion-scale near-dup system). ``prefilter="none"`` is the exact
+    expression-only self-join baseline (quadratic; small inputs only).
     """
     from streamz_spark.operators.similarity import cosine_expr, with_norm
 
     v = with_norm(df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v")))
+
+    if prefilter == "auto":
+        prefilter = "blas" if df.count() <= broadcast_limit else "lsh"
+
+    if prefilter == "lsh":
+        from streamz_spark.operators.similarity import lsh_buckets
+
+        # bucketed candidates, exact-cosine verify, id_a < id_b canonical
+        dim = len(df.select(vec_col).first()[0])
+        buckets = lsh_buckets(v, planes=12, tables=8, dim=dim)
+        a, b = buckets.alias("a"), buckets.alias("b")
+        return (
+            a.join(
+                b,
+                (F.col("a.tbl") == F.col("b.tbl"))
+                & (F.col("a.bucket") == F.col("b.bucket"))
+                & (F.col("a.id") < F.col("b.id")),
+            )
+            .select(
+                F.col("a.id").alias("id_a"),
+                F.col("b.id").alias("id_b"),
+                cosine_expr("a.v", "b.v", "a.norm", "b.norm").alias("cosine"),
+            )
+            .distinct()
+            .filter(F.col("cosine") >= threshold)
+        )
 
     if prefilter == "none":
         a, b = v.alias("a"), v.alias("b")

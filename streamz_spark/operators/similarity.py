@@ -70,9 +70,39 @@ def brute_force_topk(
     )
 
 
-def _hyperplane_sign(vec_col: str, plane: int, dim: int) -> Column:
-    """Sign bit of <v, r_plane> where r_plane[d] is a deterministic
-    pseudo-random value in [-1, 1) from xxhash64(d, plane)."""
+def _hyperplane_sign(vec_col: str, plane: int, dim: int, style: str = "gaussianish") -> Column:
+    """Sign bit of <v, r_plane> for a deterministic pseudo-random plane.
+
+    ``style="gaussianish"`` (default): r_plane[d] in [-1, 1) from
+    xxhash64(d, plane) — the production path.
+    ``style="rademacher"``: r_plane[d] ∈ {+1, -1} from the parity of an
+    md5 hex digit of "plane:d". Rademacher vectors are a valid
+    sign-random-projection family for cosine LSH (Achlioptas-style
+    sparse projections), and — unlike float hyperplanes — the same
+    component values are reproducible in DuckDB SQL, so the whole LSH
+    pipeline is oracle-checkable: ±x folds are exact in IEEE, leaving
+    no cross-engine float divergence in the bucket assignment.
+    """
+    if style == "rademacher":
+        def component(x, d):
+            parity = (
+                F.conv(
+                    F.substring(
+                        F.md5(F.concat_ws(":", F.lit(str(plane)), d.cast("string"))),
+                        32, 1,
+                    ),
+                    16, 10,
+                ).cast("int") % 2
+            )
+            return F.when(parity == 0, x.cast("double")).otherwise(-x.cast("double"))
+
+        dot = F.aggregate(
+            F.zip_with(F.col(vec_col), F.sequence(F.lit(0), F.lit(dim - 1)), component),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        return (dot >= 0).cast("int")
+
     # build the plane as an array expression of the same length
     denom = F.lit(float(2**63))
     r = F.transform(
@@ -87,6 +117,31 @@ def _hyperplane_sign(vec_col: str, plane: int, dim: int) -> Column:
     return (dot >= 0).cast("int")
 
 
+def lsh_buckets(
+    v: DataFrame, planes: int, tables: int, dim: int, plane_style: str = "gaussianish"
+) -> DataFrame:
+    """(id, v, norm) → one row per (id, table) with the `planes`-bit
+    bucket signature. The shared candidate-generation core for LSH ANN
+    and LSH near-dup pairing."""
+    return v.select(
+        "id", "v", "norm",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(t).alias("tbl"),
+                        sum(
+                            _hyperplane_sign("v", t * planes + p, dim, plane_style) * F.lit(2**p)
+                            for p in range(planes)
+                        ).alias("bucket"),
+                    )
+                    for t in range(tables)
+                ]
+            )
+        ).alias("tb"),
+    ).select("id", "v", "norm", F.col("tb.tbl").alias("tbl"), F.col("tb.bucket").alias("bucket"))
+
+
 def ivf_ann(
     corpus: DataFrame,
     k: int = 5,
@@ -95,28 +150,39 @@ def ivf_ann(
     n_cells: int = 16,
     n_probe: int = 3,
     seed: int = 42,
+    centroids: str = "kmeans",
 ) -> DataFrame:
     """IVF (inverted-file) ANN: coarse-quantize vectors to their nearest
     centroid cell; candidates = pairs whose cells overlap within each
-    query's ``n_probe`` closest cells. The centroid set is trained with
-    MLlib KMeans on the corpus (deterministic seed); assignment and
-    probing are broadcast joins against the tiny centroid table, and the
-    candidate join shuffles on cell id — the FAISS-style scale path when
-    the full matrix no longer broadcasts (cells shard independently).
-    """
-    from pyspark.ml.clustering import KMeans
-    from pyspark.ml.functions import array_to_vector
+    query's ``n_probe`` closest cells. Assignment and probing are
+    broadcast joins against the tiny centroid table, and the candidate
+    join shuffles on cell id — the FAISS-style scale path when the full
+    matrix no longer broadcasts (cells shard independently).
 
+    ``centroids="kmeans"`` (default) trains MLlib KMeans on the corpus
+    (deterministic seed, best cell balance). ``centroids="seed"`` uses
+    the ``n_cells`` lowest-id corpus vectors as fixed centroids —
+    coarser cells, but the whole pipeline becomes reproducible in plain
+    SQL (the oracle-checkable variant; FAISS's random-seed init without
+    the Lloyd iterations).
+    """
     spark = corpus.sparkSession
     v = with_norm(corpus.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v")), "v", "norm")
 
-    train = v.select("id", array_to_vector(F.col("v")).alias("features"))
-    model = KMeans(k=n_cells, seed=seed, maxIter=10).fit(train)
-    centroids = [
-        (ci, [float(x) for x in c]) for ci, c in enumerate(model.clusterCenters())
-    ]
+    if centroids == "seed":
+        seed_rows = v.orderBy("id").limit(n_cells).select("id", "v").collect()
+        cent_rows = [(ci, [float(x) for x in r["v"]]) for ci, r in enumerate(seed_rows)]
+    else:
+        from pyspark.ml.clustering import KMeans
+        from pyspark.ml.functions import array_to_vector
+
+        train = v.select("id", array_to_vector(F.col("v")).alias("features"))
+        model = KMeans(k=n_cells, seed=seed, maxIter=10).fit(train)
+        cent_rows = [
+            (ci, [float(x) for x in c]) for ci, c in enumerate(model.clusterCenters())
+        ]
     cent = F.broadcast(
-        spark.createDataFrame(centroids, "cell int, cvec array<double>")
+        spark.createDataFrame(cent_rows, "cell int, cvec array<double>")
     )
 
     # rank cells per vector by centroid distance; keep the n_probe nearest
@@ -154,6 +220,7 @@ def hyperplane_lsh_ann(
     planes: int = 12,
     tables: int = 4,
     dim: int | None = None,
+    plane_style: str = "gaussianish",
 ) -> DataFrame:
     """Approximate all-pairs top-k via random-hyperplane LSH.
 
@@ -161,29 +228,13 @@ def hyperplane_lsh_ann(
     signature; candidates = same-bucket pairs in any table; verify =
     exact cosine. Shuffle key = (table, bucket) — bounded fan-out,
     no cross join. Recall rises with `tables`, cost with
-    `tables · planes`.
+    `tables · planes`. ``plane_style="rademacher"`` uses ±1 planes
+    reproducible in SQL oracles (see _hyperplane_sign).
     """
     if dim is None:
         dim = len(corpus.select(vec_col).first()[0])
     v = with_norm(corpus.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v")), "v", "norm")
-
-    buckets = v.select(
-        "id", "v", "norm",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(t).alias("tbl"),
-                        sum(
-                            _hyperplane_sign("v", t * planes + p, dim) * F.lit(2**p)
-                            for p in range(planes)
-                        ).alias("bucket"),
-                    )
-                    for t in range(tables)
-                ]
-            )
-        ).alias("tb"),
-    ).select("id", "v", "norm", F.col("tb.tbl").alias("tbl"), F.col("tb.bucket").alias("bucket"))
+    buckets = lsh_buckets(v, planes, tables, dim, plane_style)
 
     a, b = buckets.alias("a"), buckets.alias("b")
     cand = (

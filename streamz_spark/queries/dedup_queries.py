@@ -67,10 +67,16 @@ def dedup_exact_keep(spark, sf_dir):
 
 @register(
     "ngram_jaccard_pairs",
+    # max_df=50 mirrors the operator's posting-list cutoff: shingles in
+    # more than 50 docs are dropped from candidate generation (not from
+    # the Jaccard denominators) — the cap that stops a hot shingle from
+    # fanning out quadratically at scale
     oracle=f"""
         WITH sh AS ({_SHINGLE_SQL}),
         sized AS (SELECT id, len(sh) AS n_sh FROM sh WHERE len(sh) > 0),
-        posting AS (SELECT id, unnest(sh) AS shingle FROM sh),
+        posting0 AS (SELECT id, unnest(sh) AS shingle FROM sh),
+        hot AS (SELECT shingle FROM posting0 GROUP BY shingle HAVING COUNT(*) > 50),
+        posting AS (SELECT * FROM posting0 WHERE shingle NOT IN (SELECT shingle FROM hot)),
         inter AS (
             SELECT a.id AS id_a, b.id AS id_b, COUNT(*) AS n_common
             FROM posting a JOIN posting b
@@ -84,17 +90,42 @@ def dedup_exact_keep(spark, sf_dir):
         JOIN sized nb ON nb.id = id_b
         WHERE n_common / (na.n_sh + nb.n_sh - n_common) >= 0.5
     """,
-    doc="exact 3-gram Jaccard near-dup pairs via shingle posting lists (SPJA only, no UDF)",
+    doc="exact 3-gram Jaccard near-dup pairs via shingle posting lists "
+        "(SPJA only, no UDF) with the max_df hot-shingle cutoff engaged",
 )
 def ngram_jaccard_pairs(spark, sf_dir):
     docs = load_table(spark, sf_dir, "documents")
-    return dd.ngram_jaccard_pairs(docs, k=3, threshold=0.5)
+    return dd.ngram_jaccard_pairs(docs, k=3, threshold=0.5, max_df=50)
 
 
 @register(
     "minhash_near_duplicates",
-    oracle=None,  # LSH candidate set is hash-dependent; recall vs exact pairs property-tested in tests/test_dedup.py
-    doc="MinHash(64) + LSH(16 bands) near-dup: signatures in codegen, shuffle on (band, hash), exact-Jaccard verify",
+    # The pipeline's *output* is hash-independent: LSH only proposes
+    # candidates, and the exact-Jaccard verify keeps pairs >= threshold,
+    # so with full recall the result equals the exact pair set — which
+    # is what this oracle computes independently (same k=3, same 0.5
+    # threshold, no max_df: LSH has no posting-list cutoff). A recall
+    # drop (bad banding, broken signatures) shows up as missing rows.
+    oracle=f"""
+        WITH sh AS ({_SHINGLE_SQL}),
+        sized AS (SELECT id, len(sh) AS n_sh FROM sh WHERE len(sh) > 0),
+        posting AS (SELECT id, unnest(sh) AS shingle FROM sh),
+        inter AS (
+            SELECT a.id AS id_a, b.id AS id_b, COUNT(*) AS n_common
+            FROM posting a JOIN posting b
+              ON a.shingle = b.shingle AND a.id < b.id
+            GROUP BY 1, 2
+        )
+        SELECT id_a, id_b,
+               n_common / (na.n_sh + nb.n_sh - n_common) AS jaccard
+        FROM inter
+        JOIN sized na ON na.id = id_a
+        JOIN sized nb ON nb.id = id_b
+        WHERE n_common / (na.n_sh + nb.n_sh - n_common) >= 0.5
+    """,
+    doc="MinHash(64) + LSH(16 bands) near-dup: signatures in codegen, "
+        "shuffle on (band, hash), exact-Jaccard verify; scored against "
+        "the independent exact pair set (recall check with teeth)",
 )
 def minhash_near_duplicates(spark, sf_dir):
     docs = load_table(spark, sf_dir, "documents")
@@ -103,12 +134,33 @@ def minhash_near_duplicates(spark, sf_dir):
 
 @register(
     "simhash_fingerprints",
-    oracle=None,  # xxhash64 has no duckdb equivalent; determinism tested in tests/test_dedup.py
-    doc="SimHash 64-bit fingerprints, bit-plane majority votes in pure expressions",
+    # md5-derived 60-bit token hashes (dedup.md5_hash60) are bit-identical
+    # in DuckDB, so the full bit-plane majority vote is reproducible in
+    # SQL; xxhash64 stays the production default in operators.simhash
+    oracle="""
+        WITH th AS (
+            SELECT doc_id,
+                   list_transform(
+                       list_distinct(
+                           CASE WHEN length(trim(lower(text))) = 0 THEN []::VARCHAR[]
+                                ELSE regexp_split_to_array(trim(lower(text)), '\\s+') END),
+                       t -> ('0x' || substr(md5(t), 1, 15))::BIGINT) AS hs
+            FROM documents
+        )
+        SELECT doc_id,
+               CAST(COALESCE(list_sum(list_transform(range(0, 16), i ->
+                   CASE WHEN COALESCE(list_sum(list_transform(hs, h ->
+                              CASE WHEN ((h >> i) & 1) = 1 THEN 1 ELSE -1 END)), 0) > 0
+                        THEN (1::BIGINT << i) ELSE 0 END)), 0) AS BIGINT) AS simhash
+        FROM th
+    """,
+    doc="SimHash fingerprints (16 bit planes), bit-plane majority votes "
+        "in pure expressions; md5-derived token hashes make the whole "
+        "pipeline oracle-reproducible",
 )
 def simhash_fingerprints(spark, sf_dir):
     docs = load_table(spark, sf_dir, "documents")
-    return dd.simhash(docs, bits=16)
+    return dd.simhash(docs, bits=16, hash_fn="md5")
 
 
 @register(
@@ -173,19 +225,101 @@ def ann_brute_force_topk(spark, sf_dir):
 
 @register(
     "ann_lsh_topk",
-    oracle=None,  # bucket assignment is hash-dependent; recall vs brute force tested in tests/test_dedup.py
-    doc="hyperplane-LSH bucketed ANN top-k: shuffle on (table, bucket), exact-cosine verify of candidates",
+    # Rademacher (±1) hyperplanes from md5 hex-digit parity: the plane
+    # components, the ±x dot folds (exact in IEEE), the bucket bits, and
+    # the final exact-cosine ranking all reproduce bit-identically in
+    # DuckDB — the whole approximate index is oracle-checked, not just
+    # its recall. planes=10, tables=4, dim=64, k=5.
+    oracle="""
+        WITH v AS (
+            SELECT vec_id AS id,
+                   list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+            FROM embeddings
+        ), n AS (
+            SELECT id, v, sqrt(list_dot_product(v, v)) AS norm FROM v
+        ), b AS (
+            SELECT id, v, norm, t.tbl,
+                   CAST(COALESCE(list_sum(list_transform(range(0, 10), p ->
+                       CASE WHEN list_dot_product(v, list_transform(range(0, 64), d ->
+                                 CASE WHEN ('0x' || substr(md5((t.tbl*10 + p)::VARCHAR || ':' || d::VARCHAR), 32, 1))::INT % 2 = 0
+                                      THEN 1.0 ELSE -1.0 END)) >= 0
+                            THEN (1::BIGINT << p) ELSE 0 END)), 0) AS BIGINT) AS bucket
+            FROM n CROSS JOIN (SELECT unnest(range(0, 4)) AS tbl) t
+        ), cand AS (
+            SELECT DISTINCT a.id AS qid, c.id AS cid,
+                   CASE WHEN a.norm * c.norm > 0
+                        THEN list_dot_product(a.v, c.v) / (a.norm * c.norm)
+                        ELSE 0.0 END AS cosine
+            FROM b a JOIN b c
+              ON a.tbl = c.tbl AND a.bucket = c.bucket AND a.id != c.id
+        )
+        SELECT qid, cid, cosine, CAST(rnk AS BIGINT) AS rank
+        FROM (
+            SELECT *, ROW_NUMBER() OVER (PARTITION BY qid
+                                         ORDER BY cosine DESC, cid ASC) AS rnk
+            FROM cand
+        ) WHERE rnk <= 5
+    """,
+    doc="hyperplane-LSH bucketed ANN top-k: shuffle on (table, bucket), "
+        "exact-cosine verify of candidates; Rademacher planes make every "
+        "stage (bucketing included) oracle-reproducible",
 )
 def ann_lsh_topk(spark, sf_dir):
     emb = load_table(spark, sf_dir, "embeddings")
-    return sim.hyperplane_lsh_ann(emb, k=5, planes=10, tables=4, dim=64)
+    out = sim.hyperplane_lsh_ann(
+        emb, k=5, planes=10, tables=4, dim=64, plane_style="rademacher"
+    )
+    return out.withColumn("rank", F.col("rank").cast("long"))
 
 
 @register(
     "ann_ivf_topk",
-    oracle=None,  # KMeans cell assignment is model-dependent; planted-dup recall tested in tests/test_dedup.py
-    doc="IVF (inverted-file) ANN top-k: KMeans coarse quantization, n_probe nearest cells, exact-cosine verify — the FAISS-style path when the matrix no longer broadcasts",
+    # seed-centroid IVF (n_cells lowest-id vectors as fixed centroids):
+    # the L2 cell assignment, n_probe probing, and exact-cosine rank are
+    # plain arithmetic — fully reproducible in SQL. The KMeans-trained
+    # variant (centroids="kmeans") is the production default and is
+    # recall-tested in tests/test_dedup.py. n_cells=8, n_probe=3, k=5.
+    oracle="""
+        WITH v AS (
+            SELECT vec_id AS id,
+                   list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+            FROM embeddings
+        ), n AS (
+            SELECT id, v, sqrt(list_dot_product(v, v)) AS norm FROM v
+        ), cent AS (
+            SELECT CAST(ROW_NUMBER() OVER (ORDER BY id) - 1 AS INT) AS cell, v AS cvec
+            FROM (SELECT * FROM n ORDER BY id LIMIT 8)
+        ), scored AS (
+            SELECT n.id, n.v, n.norm, c.cell,
+                   list_sum(list_transform(range(1, len(n.v) + 1),
+                       i -> (n.v[i] - c.cvec[i]) * (n.v[i] - c.cvec[i]))) AS d2
+            FROM n CROSS JOIN cent c
+        ), ranked AS (
+            SELECT *, ROW_NUMBER() OVER (PARTITION BY id
+                                         ORDER BY d2 ASC, cell ASC) AS rnk
+            FROM scored
+        ), cand AS (
+            SELECT DISTINCT a.id AS qid, m.id AS cid,
+                   CASE WHEN a.norm * m.norm > 0
+                        THEN list_dot_product(a.v, m.v) / (a.norm * m.norm)
+                        ELSE 0.0 END AS cosine
+            FROM (SELECT * FROM ranked WHERE rnk <= 3) a
+            JOIN (SELECT * FROM ranked WHERE rnk = 1) m
+              ON a.cell = m.cell AND a.id != m.id
+        )
+        SELECT qid, cid, cosine, CAST(rnk AS BIGINT) AS rank
+        FROM (
+            SELECT *, ROW_NUMBER() OVER (PARTITION BY qid
+                                         ORDER BY cosine DESC, cid ASC) AS rnk
+            FROM cand
+        ) WHERE rnk <= 5
+    """,
+    doc="IVF (inverted-file) ANN top-k: coarse quantization to centroid "
+        "cells, n_probe nearest cells, exact-cosine verify — the "
+        "FAISS-style path when the matrix no longer broadcasts; scored "
+        "with deterministic seed centroids, production default is KMeans",
 )
 def ann_ivf_topk(spark, sf_dir):
     emb = load_table(spark, sf_dir, "embeddings")
-    return sim.ivf_ann(emb, k=5, n_cells=8, n_probe=3)
+    out = sim.ivf_ann(emb, k=5, n_cells=8, n_probe=3, centroids="seed")
+    return out.withColumn("rank", F.col("rank").cast("long"))
