@@ -118,12 +118,36 @@ def range_join(
     right_lo: str,
     right_hi: str,
     how: str = "inner",
+    bucket_width: float | None = None,
 ) -> DataFrame:
-    """Point-in-interval join. Naive theta-join explodes; bucketize the
-    range key to an equi-join Catalyst can shuffle-partition, then
-    filter exactly. Bucket width = avg interval size (caller tunes).
+    """Point-in-interval join (left.point ∈ [right.lo, right.hi)).
+
+    With ``bucket_width`` set (the scale path), the pure theta-join —
+    which Spark can only execute as BroadcastNestedLoop/cartesian —
+    becomes a shuffled *equi*-join: each interval explodes into the
+    integer buckets it overlaps, each point maps to its single bucket,
+    the join key is the bucket id, and the exact range predicate
+    filters the bucket matches. A point's bucket is unique, so no pair
+    duplicates. Fan-out per interval = interval_width / bucket_width —
+    pick the width near the average interval size (the standard
+    interval-join binning used by Flink and DuckDB's IEJoin
+    alternatives). ``bucket_width=None`` keeps the theta-join, which is
+    fine only when one side broadcasts.
     """
-    # v1: rely on Spark's range-join support via simple conjunctive
-    # predicate; AQE handles sizing. Bucketed variant is a TODO knob.
     cond = (F.col(left_point) >= F.col(right_lo)) & (F.col(left_point) < F.col(right_hi))
-    return left.join(right, cond, how)
+    if bucket_width is None:
+        return left.join(right, cond, how)
+    if how != "inner":
+        raise ValueError("bucketized range_join supports how='inner' only")
+    w = float(bucket_width)
+    rb = right.withColumn(
+        "__bucket",
+        F.explode(
+            F.sequence(
+                F.floor(F.col(right_lo) / w).cast("long"),
+                F.floor(F.col(right_hi) / w).cast("long"),
+            )
+        ),
+    )
+    lb = left.withColumn("__bucket", F.floor(F.col(left_point) / w).cast("long"))
+    return lb.join(rb, "__bucket", "inner").filter(cond).drop("__bucket")

@@ -193,7 +193,11 @@ def combine_latest_snapshot(spark, sf_dir):
         JOIN bands b ON e.value >= b.lo AND e.value < b.hi
         GROUP BY b.band
     """,
-    doc="range (point-in-interval) join; tiny interval side broadcast",
+    doc="range (point-in-interval) join, bucketized: intervals explode "
+        "into overlapped buckets, points map to their bucket, and the "
+        "join is a plain equi-join on the bucket id (broadcast here; "
+        "shuffled when both sides are large) — no "
+        "BroadcastNestedLoop/cartesian theta-join at any scale",
 )
 def range_join_bands(spark, sf_dir):
     ev = load_table(spark, sf_dir, "events")
@@ -202,7 +206,7 @@ def range_join_bands(spark, sf_dir):
         (F.col("id") * 100.0).alias("lo"),
         ((F.col("id") + 1) * 100.0).alias("hi"),
     )
-    out = ops.range_join(ev, F.broadcast(bands), "value", "lo", "hi")
+    out = ops.range_join(ev, F.broadcast(bands), "value", "lo", "hi", bucket_width=100.0)
     return out.groupBy("band").agg(
         F.count(F.lit(1)).alias("n"),
         F.round(F.sum("value"), 4).alias("sum_value"),

@@ -69,7 +69,10 @@ def tpch_q1_pricing_summary(spark, sf_dir):
         ORDER BY revenue DESC, l_orderkey ASC
         LIMIT 10
     """,
-    doc="TPC-H Q3: selective dims broadcast into the fact scan; top-k, no global sort",
+    doc="TPC-H Q3: selective dims broadcast into the fact scan; top-k, no "
+        "global sort. No hint on orders — it is fact-sized (1.5B rows at "
+        "sf1000), so lineitem⋈orders is left to AQE: shuffle join at "
+        "scale, runtime-broadcast when the filtered side turns out small",
 )
 def tpch_q3_shipping_priority(spark, sf_dir):
     cutoff = F.lit("1995-03-15").cast("timestamp_ntz")
@@ -79,7 +82,7 @@ def tpch_q3_shipping_priority(spark, sf_dir):
     orders = load_table(spark, sf_dir, "orders").filter(F.col("o_orderdate") < cutoff)
     li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_shipdate") > cutoff)
     return (
-        li.join(F.broadcast(orders), li.l_orderkey == orders.o_orderkey)
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
         .join(F.broadcast(customer), orders.o_custkey == customer.c_custkey)
         .groupBy("l_orderkey", "o_orderdate")
         .agg(
@@ -110,7 +113,11 @@ def tpch_q3_shipping_priority(spark, sf_dir):
         WHERE r.r_name = 'ASIA'
         GROUP BY n.n_name
     """,
-    doc="TPC-H Q5: 6-table star join, all dims broadcast, single fact pass",
+    doc="TPC-H Q5: 6-table star join, dims (customer/supplier/nation/"
+        "region) broadcast, single fact pass. orders carries no broadcast "
+        "hint — it is fact-sized (1.5B rows at sf1000) and a forced "
+        "broadcast OOMs at 100×; AQE picks the lineitem⋈orders strategy "
+        "at runtime",
 )
 def tpch_q5_local_supplier_volume(spark, sf_dir):
     customer = load_table(spark, sf_dir, "customer")
@@ -120,7 +127,7 @@ def tpch_q5_local_supplier_volume(spark, sf_dir):
     nation = load_table(spark, sf_dir, "nation")
     region = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
     return (
-        li.join(F.broadcast(orders), li.l_orderkey == orders.o_orderkey)
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
         .join(F.broadcast(customer), orders.o_custkey == customer.c_custkey)
         .join(
             F.broadcast(supplier),

@@ -56,6 +56,53 @@ def test_star_joins_broadcast_no_sort_merge(spark):
         assert sort_merge_join_count(df) == 0, f"{name} fell back to sort-merge"
 
 
+def test_range_join_is_equi_not_nested_loop(spark):
+    from streamz_spark.plans import explain_string
+
+    df = q("range_join_bands", spark)
+    plan = explain_string(df)
+    assert "BroadcastNestedLoopJoin" not in plan, "range join fell back to nested loop"
+    assert "CartesianProduct" not in plan
+
+
+def test_range_join_bucketized_matches_theta(spark):
+    from pyspark.sql import functions as F
+
+    from streamz_spark.io import load_table
+    from streamz_spark.operators import joins as ops
+
+    ev = load_table(spark, SF_DIR, "events").select("event_id", "value")
+    bands = spark.range(0, 10).select(
+        F.col("id").alias("band"),
+        (F.col("id") * 100.0).alias("lo"),
+        ((F.col("id") + 1) * 100.0).alias("hi"),
+    )
+    theta = ops.range_join(ev, bands, "value", "lo", "hi").select("event_id", "band")
+    bucketed = ops.range_join(ev, bands, "value", "lo", "hi", bucket_width=100.0).select(
+        "event_id", "band"
+    )
+    assert theta.exceptAll(bucketed).count() == 0
+    assert bucketed.exceptAll(theta).count() == 0
+
+
+def test_no_broadcast_hint_on_fact_sized_orders(spark):
+    # orders is fact-sized (1.5B rows at sf1000): a hard-coded broadcast
+    # hint OOMs at 100x. Auto-broadcast chosen by AQE/CBO at small SF is
+    # fine — what must not exist is a *hint* forcing it at any scale.
+    for name in ("tpch_q3_shipping_priority", "tpch_q5_local_supplier_volume"):
+        df = q(name, spark)
+        logical = df._jdf.queryExecution().analyzed().toString()
+        for line in logical.splitlines():
+            if "ResolvedHint" in line:
+                assert "orders" not in line.lower(), f"{name}: broadcast hint on orders"
+        # the hint subtrees: no UnresolvedHint/ResolvedHint ancestor of an
+        # orders relation — approximate by checking hint count equals the
+        # number of genuine dim hints in the query source
+        n_hints = logical.count("ResolvedHint")
+        expected = {"tpch_q3_shipping_priority": 1, "tpch_q5_local_supplier_volume": 4}[name]
+        assert n_hints == expected, f"{name}: {n_hints} hints, expected {expected}"
+
+
 def test_groupby_has_partial_aggregation(spark):
     from streamz_spark.plans import explain_string
 
