@@ -36,6 +36,21 @@ def _col(x) -> Column:
     return F.lit(x)
 
 
+def _require_time_typed(df: DataFrame, col: str, op: str) -> None:
+    """Time-valued windows need a genuine event-time axis. A numeric
+    order_col would silently cast to epoch seconds and produce
+    semantically wrong windows — raise instead."""
+    from pyspark.sql.types import DateType, TimestampNTZType, TimestampType
+
+    dt = df.schema[col].dataType
+    if not isinstance(dt, (TimestampType, TimestampNTZType, DateType)):
+        raise TypeError(
+            f"{op} requires a timestamp-typed ts_col; got {col}: "
+            f"{dt.simpleString()} (a numeric order column is not an "
+            "event-time axis — pass ts_col=...)"
+        )
+
+
 class StreamingSeries:
     """A column expression bound to a StreamingFrame — streamz Series
     (dataframe/core.py:368-402). Arithmetic/comparison dunders build
@@ -236,7 +251,13 @@ class StreamingFrame:
         window state; streaming = streaming.stateful count windows."""
         return TrailingWindow(self, n, value)
 
-    def rolling(self, window, min_periods: int = 1, partition_by: list[str] | None = None):
+    def rolling(self, window, min_periods: int | None = None, partition_by: list[str] | None = None):
+        """pandas-parity defaults: an integer window inherits
+        min_periods=window (NaN for the first n-1 rows, like the
+        reference's df.rolling passthrough); time-valued windows default
+        to min_periods=1, also like pandas."""
+        if min_periods is None:
+            min_periods = window if isinstance(window, int) else 1
         return Rolling(self, window, min_periods, partition_by or [])
 
     def expanding(self, partition_by: list[str] | None = None):
@@ -365,6 +386,7 @@ class TrailingWindow:
         ts = f.ts_col or f.order_col
         if not ts:
             raise ValueError("window(value=) requires ts_col")
+        _require_time_typed(f.df, ts, "window(value=)")
         import pandas as pd
 
         span_us = int(pd.Timedelta(self.value).total_seconds() * 1_000_000)
@@ -420,6 +442,7 @@ class Rolling:
             ts = f.ts_col or f.order_col
             if not ts:
                 raise ValueError("rolling('interval') requires ts_col")
+            _require_time_typed(f.df, ts, "rolling('interval')")
             import pandas as pd
 
             seconds = pd.Timedelta(self.window).total_seconds()

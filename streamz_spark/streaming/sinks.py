@@ -21,9 +21,17 @@ from pyspark.sql import DataFrame
 
 def run_available_now(writer, timeout: int = 300):
     """Start a writeStream with the availableNow trigger and block until
-    it drains — the synchronous replay harness used by all tests."""
+    it drains — the synchronous replay harness used by all tests.
+
+    awaitTermination(timeout) returns False when the query is still
+    running: stop it and raise, rather than returning silently truncated
+    per-batch results."""
     q = writer.trigger(availableNow=True).start()
-    q.awaitTermination(timeout)
+    if not q.awaitTermination(timeout):
+        q.stop()
+        raise TimeoutError(
+            f"streaming query did not drain within {timeout}s (availableNow)"
+        )
     return q
 
 

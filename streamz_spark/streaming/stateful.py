@@ -42,7 +42,17 @@ def accumulate(
             st, out = func(st, pdf)
             if out is not None and len(out):
                 out_frames.append(out)
-        state.update(tuple(st) if not isinstance(st, tuple) else st)
+        # normalize before state.update: a scalar state becomes a 1-tuple;
+        # None would die inside GroupState with an opaque Py4J traceback,
+        # so reject it here with an actionable message
+        if st is None:
+            raise ValueError(
+                "accumulate func returned None state; return a tuple "
+                "matching state_schema (wrap scalars as (value,))"
+            )
+        if not isinstance(st, tuple):
+            st = (st,) if not isinstance(st, (list,)) else tuple(st)
+        state.update(st)
         if out_frames:
             yield pd.concat(out_frames, ignore_index=True)
 

@@ -113,11 +113,19 @@ def test_frame_reductions(spark):
 
 def test_frame_rolling_and_ewm(spark):
     sf = StreamingFrame.from_table(spark, SF_DIR, "events", order_col="event_id")
+    # pandas-parity default: rolling(5) inherits min_periods=5, so the
+    # first 4 rows per key are NaN — exactly like pandas/the reference
     roll = sf.rolling(5, partition_by=["user_id"]).mean("value").to_pandas()
     pdf = sf.to_pandas().sort_values(["user_id", "event_id"])
-    want = pdf.groupby("user_id")["value"].transform(lambda s: s.rolling(5, min_periods=1).mean())
+    want = pdf.groupby("user_id")["value"].transform(lambda s: s.rolling(5).mean())
     got = roll.sort_values(["user_id", "event_id"])["value_roll_mean"]
     np.testing.assert_allclose(got.to_numpy(), want.to_numpy(), rtol=1e-12)
+
+    # explicit override keeps the old behavior
+    roll1 = sf.rolling(5, min_periods=1, partition_by=["user_id"]).mean("value").to_pandas()
+    want1 = pdf.groupby("user_id")["value"].transform(lambda s: s.rolling(5, min_periods=1).mean())
+    got1 = roll1.sort_values(["user_id", "event_id"])["value_roll_mean"]
+    np.testing.assert_allclose(got1.to_numpy(), want1.to_numpy(), rtol=1e-12)
 
     ewm = sf.ewm(alpha=0.5, partition_by=["user_id"]).mean("value").to_pandas()
     want_e = pdf.groupby("user_id")["value"].transform(lambda s: s.ewm(alpha=0.5).mean())
