@@ -64,12 +64,21 @@ class Stream:
         target = list(cols) or ["value"]
         return self._with(self.df.withColumn("value", udf(*target)))
 
-    def map_async(self, fn, dtype: str = "double", *cols) -> "Stream":
-        """Reference map_async (core.py:722-835): async fn with ordered
-        output despite parallel evaluation. Spark already evaluates
-        Arrow batches in parallel across partitions while preserving
-        intra-partition order, so this is `map`; run async I/O with an
-        event loop *inside* the batch function when needed."""
+    def map_async(self, fn, dtype: str = "double", *cols, max_concurrency: int = 64) -> "Stream":
+        """Reference map_async (core.py:722-835): async fn evaluated
+        concurrently with ordered output. A coroutine function runs on
+        an event loop inside each Arrow batch (operators.udfs.async_map:
+        gather-ordered, semaphore-bounded concurrency); a plain callable
+        degrades to `map` (Spark already parallelizes batches across
+        partitions while preserving intra-partition order)."""
+        import asyncio
+
+        if asyncio.iscoroutinefunction(fn):
+            from streamz_spark.operators.udfs import async_map
+
+            udf = async_map(fn, dtype, max_concurrency)
+            target = list(cols) or ["value"]
+            return self._with(self.df.withColumn("value", udf(*target)))
         return self.map(fn, dtype, *cols)
 
     def starmap(self, expr: Column) -> "Stream":

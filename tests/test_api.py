@@ -200,3 +200,50 @@ def test_frame_rolling_time_window(spark):
         want.to_numpy(),
         rtol=1e-9,
     )
+
+
+def test_map_async_concurrent_and_ordered(spark):
+    """Reference map_async semantics (streamz core.py:722-835): parallel
+    evaluation, ordered output. Measured against a serial-sleep UDF on
+    the same data so Python-worker startup overhead (which dominates
+    cold wall-clock) cancels out."""
+    import time
+
+    from streamz_spark.core import Stream
+
+    async def slow_double(x):
+        import asyncio
+
+        await asyncio.sleep(0.02)
+        return float(x) * 2.0
+
+    def serial_double(s: pd.Series) -> pd.Series:
+        out = []
+        for x in s:
+            time.sleep(0.02)
+            out.append(float(x) * 2.0)
+        return pd.Series(out, index=s.index)
+
+    n = 400
+    s = Stream.from_iterable(spark, [float(i) for i in range(n)])
+    # warm the python workers with a real UDF evaluation (count() would
+    # prune the UDF column and warm nothing)
+    s.map(lambda col: col, "double").df.toPandas()
+
+    t0 = time.perf_counter()
+    out = (
+        s.map_async(slow_double)
+        .df.toPandas()
+        .sort_values("seq", ignore_index=True)
+    )
+    elapsed_async = time.perf_counter() - t0
+
+    t0 = time.perf_counter()
+    s.map(serial_double, "double").df.toPandas()
+    elapsed_serial = time.perf_counter() - t0
+
+    assert out["value"].tolist() == [float(i) * 2.0 for i in range(n)]
+    assert elapsed_async < elapsed_serial / 2, (
+        f"map_async not concurrent: async={elapsed_async:.2f}s "
+        f"serial={elapsed_serial:.2f}s"
+    )
