@@ -109,7 +109,7 @@ class StreamingSeries:
 
     # --- aggregations → one-row updating frame (dataframe/core.py:59-92) ---
     def _agg(self, agg: Column, name: str) -> "StreamingFrame":
-        return StreamingFrame(self.frame.df.agg(agg.alias(name)))
+        return self.frame._agg_frame(lambda df: df.agg(agg.alias(name)))
 
     def sum(self): return self._agg(F.sum(self.expr), f"{self.name}_sum")
     def count(self): return self._agg(F.count(self.expr), f"{self.name}_count")
@@ -125,10 +125,9 @@ class StreamingSeries:
 
     def value_counts(self) -> "StreamingFrame":
         """streamz Series.value_counts (dataframe/core.py:394-398)."""
-        return StreamingFrame(
-            self.frame.df.groupBy(self.expr.alias(self.name)).agg(
-                F.count(F.lit(1)).alias("count")
-            )
+        expr, name = self.expr, self.name
+        return self.frame._agg_frame(
+            lambda df: df.groupBy(expr.alias(name)).agg(F.count(F.lit(1)).alias("count"))
         )
 
     def to_frame(self) -> "StreamingFrame":
@@ -144,10 +143,96 @@ class StreamingFrame:
     windows (the reference's DatetimeIndex, dataframe/core.py:530-531).
     """
 
-    def __init__(self, df: DataFrame, order_col: str | None = None, ts_col: str | None = None):
+    def __init__(
+        self,
+        df: DataFrame,
+        order_col: str | None = None,
+        ts_col: str | None = None,
+        updating: bool = False,
+        _base: DataFrame | None = None,
+        _post=None,
+    ):
         self.df = df
         self.order_col = order_col
         self.ts_col = ts_col
+        # streamz "updating" stream marker (core semantics table,
+        # dataframe/core.py:59-92): aggregates re-emit their current
+        # value on every input chunk.
+        self.updating = updating
+        # Deferred composition (SURVEY.md §7 'updating-stream
+        # composability'): Spark forbids a second streaming aggregation
+        # in one plan, so ops past the first streaming aggregate are
+        # recorded as a closure (`_post`) applied per micro-batch to the
+        # complete-mode output of `_base`.  `df` is then a static empty
+        # placeholder carrying the output schema (the analogue of the
+        # reference's `example` frame, collection.py:20-21).
+        self._base = _base
+        self._post = _post
+
+    # --- deferred composition over the first streaming aggregate ---
+    def _needs_defer(self) -> bool:
+        return self._base is not None or (self.df.isStreaming and self.updating)
+
+    def _defer(self, fn) -> "StreamingFrame":
+        """Compose `fn` (static DataFrame -> DataFrame) to run per
+        micro-batch on the complete-mode output of the first streaming
+        aggregation — foreachBatch composition of updating streams
+        (reference: aggregates feeding further aggregation,
+        dataframe/tests/test_dataframes.py:469,671)."""
+        spark = self.df.sparkSession
+        if self._base is None:
+            base = self.df
+            placeholder = spark.createDataFrame([], self.df.schema)
+            post = fn
+        else:
+            base = self._base
+            placeholder = self.df
+            prev = self._post
+
+            def post(static_df, _prev=prev, _fn=fn):
+                return _fn(_prev(static_df))
+
+        return StreamingFrame(fn(placeholder), updating=True, _base=base, _post=post)
+
+    def _agg_frame(self, fn) -> "StreamingFrame":
+        """Apply an aggregate plan builder, deferring past the first
+        streaming aggregation."""
+        if self._needs_defer():
+            return self._defer(fn)
+        return StreamingFrame(fn(self.df), updating=True)
+
+    # --- frame-level arithmetic (OperatorMixin, collection.py:51-152):
+    # elementwise over numeric columns, name-preserving — what makes
+    # `sdf.x.sum() + 1` an updating expression like the reference
+    # (test_dataframes.py:671). A projection after a streaming aggregate
+    # is legal in one plan, so no deferral is needed for the first hop.
+    def _map_numeric(self, colfn) -> "StreamingFrame":
+        from pyspark.sql.types import NumericType
+
+        def apply(sdf: DataFrame) -> DataFrame:
+            cols = [
+                colfn(F.col(f.name)).alias(f.name)
+                if isinstance(f.dataType, NumericType) else F.col(f.name)
+                for f in sdf.schema.fields
+            ]
+            return sdf.select(*cols)
+
+        if self._base is not None:
+            return self._defer(apply)
+        return StreamingFrame(apply(self.df), order_col=self.order_col,
+                              ts_col=self.ts_col, updating=self.updating)
+
+    def __add__(self, o): return self._map_numeric(lambda c: c + _col(o))
+    def __radd__(self, o): return self._map_numeric(lambda c: _col(o) + c)
+    def __sub__(self, o): return self._map_numeric(lambda c: c - _col(o))
+    def __rsub__(self, o): return self._map_numeric(lambda c: _col(o) - c)
+    def __mul__(self, o): return self._map_numeric(lambda c: c * _col(o))
+    def __rmul__(self, o): return self._map_numeric(lambda c: _col(o) * c)
+    def __truediv__(self, o): return self._map_numeric(lambda c: c / _col(o))
+    def __mod__(self, o): return self._map_numeric(lambda c: c % _col(o))
+    def __pow__(self, o): return self._map_numeric(lambda c: F.pow(c, _col(o)))
+    def __neg__(self): return self._map_numeric(lambda c: -c)
+    def __abs__(self): return self._map_numeric(F.abs)
 
     # --- construction ---
     @classmethod
@@ -217,14 +302,14 @@ class StreamingFrame:
 
     def _agg_all(self, fn, suffix: str) -> "StreamingFrame":
         aggs = [fn(c).alias(f"{c}{suffix}") for c in self._num_cols()]
-        return StreamingFrame(self.df.agg(*aggs))
+        return self._agg_frame(lambda df: df.agg(*aggs))
 
     def sum(self): return self._agg_all(F.sum, "_sum")
     def mean(self): return self._agg_all(F.avg, "_mean")
     def count(self): return self._agg_all(F.count, "_count")
     @property
     def size(self) -> "StreamingFrame":
-        return StreamingFrame(self.df.agg(F.count(F.lit(1)).alias("size")))
+        return self._agg_frame(lambda df: df.agg(F.count(F.lit(1)).alias("size")))
 
     def tail(self, n: int) -> "StreamingFrame":
         if not self.order_col:
@@ -343,7 +428,8 @@ class FrameGroupBy:
     def _agg(self, op: str) -> StreamingFrame:
         fn = _GROUP_AGGS[op]
         aggs = [fn(c).alias(f"{c}_{op}") for c in self._value_cols()]
-        return StreamingFrame(self.frame.df.groupBy(*self._keys).agg(*aggs))
+        keys = self._keys
+        return self.frame._agg_frame(lambda df: df.groupBy(*keys).agg(*aggs))
 
     def sum(self): return self._agg("sum")
     def mean(self): return self._agg("mean")
@@ -354,13 +440,15 @@ class FrameGroupBy:
     def std(self): return self._agg("std")
 
     def size(self) -> StreamingFrame:
-        return StreamingFrame(
-            self.frame.df.groupBy(*self._keys).agg(F.count(F.lit(1)).alias("size"))
+        keys = self._keys
+        return self.frame._agg_frame(
+            lambda df: df.groupBy(*keys).agg(F.count(F.lit(1)).alias("size"))
         )
 
     def agg(self, **aliased) -> StreamingFrame:
         aggs = [_col(v).alias(k) for k, v in aliased.items()]
-        return StreamingFrame(self.frame.df.groupBy(*self._keys).agg(*aggs))
+        keys = self._keys
+        return self.frame._agg_frame(lambda df: df.groupBy(*keys).agg(*aggs))
 
 
 class TrailingWindow:

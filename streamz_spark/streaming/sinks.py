@@ -52,6 +52,38 @@ def sink_to_list(
     return [pdf for _, pdf in out]
 
 
+def updating_to_list(frame, timeout: int = 300) -> list:
+    """Run an *updating* StreamingFrame (a streaming aggregate, possibly
+    with composed downstream ops) and collect its value after every
+    micro-batch — the reference's updating-stream semantics where
+    ``sdf.x.sum()`` re-emits its current value per input chunk and can
+    feed further expressions / re-aggregation
+    (dataframe/tests/test_dataframes.py:469,671).
+
+    Spark rejects a second streaming aggregation in one plan, so
+    StreamingFrame defers everything past the first aggregate into a
+    ``_post`` closure; here the first aggregate runs in **complete**
+    output mode (full updated state each batch — small: one row per
+    group) and ``_post`` recomputes the downstream pipeline on that
+    static micro-batch output. Scale note: only the first aggregation
+    touches the raw stream; the per-batch recompute is over #groups
+    rows, which is the same cost profile as the reference's in-memory
+    updating recompute.
+    """
+    base = frame._base if frame._base is not None else frame.df
+    post = frame._post
+    out: list = []
+
+    def handle(batch_df, batch_id):
+        res = post(batch_df) if post is not None else batch_df
+        out.append((batch_id, res.toPandas()))
+
+    writer = base.writeStream.outputMode("complete").foreachBatch(handle)
+    run_available_now(writer, timeout)
+    out.sort(key=lambda t: t[0])
+    return [pdf for _, pdf in out]
+
+
 def sink_foreach_batch(df: DataFrame, func, output_mode: str = "append", timeout: int = 300):
     """Apply ``func(batch_df, batch_id)`` per micro-batch — reference
     Stream.sink (sinks.py:27-73); exactly-once when func is idempotent."""

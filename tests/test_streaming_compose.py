@@ -1,0 +1,81 @@
+"""Updating-stream composability (SURVEY.md §7 hard item #1).
+
+Replicates the reference's aggregates-feed-further-computation tests:
+- ``(sdf.x.sum() + 1)`` stays an updating expression
+  (dataframe/tests/test_dataframes.py:664-671)
+- ``sdf.groupby('x').y.sum()`` feeding a second aggregation
+  (test_dataframes.py:466-476: partitioned json stream, groupby-sum,
+  then mean — expected [2, 28/3, 22.0])
+
+Spark forbids stacking streaming aggregations in one plan, so the
+frame layer defers everything past the first aggregate into a
+foreachBatch closure over the complete-mode output (see
+StreamingFrame._defer / sinks.updating_to_list).
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+import pytest
+
+from streamz_spark.frame import StreamingFrame
+from streamz_spark.streaming.sinks import updating_to_list
+from streamz_spark.streaming.sources import from_iterable
+
+
+def test_sum_plus_one_updating(spark):
+    # reference: test_dataframes.py:671 — (sdf.x.sum() + 1) emits the
+    # running sum + 1 after each chunk: [7, 13, 19]
+    chunk = pd.DataFrame({"x": [1.0, 2.0, 3.0]})
+    stream = from_iterable(spark, [chunk, chunk, chunk], schema="x double")
+    sdf = StreamingFrame(stream)
+
+    result = sdf.x.sum() + 1
+    # single plan: projection after a streaming aggregate, no deferral
+    assert result._base is None and result.df.isStreaming
+
+    batches = updating_to_list(result)
+    assert [pdf["x_sum"].iloc[0] for pdf in batches] == [7.0, 13.0, 19.0]
+
+
+def test_groupby_sum_then_mean_updating(spark):
+    # reference: test_dataframes.py:469 — 12 events x=i%3, y=i in 3
+    # chunks of 4; mean of per-key running sums after each chunk:
+    # [2.0, 28/3, 22.0]
+    rows = [(i % 3, float(i)) for i in range(12)]
+    chunks = [pd.DataFrame(rows[i:i + 4], columns=["x", "y"]) for i in (0, 4, 8)]
+    stream = from_iterable(spark, chunks, schema="x long, y double")
+    sdf = StreamingFrame(stream)
+
+    summed = sdf.groupby("x").y.sum()   # first (genuine streaming) agg
+    result = summed.y_sum.mean()        # second agg -> deferred closure
+    assert result._base is not None and not result.df.isStreaming
+
+    batches = updating_to_list(result)
+    vals = [pdf["y_sum_mean"].iloc[0] for pdf in batches]
+    assert vals == pytest.approx([2.0, 28 / 3, 22.0])
+
+
+def test_sum_then_arithmetic_then_agg(spark):
+    # deferred chain: agg -> arithmetic -> agg (groupby-sum, double it,
+    # re-aggregate max) — exercises _post composition depth > 1
+    rows = [(i % 3, float(i)) for i in range(12)]
+    chunks = [pd.DataFrame(rows[i:i + 4], columns=["x", "y"]) for i in (0, 4, 8)]
+    stream = from_iterable(spark, chunks, schema="x long, y double")
+    sdf = StreamingFrame(stream)
+
+    doubled = (sdf.groupby("x").y.sum() * 2)
+    result = doubled.y_sum.max()
+    batches = updating_to_list(result)
+    # per-chunk key sums: {0:3,1:1,2:2} -> {0:9,1:12,2:7} -> {0:18,1:22,2:26}
+    assert [pdf["y_sum_max"].iloc[0] for pdf in batches] == [6.0, 24.0, 52.0]
+
+
+def test_batch_semantics_unchanged(spark):
+    # the same expressions in batch mode still collapse to one value
+    pdf = pd.DataFrame({"x": [0, 1, 2, 0], "y": [1.0, 2.0, 3.0, 4.0]})
+    sdf = StreamingFrame(spark.createDataFrame(pdf))
+    out = (sdf.x.sum() + 1).to_pandas()
+    assert out["x_sum"].iloc[0] == 4
+    out2 = sdf.groupby("x").y.sum().y_sum.mean().to_pandas()
+    assert out2["y_sum_mean"].iloc[0] == pytest.approx((5.0 + 2.0 + 3.0) / 3)
