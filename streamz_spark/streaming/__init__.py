@@ -14,19 +14,35 @@ from streamz_spark.streaming.sources import (
     from_kafka,
     replay_table,
 )
+from streamz_spark.streaming.datasources import (
+    filelog_append,
+    from_filelog,
+    from_http_server,
+    from_mqtt,
+    from_process,
+    from_q,
+    from_websocket,
+    to_filelog,
+)
 from streamz_spark.streaming.sinks import (
     run_available_now,
     sink_foreach_batch,
     sink_to_directory,
     sink_to_list,
     sink_to_memory,
+    to_mqtt,
+    to_websocket,
+    updating_to_list,
 )
 from streamz_spark.streaming.stateful import accumulate, partition_batches
 
 __all__ = [
     "from_directory", "from_iterable", "from_rate", "from_socket",
     "from_kafka", "replay_table",
+    "filelog_append", "from_filelog", "from_http_server", "from_mqtt",
+    "from_process", "from_q", "from_websocket", "to_filelog",
     "run_available_now", "sink_foreach_batch", "sink_to_directory",
-    "sink_to_list", "sink_to_memory",
+    "sink_to_list", "sink_to_memory", "to_mqtt", "to_websocket",
+    "updating_to_list",
     "accumulate", "partition_batches",
 ]

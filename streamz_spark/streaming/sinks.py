@@ -112,3 +112,56 @@ def sink_to_directory(
         .option("path", path).option("checkpointLocation", checkpoint)
     )
     return run_available_now(writer, timeout)
+
+
+def _rows_as_payloads(batch_df, value_col: str | None):
+    col = value_col or batch_df.columns[0]
+    for r in batch_df.select(col).toLocalIterator():
+        yield r[0]
+
+
+def to_websocket(df: DataFrame, uri: str, value_col: str | None = None,
+                 ws_kwargs: dict | None = None, timeout: int = 300):
+    """Send one column's values over a websocket — reference to_websocket
+    (sinks.py:199-232). Requires the ``websockets`` package (absent in
+    this container — gated); connection per micro-batch via foreach
+    partition-free foreachBatch, at-least-once."""
+    try:
+        import websockets
+    except ImportError as exc:
+        raise ImportError(
+            "to_websocket requires the 'websockets' package; in this "
+            "container use sink_to_directory/filelog_append instead"
+        ) from exc
+    import asyncio
+
+    def send(batch_df, batch_id):  # pragma: no cover - needs websockets lib
+        async def run():
+            async with websockets.connect(uri, **(ws_kwargs or {})) as ws:
+                for payload in _rows_as_payloads(batch_df, value_col):
+                    await ws.send(payload)
+        asyncio.run(run())
+
+    return sink_foreach_batch(df, send, timeout=timeout)
+
+
+def to_mqtt(df: DataFrame, host: str, port: int, topic: str,
+            value_col: str | None = None, keepalive: int = 60, timeout: int = 300):
+    """Publish one column's values to an MQTT topic — reference to_mqtt
+    (sinks.py:236-273). Requires ``paho-mqtt`` (absent here — gated)."""
+    try:
+        import paho.mqtt.client as mqtt
+    except ImportError as exc:
+        raise ImportError(
+            "to_mqtt requires the 'paho-mqtt' package; in this "
+            "container use sink_to_directory/filelog_append instead"
+        ) from exc
+
+    def send(batch_df, batch_id):  # pragma: no cover - needs broker
+        client = mqtt.Client()
+        client.connect(host, port, keepalive)
+        for payload in _rows_as_payloads(batch_df, value_col):
+            client.publish(topic, payload)
+        client.disconnect()
+
+    return sink_foreach_batch(df, send, timeout=timeout)
