@@ -27,9 +27,14 @@ __all__ = ["Stream"]
 class Stream:
     """Fluent event-stream API over a (batch or streaming) DataFrame."""
 
-    def __init__(self, df: DataFrame, seq_col: str = "seq"):
+    def __init__(self, df: DataFrame, seq_col: str = "seq", node=None):
+        from streamz_spark.plans.graph import OpNode
+
         self.df = df
         self.seq_col = seq_col
+        # lineage DAG for visualize() (reference graph.py) — one node
+        # per fluent call, recorded by _with
+        self.node = node or OpNode("source")
 
     # ---------- construction ----------
     @classmethod
@@ -51,8 +56,14 @@ class Stream:
     def from_dataframe(cls, df: DataFrame, seq_col: str) -> "Stream":
         return cls(df, seq_col)
 
-    def _with(self, df: DataFrame) -> "Stream":
-        return Stream(df, self.seq_col)
+    def _with(self, df: DataFrame, *parents: "Stream") -> "Stream":
+        import sys
+
+        from streamz_spark.plans.graph import OpNode
+
+        name = sys._getframe(1).f_code.co_name
+        node = OpNode(name, (self.node, *(p.node for p in parents)))
+        return Stream(df, self.seq_col, node)
 
     # ---------- element-wise (reference core.py:679-925) ----------
     def map(self, fn_or_expr, dtype: str = "double", *cols) -> "Stream":
@@ -112,7 +123,7 @@ class Stream:
         out = self.df
         for o in others:
             out = out.unionByName(o.df)
-        return self._with(out)
+        return self._with(out, *others)
 
     def unique(self, key: str = "value") -> "Stream":
         """Drop previously-seen elements (reference unique,
@@ -158,7 +169,9 @@ class Stream:
                 F.transform("__s", lambda s: s.getField("value")).alias("value"),
             )
         )
-        return Stream(grouped, "seq")
+        from streamz_spark.plans.graph import OpNode
+
+        return Stream(grouped, "seq", OpNode("partition", (self.node,)))
 
     def timed_window(self, ts_col: str, interval: str) -> DataFrame:
         """Everything per interval (reference timed_window,
@@ -175,21 +188,24 @@ class Stream:
         equi-join on per-stream sequence numbers."""
         from streamz_spark.operators.joins import zip_positional
 
+        from streamz_spark.plans.graph import OpNode
+
         dfs = [self.df] + [o.df for o in others]
         orders = [self.seq_col] + [o.seq_col for o in others]
-        return Stream(zip_positional(dfs, orders), "seq")
+        node = OpNode("zip", (self.node, *(o.node for o in others)))
+        return Stream(zip_positional(dfs, orders), "seq", node)
 
     def zip_latest(self, other: "Stream", on: str) -> "Stream":
         """Pair each element with the latest of other (core.py:1948-1992)."""
         from streamz_spark.operators.joins import asof_join
 
-        return self._with(asof_join(self.df, other.df, on=on))
+        return self._with(asof_join(self.df, other.df, on=on), other)
 
     def combine_latest(self, *others: "Stream", on: str) -> "Stream":
         """Snapshot of latest values across streams (core.py:1652-1729)."""
         from streamz_spark.operators.joins import combine_latest
 
-        return self._with(combine_latest([self.df] + [o.df for o in others], on=on))
+        return self._with(combine_latest([self.df] + [o.df for o in others], on=on), *others)
 
     # ---------- stateful (core.py:928-1026) ----------
     def accumulate(self, fn: Callable, start, state_dtype: str = "double") -> "Stream":
@@ -213,10 +229,13 @@ class Stream:
                     outs.append(out)
                 yield pd.DataFrame({order: pdf[order], "value": outs})
 
+        from streamz_spark.plans.graph import OpNode
+
         return Stream(
             self.df.select(order, "value").coalesce(1).sortWithinPartitions(order)
             .mapInPandas(scan, schema=out_schema),
             self.seq_col,
+            OpNode("accumulate", (self.node,)),
         )
 
     def scan(self, fn, start, state_dtype: str = "double") -> "Stream":
@@ -259,6 +278,23 @@ class Stream:
             return fn
 
         return deco
+
+    # ---------- introspection ----------
+    def visualize(self, filename: str | None = None) -> str:
+        """Render the operator DAG (reference Stream.visualize,
+        core.py:532-553 / graph.py:56-252): returns DOT text, writes
+        ``filename`` when given (.dot always works; other formats need
+        the graphviz package). The physical plan remains available via
+        plans.inspect.explain_string(stream.to_frame())."""
+        from streamz_spark.plans.graph import render
+
+        return render(self.node, filename)
+
+    def ascii_graph(self) -> str:
+        """Terminal rendering of the operator DAG, latest op first."""
+        from streamz_spark.plans.graph import ascii_tree
+
+        return ascii_tree(self.node)
 
     # ---------- egress ----------
     def sink_to_list(self) -> list:

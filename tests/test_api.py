@@ -247,3 +247,28 @@ def test_map_async_concurrent_and_ordered(spark):
         f"map_async not concurrent: async={elapsed_async:.2f}s "
         f"serial={elapsed_serial:.2f}s"
     )
+
+
+def test_visualize_dag(spark, tmp_path):
+    # reference Stream.visualize (graph.py:56-252): the operator DAG,
+    # including multi-parent ops, renders to DOT
+    from pyspark.sql import functions as F
+
+    from streamz_spark.core import Stream
+
+    a = Stream.from_iterable(spark, [1, 2, 3, 4])
+    b = Stream.from_iterable(spark, [10, 20, 30, 40])
+    s = a.map(F.col("value") * 2).filter(F.col("value") > 2).union(b)
+    dot = s.visualize()
+    assert dot.startswith("digraph")
+    for op in ("map", "filter", "union", "source"):
+        assert op in dot
+    # union has two parents -> two incoming edges
+    assert dot.count("-> n") >= 4
+    out = str(tmp_path / "g.dot")
+    s.visualize(out)
+    assert open(out).read() == dot
+    tree = s.ascii_graph()
+    assert tree.splitlines()[0] == "union"
+    # the DAG is cosmetic lineage; the plan itself still runs
+    assert sorted(s.sink_to_list()) == [4, 6, 8, 10, 20, 30, 40]
