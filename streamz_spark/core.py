@@ -279,6 +279,26 @@ class Stream:
 
         return deco
 
+    @classmethod
+    def load_plugins(cls, group: str = "streamz_spark.plugins") -> list[str]:
+        """Discover and attach operators published as setuptools entry
+        points — the reference's plugin mechanism (plugins.py:23-31,
+        groups streamz.sources/nodes/sinks collapse to one group here
+        since every operator is a DataFrame->DataFrame function).
+        Returns the names registered; a plugin that fails to load is
+        skipped with a warning (reference try_register semantics)."""
+        import warnings
+        from importlib.metadata import entry_points
+
+        registered = []
+        for ep in entry_points(group=group):
+            try:
+                cls.register_api(ep.name)(ep.load())
+                registered.append(ep.name)
+            except Exception as exc:  # noqa: BLE001 - plugin isolation
+                warnings.warn(f"streamz_spark plugin {ep.name!r} failed to load: {exc}")
+        return registered
+
     # ---------- introspection ----------
     def visualize(self, filename: str | None = None) -> str:
         """Render the operator DAG (reference Stream.visualize,

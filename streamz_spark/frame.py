@@ -495,6 +495,37 @@ class TrailingWindow:
     def count(self): return self._agg_all(F.count, "_count")
     def min(self): return self._agg_all(F.min, "_min")
     def max(self): return self._agg_all(F.max, "_max")
+    def var(self, ddof: int = 1):
+        return self._agg_all(F.var_samp if ddof == 1 else F.var_pop, "_var")
+    def std(self, ddof: int = 1):
+        return self._agg_all(F.stddev_samp if ddof == 1 else F.stddev_pop, "_std")
+
+    @property
+    def size(self) -> StreamingFrame:
+        """Window.size (aggregations.py:79-89): rows in the window."""
+        return StreamingFrame(self._slice().agg(F.count(F.lit(1)).alias("size")))
+
+    def value_counts(self, col: str) -> StreamingFrame:
+        """Window.value_counts (aggregations.py:509-521) over the
+        trailing slice."""
+        return StreamingFrame(
+            self._slice().groupBy(F.col(col)).agg(F.count(F.lit(1)).alias("count"))
+        )
+
+    def apply(self, fn, schema) -> StreamingFrame:
+        """Window.apply (aggregations.py:132-148): arbitrary pandas fn
+        over the window contents (Arrow-batched; the JVM-side fold
+        variant lives in queries/windows.py window_apply_custom)."""
+        sliced = self._slice()
+
+        def gen(it):
+            import pandas as pd
+
+            pdfs = [pdf for pdf in it]
+            if pdfs:
+                yield fn(pd.concat(pdfs, ignore_index=True))
+
+        return StreamingFrame(sliced.coalesce(1).mapInPandas(gen, schema=schema))
 
     def groupby(self, by) -> "FrameGroupBy":
         """Window.groupby (dataframe/core.py:635-638): grouped aggregate

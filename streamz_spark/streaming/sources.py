@@ -134,3 +134,79 @@ def from_kafka(
             "Kafka source requires the spark-sql-kafka connector on the "
             "classpath (spark.jars.packages org.apache.spark:spark-sql-kafka-0-10_2.13)."
         ) from exc
+
+
+def from_periodic(
+    spark: SparkSession, callback, schema: StructType | str,
+    rows_per_second: int = 2,
+) -> DataFrame:
+    """Call ``callback()`` once per tick and emit its rows — reference
+    from_periodic (sources.py:86-106). The rate source provides the
+    timer; an Arrow-batched mapInPandas applies the callback per tick
+    row (callback returns a pandas DataFrame matching ``schema``)."""
+    import pandas as pd
+
+    def tick(batches):
+        for pdf in batches:
+            out = [callback() for _ in range(len(pdf))]
+            if out:
+                yield pd.concat(out, ignore_index=True)
+
+    # coalesce(1): the reference's callback is single-threaded state —
+    # one task applies it sequentially (low-volume source by design)
+    return from_rate(spark, rows_per_second).coalesce(1).mapInPandas(tick, schema=schema)
+
+
+def periodic_dataframe(
+    spark: SparkSession, datafn, schema: StructType | str,
+    rows_per_second: int = 2,
+) -> DataFrame:
+    """streamz PeriodicDataFrame (dataframe/core.py:988-1053):
+    ``datafn(last, now)`` returns a pandas frame per tick; ``last``/
+    ``now`` are pandas Timestamps like the reference's kwargs."""
+    import pandas as pd
+
+    def tick(batches):
+        last = pd.Timestamp.now()
+        for pdf in batches:
+            for _ in range(len(pdf)):
+                now = pd.Timestamp.now()
+                out = datafn(last=last, now=now)
+                last = now
+                if len(out):
+                    yield out
+
+    return from_rate(spark, rows_per_second).coalesce(1).mapInPandas(tick, schema=schema)
+
+
+def random_stream(spark: SparkSession, rows_per_second: int = 10, seed: int | None = None) -> DataFrame:
+    """Random demo frame source — streamz Random (dataframe/core.py:1056-1074):
+    columns (x uniform, y normal-ish, z index-like) on a timer. Pure
+    JVM expressions (F.rand/F.randn), no Python in the hot path."""
+    from pyspark.sql import functions as F
+
+    base = from_rate(spark, rows_per_second)
+    kw = {"seed": seed} if seed is not None else {}
+    return base.select(
+        F.col("timestamp"),
+        F.rand(**kw).alias("x"),
+        F.randn(**kw).alias("y"),
+        F.col("value").alias("z"),
+    )
+
+
+def filenames(spark: SparkSession, path_glob: str) -> DataFrame:
+    """Emit newly-arrived file names — reference filenames
+    (sources.py:174-209). The binaryFile source's discovery does the
+    polling; projecting only (path, modificationTime) lets Spark skip
+    reading content."""
+    from pyspark.sql import functions as F
+
+    return (
+        spark.readStream.format("binaryFile")
+        .schema(
+            "path string, modificationTime timestamp, length long, content binary"
+        )
+        .load(path_glob)
+        .select(F.col("path").alias("filename"), "modificationTime")
+    )

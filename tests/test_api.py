@@ -272,3 +272,61 @@ def test_visualize_dag(spark, tmp_path):
     assert tree.splitlines()[0] == "union"
     # the DAG is cosmetic lineage; the plan itself still runs
     assert sorted(s.sink_to_list()) == [4, 6, 8, 10, 20, 30, 40]
+
+
+def test_load_plugins_entry_points(spark, monkeypatch):
+    # reference plugins.py:23-31 — entry points become Stream methods;
+    # a broken plugin is skipped with a warning
+    import warnings
+
+    from streamz_spark import core as c
+
+    class FakeEP:
+        def __init__(self, name, fn_or_exc):
+            self.name = name
+            self._x = fn_or_exc
+
+        def load(self):
+            if isinstance(self._x, Exception):
+                raise self._x
+            return self._x
+
+    def fake_entry_points(group=None):
+        assert group == "streamz_spark.plugins"
+        from pyspark.sql import functions as F
+
+        return [
+            FakeEP("tripled", lambda s: s.map(F.col("value") * 3)),
+            FakeEP("broken", RuntimeError("boom")),
+        ]
+
+    import importlib.metadata
+
+    monkeypatch.setattr(importlib.metadata, "entry_points", fake_entry_points)
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        names = c.Stream.load_plugins()
+    assert names == ["tripled"]
+    assert any("broken" in str(x.message) for x in w)
+    s = c.Stream.from_iterable(spark, [1, 2]).tripled()
+    assert sorted(s.sink_to_list()) == [3, 6]
+
+
+def test_trailing_window_extra_aggs(spark):
+    import pandas as pd
+
+    from streamz_spark.frame import StreamingFrame
+
+    pdf = pd.DataFrame({"seq": range(6), "x": [1.0, 2.0, 3.0, 4.0, 5.0, 6.0]})
+    sdf = StreamingFrame(spark.createDataFrame(pdf), order_col="seq")
+    w = sdf.window(n=4)
+    assert w.size.to_pandas()["size"].iloc[0] == 4
+    # last 4 values: 3,4,5,6
+    assert w.var().to_pandas()["x_var"].iloc[0] == pd.Series([3.0, 4, 5, 6]).var()
+    assert w.std().to_pandas()["x_std"].iloc[0] == pd.Series([3.0, 4, 5, 6]).std()
+    vc = w.value_counts("x").to_pandas()
+    assert sorted(vc["x"]) == [3.0, 4.0, 5.0, 6.0]
+    out = sdf.window(n=3).apply(
+        lambda p: pd.DataFrame({"rng": [p["x"].max() - p["x"].min()]}), "rng double"
+    )
+    assert out.to_pandas()["rng"].iloc[0] == 2.0

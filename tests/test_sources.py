@@ -77,3 +77,92 @@ def test_rate_source_produces_rows(spark):
     finally:
         q.stop()
     assert n > 20
+
+
+def test_from_periodic_callback(spark):
+    import pandas as pd
+
+    from streamz_spark.streaming.sources import from_periodic
+
+    calls = {"n": 0}
+
+    def cb():
+        calls["n"] += 1
+        return pd.DataFrame({"v": [calls["n"]]})
+
+    df = from_periodic(spark, cb, "v long", rows_per_second=5)
+    assert df.isStreaming
+    q = (
+        df.writeStream.format("memory").queryName("periodic_rows")
+        .trigger(processingTime="200 milliseconds").start()
+    )
+    try:
+        import time
+
+        deadline = time.time() + 30
+        while time.time() < deadline:
+            if spark.sql("SELECT * FROM periodic_rows").count() >= 2:
+                break
+            time.sleep(0.3)
+        vals = [r["v"] for r in spark.sql("SELECT v FROM periodic_rows").collect()]
+        assert len(vals) >= 2 and len(set(vals)) == len(vals)  # one fresh frame per tick
+    finally:
+        q.stop()
+
+
+def test_random_stream_schema(spark):
+    from streamz_spark.streaming.sources import random_stream
+
+    df = random_stream(spark, rows_per_second=50, seed=7)
+    assert df.isStreaming
+    assert set(df.columns) == {"timestamp", "x", "y", "z"}
+    import time
+
+    q = (
+        df.writeStream.format("memory").queryName("rand_rows")
+        .trigger(processingTime="200 milliseconds").start()
+    )
+    try:
+        deadline = time.time() + 30
+        while time.time() < deadline:
+            rows = spark.sql("SELECT x, y FROM rand_rows").collect()
+            if len(rows) >= 5:
+                break
+            time.sleep(0.3)
+        assert all(0.0 <= r["x"] <= 1.0 for r in rows)
+    finally:
+        q.stop()
+
+
+def test_filenames_source(spark, tmp_path):
+    import time
+
+    from streamz_spark.streaming.sources import filenames
+
+    d = tmp_path / "incoming"
+    d.mkdir()
+    (d / "a.txt").write_text("ignored contents")
+    df = filenames(spark, str(d))
+    q = (
+        df.writeStream.format("memory").queryName("fname_rows")
+        .trigger(processingTime="200 milliseconds").start()
+    )
+    try:
+        deadline = time.time() + 30
+        seen = []
+        while time.time() < deadline:
+            seen = [r["filename"] for r in spark.sql("SELECT filename FROM fname_rows").collect()]
+            if len(seen) >= 1:
+                break
+            time.sleep(0.3)
+        assert any(s.endswith("a.txt") for s in seen)
+        (d / "b.txt").write_text("more")
+        deadline = time.time() + 30
+        while time.time() < deadline:
+            seen = [r["filename"] for r in spark.sql("SELECT filename FROM fname_rows").collect()]
+            if len(seen) >= 2:
+                break
+            time.sleep(0.3)
+        assert any(s.endswith("b.txt") for s in seen)
+    finally:
+        q.stop()
