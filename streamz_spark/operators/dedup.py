@@ -76,6 +76,9 @@ def ngram_jaccard_pairs(
         hot = posting.groupBy("shingle").count().filter(F.col("count") > max_df).select("shingle")
         posting = posting.join(hot, "shingle", "left_anti")
 
+    # persist: both sides of the self-join consume the posting list;
+    # without it the explode (and the max_df agg + anti-join) run twice
+    posting = posting.persist()
     a = posting.alias("a")
     b = posting.alias("b")
     inter = (
@@ -156,6 +159,9 @@ def minhash_lsh_candidates(
             )
         ).alias("bh"),
     ).select("id", F.col("bh.band").alias("band"), F.col("bh.bhash").alias("bhash"))
+    # persist: both sides of the self-join read this subtree; without it
+    # the signature job (the expensive xxhash pass) runs twice
+    banded = banded.persist()
     a, b_ = banded.alias("a"), banded.alias("b")
     return (
         a.join(
