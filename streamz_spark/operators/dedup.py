@@ -293,7 +293,8 @@ def embedding_near_duplicates(
 
         # bucketed candidates, exact-cosine verify, id_a < id_b canonical
         dim = len(df.select(vec_col).first()[0])
-        buckets = lsh_buckets(v, planes=12, tables=8, dim=dim)
+        # persist: self-joined below (see hyperplane_lsh_ann)
+        buckets = lsh_buckets(v, planes=12, tables=8, dim=dim).persist()
         a, b = buckets.alias("a"), buckets.alias("b")
         return (
             a.join(

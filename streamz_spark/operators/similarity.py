@@ -83,32 +83,7 @@ def _hyperplane_sign(vec_col: str, plane: int, dim: int, style: str = "gaussiani
     pipeline is oracle-checkable: ±x folds are exact in IEEE, leaving
     no cross-engine float divergence in the bucket assignment.
     """
-    if style == "rademacher":
-        def component(x, d):
-            parity = (
-                F.conv(
-                    F.substring(
-                        F.md5(F.concat_ws(":", F.lit(str(plane)), d.cast("string"))),
-                        32, 1,
-                    ),
-                    16, 10,
-                ).cast("int") % 2
-            )
-            return F.when(parity == 0, x.cast("double")).otherwise(-x.cast("double"))
-
-        dot = F.aggregate(
-            F.zip_with(F.col(vec_col), F.sequence(F.lit(0), F.lit(dim - 1)), component),
-            F.lit(0.0),
-            lambda acc, x: acc + x,
-        )
-        return (dot >= 0).cast("int")
-
-    # build the plane as an array expression of the same length
-    denom = F.lit(float(2**63))
-    r = F.transform(
-        F.sequence(F.lit(0), F.lit(dim - 1)),
-        lambda d: F.xxhash64(d, F.lit(plane)).cast("double") / denom,
-    )
+    r = F.lit(_plane_components(plane, dim, style))
     dot = F.aggregate(
         F.zip_with(F.col(vec_col), r, lambda x, y: x.cast("double") * y),
         F.lit(0.0),
@@ -117,29 +92,86 @@ def _hyperplane_sign(vec_col: str, plane: int, dim: int, style: str = "gaussiani
     return (dot >= 0).cast("int")
 
 
+def _plane_components(plane: int, dim: int, style: str) -> list[float]:
+    """Deterministic pseudo-random plane, computed DRIVER-side: the
+    components depend only on (plane, d) — per-row hashing expressions
+    cost more than the dot product itself.
+
+    ``rademacher``: exact analogue of the DuckDB oracle's
+    ``('0x' || substr(md5(plane || ':' || d), 32, 1))::INT % 2`` —
+    python md5 == Spark md5 == DuckDB md5, so the values are
+    bit-identical to what the SQL recomputes.
+    ``gaussianish``: floats in [-1, 1) from md5 bytes — deterministic,
+    library-free, a valid sign-random-projection family.
+    """
+    import hashlib
+
+    if style == "rademacher":
+        return [
+            1.0 if int(hashlib.md5(f"{plane}:{d}".encode()).hexdigest()[31], 16) % 2 == 0
+            else -1.0
+            for d in range(dim)
+        ]
+    return [
+        int.from_bytes(hashlib.md5(f"g:{plane}:{d}".encode()).digest()[:8], "big", signed=True)
+        / float(2**63)
+        for d in range(dim)
+    ]
+
+
 def lsh_buckets(
     v: DataFrame, planes: int, tables: int, dim: int, plane_style: str = "gaussianish"
 ) -> DataFrame:
     """(id, v, norm) → one row per (id, table) with the `planes`-bit
     bucket signature. The shared candidate-generation core for LSH ANN
-    and LSH near-dup pairing."""
-    return v.select(
-        "id", "v", "norm",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(t).alias("tbl"),
-                        sum(
-                            _hyperplane_sign("v", t * planes + p, dim, plane_style) * F.lit(2**p)
-                            for p in range(planes)
-                        ).alias("bucket"),
-                    )
-                    for t in range(tables)
-                ]
-            )
-        ).alias("tb"),
-    ).select("id", "v", "norm", F.col("tb.tbl").alias("tbl"), F.col("tb.bucket").alias("bucket"))
+    and LSH near-dup pairing.
+
+    Vectorized Arrow pass, not expressions: tables*planes higher-order
+    aggregate folds cost ~2s of codegen PER PLAN BUILD (re-paid on
+    every query invocation — measured at planes=10, tables=4), dwarfing
+    execution. The numpy path folds dimension-by-dimension in the SAME
+    left-to-right order as the SQL ``aggregate(zip_with(...))`` and the
+    DuckDB oracle's ``list_sum(list_transform(...))``, so bucket bits
+    stay bit-identical (float64 add/mul are IEEE-identical everywhere).
+    Scales: plane matrix is a closure constant (~tables*planes*dim*8
+    bytes), partition-parallel, no shuffle.
+    """
+    import numpy as np
+
+    P = np.array(
+        [_plane_components(t * planes + p, dim, plane_style)
+         for t in range(tables) for p in range(planes)],
+        dtype=np.float64,
+    )  # (tables*planes, dim)
+    pow2 = 2 ** np.arange(planes, dtype=np.int64)
+    in_schema = v.schema
+    from pyspark.sql.types import IntegerType, LongType, StructField, StructType
+
+    out_schema = StructType(
+        list(in_schema.fields)
+        + [StructField("tbl", IntegerType()), StructField("bucket", LongType())]
+    )
+
+    def bucketize(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            V = np.asarray([np.asarray(x, dtype=np.float64) for x in pdf["v"]])
+            acc = np.zeros((len(pdf), P.shape[0]), dtype=np.float64)
+            # sequential per-dimension fold == SQL aggregate order
+            for d in range(dim):
+                acc += V[:, d : d + 1] * P[:, d]
+            bits = (acc >= 0).astype(np.int64).reshape(len(pdf), tables, planes)
+            buckets = (bits * pow2).sum(axis=2)  # (n, tables)
+            for t in range(tables):
+                out = pdf.copy()
+                out["tbl"] = np.int32(t)
+                out["bucket"] = buckets[:, t]
+                yield out
+
+    return v.mapInPandas(bucketize, schema=out_schema)
 
 
 def ivf_ann(
@@ -194,7 +226,13 @@ def ivf_ann(
         ).alias("d2"),
     )
     w = W.partitionBy("id").orderBy(F.col("d2").asc(), F.col("cell").asc())
-    probes = scored.withColumn("rnk", F.row_number().over(w)).filter(F.col("rnk") <= n_probe)
+    # persist: both candidate sides (probed queries, primary-cell corpus)
+    # read this subtree; without it the centroid scoring runs twice
+    probes = (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= n_probe)
+        .persist()
+    )
 
     a = probes.select(F.col("id").alias("qid"), F.col("v").alias("qv"),
                       F.col("norm").alias("qnorm"), "cell")
@@ -234,7 +272,10 @@ def hyperplane_lsh_ann(
     if dim is None:
         dim = len(corpus.select(vec_col).first()[0])
     v = with_norm(corpus.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v")), "v", "norm")
-    buckets = lsh_buckets(v, planes, tables, dim, plane_style)
+    # persist: both self-join sides read the bucketed frame; without it
+    # the hyperplane-signature expression tree (planes*tables*dim terms)
+    # evaluates twice
+    buckets = lsh_buckets(v, planes, tables, dim, plane_style).persist()
 
     a, b = buckets.alias("a"), buckets.alias("b")
     cand = (
