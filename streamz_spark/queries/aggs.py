@@ -234,7 +234,10 @@ def approx_sketches(spark, sf_dir):
     ev = load_table(spark, sf_dir, "events")
     agg = ev.groupBy("event_type").agg(
         F.countDistinct("user_id").alias("n_users_exact"),
-        F.approx_count_distinct("user_id").alias("approx_users"),
+        # rsd=0.02: the default 0.05 sketch landed 6.7% off at sf0.1
+        # (one sigma beyond its own rsd) — a tolerance check must use a
+        # sketch tighter than the tolerance it asserts
+        F.approx_count_distinct("user_id", 0.02).alias("approx_users"),
         F.percentile_approx("value", 0.5).alias("p50_approx"),
         F.percentile("value", F.lit(0.5)).alias("p50_exact"),
         F.min("value").alias("vmin"),
