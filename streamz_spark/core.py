@@ -97,20 +97,31 @@ class Stream:
         return self._with(self.df.withColumn("value", expr))
 
     def filter(self, predicate) -> "Stream":
-        """Column/SQL-string predicate (reference filter, core.py:888-925)."""
+        """Column/SQL-string predicate (reference filter, core.py:888-925);
+        a plain Python callable becomes an Arrow-batched boolean UDF
+        (the reference's arbitrary-predicate form — slow path)."""
         from streamz_spark.frame import StreamingSeries
 
         pred = predicate.expr if isinstance(predicate, StreamingSeries) else predicate
+        if callable(pred) and not isinstance(pred, Column):
+            fn = pred
+            udf = F.pandas_udf("boolean")(lambda s: s.map(lambda v: bool(fn(v))))
+            pred = udf(F.col("value"))
         return self._with(self.df.filter(pred))
 
     def remove(self, predicate: Column) -> "Stream":
         """Inverse filter (reference core.py:559-561)."""
         return self._with(self.df.filter(~predicate))
 
-    def pluck(self, field: str) -> "Stream":
-        """Extract a field (reference pluck, core.py:1862-1898); nested
-        access via dotted paths."""
-        return self._with(self.df.select(self.seq_col, F.col(field).alias("value")))
+    def pluck(self, field) -> "Stream":
+        """Extract field(s) (reference pluck, core.py:1862-1898): one
+        name → that value; a list of names → a struct (the reference's
+        tuple); nested access via dotted paths."""
+        if isinstance(field, (list, tuple)):
+            value = F.struct(*[F.col(f).alias(f.replace(".", "_")) for f in field])
+        else:
+            value = F.col(field)
+        return self._with(self.df.select(self.seq_col, value.alias("value")))
 
     def flatten(self, col: str = "value") -> "Stream":
         """Explode iterable elements (reference flatten, core.py:1732-1773)."""
@@ -153,19 +164,26 @@ class Stream:
             out = out.filter(F.size("value") == n)
         return self._with(out)
 
-    def partition(self, n: int) -> "Stream":
-        """Non-overlapping groups of n (reference partition,
-        core.py:1078-1165; streaming variant with timeout:
-        streaming.stateful.partition_batches)."""
-        w = W.orderBy(self.seq_col)
+    def partition(self, n: int, key: str | None = None) -> "Stream":
+        """Non-overlapping groups of n, per ``key`` when given
+        (reference partition(n, key=), core.py:1078-1165; streaming
+        variant with timeout: streaming.stateful.partition_batches).
+        Keyed grouping shuffles on the key — the scale path; keyless
+        needs a global order (single-partition window, documented in
+        SCALE.md)."""
+        w = (W.partitionBy(key) if key else W).orderBy(self.seq_col)
+        keys = [F.col(key)] if key else []
         grouped = (
             self.df.withColumn("__g", F.floor((F.row_number().over(w) - 1) / n))
-            .groupBy("__g")
+            .groupBy("__g", *keys)
             .agg(
-                F.sort_array(F.collect_list(F.struct(self.seq_col, "value"))).alias("__s")
+                F.sort_array(F.collect_list(F.struct(self.seq_col, "value"))).alias("__s"),
+                F.min(self.seq_col).alias("__first_seq"),
             )
             .select(
-                F.col("__g").alias("seq"),
+                # seq = first member's seq: a stable, key-independent order
+                F.col("__first_seq").alias("seq"),
+                *keys,
                 F.transform("__s", lambda s: s.getField("value")).alias("value"),
             )
         )
@@ -208,11 +226,17 @@ class Stream:
         return self._with(combine_latest([self.df] + [o.df for o in others], on=on), *others)
 
     # ---------- stateful (core.py:928-1026) ----------
-    def accumulate(self, fn: Callable, start, state_dtype: str = "double") -> "Stream":
-        """Ordered scan ``state, out = fn(state, value)`` (reference
-        accumulate/scan). Batch: single ordered Arrow pass (use the
-        keyed streaming variant `streaming.stateful.accumulate` at
-        scale); emits one result per event like the reference.
+    def accumulate(
+        self, fn: Callable, start, state_dtype: str = "double",
+        returns_state: bool = False,
+    ) -> "Stream":
+        """Ordered scan (reference accumulate/scan, core.py:928-1026).
+        ``returns_state=False`` (the reference's default): ``fn(state,
+        value)`` returns the new state, which is also emitted.
+        ``returns_state=True``: ``fn`` returns ``(state, out)``.
+        Batch: single ordered Arrow pass (use the keyed streaming
+        variant `streaming.stateful.accumulate` at scale); emits one
+        result per event like the reference.
         """
         out_schema = f"{self.seq_col} long, value {state_dtype}"
         order = self.seq_col
@@ -225,7 +249,10 @@ class Stream:
                 pdf = pdf.sort_values(order)
                 outs = []
                 for v in pdf["value"]:
-                    state, out = fn(state, v)
+                    if returns_state:
+                        state, out = fn(state, v)
+                    else:
+                        state = out = fn(state, v)
                     outs.append(out)
                 yield pd.DataFrame({order: pdf[order], "value": outs})
 
@@ -238,8 +265,20 @@ class Stream:
             OpNode("accumulate", (self.node,)),
         )
 
-    def scan(self, fn, start, state_dtype: str = "double") -> "Stream":
-        return self.accumulate(fn, start, state_dtype)
+    def scan(self, fn, start, state_dtype: str = "double", returns_state: bool = False) -> "Stream":
+        return self.accumulate(fn, start, state_dtype, returns_state)
+
+    def slice(self, start: int = 0, end: int | None = None, step: int = 1) -> "Stream":
+        """Positional event selection (reference slice, core.py:1029-1075):
+        keep events with ``start <= seq < end`` and ``(seq-start) %
+        step == 0``. Pure filter on the sequence column — narrow,
+        pushdown-friendly (no global ordering pass needed)."""
+        pred = F.col(self.seq_col) >= start
+        if end is not None:
+            pred = pred & (F.col(self.seq_col) < end)
+        if step != 1:
+            pred = pred & ((F.col(self.seq_col) - start) % step == 0)
+        return self._with(self.df.filter(pred))
 
     # ---------- flow control: no-ops under Spark's scheduler ----------
     def buffer(self, n: int) -> "Stream":

@@ -30,8 +30,14 @@ def test_stream_map_filter_sink(spark):
 def test_stream_scan(spark):
     """accumulate/scan running total (reference test_scan, tests/test_core.py:49)."""
     s = Stream.from_iterable(spark, [1.0, 2.0, 3.0, 4.0])
-    out = s.accumulate(lambda acc, x: (acc + x, acc + x), start=0.0).sink_to_list()
+    # reference default: fn returns the new state, which is emitted
+    out = s.accumulate(lambda acc, x: acc + x, start=0.0).sink_to_list()
     assert out == [1.0, 3.0, 6.0, 10.0]
+    # returns_state form: fn returns (state, out)
+    out2 = s.accumulate(
+        lambda acc, x: (acc + x, acc + x), start=0.0, returns_state=True
+    ).sink_to_list()
+    assert out2 == [1.0, 3.0, 6.0, 10.0]
 
 
 def test_stream_unique_frequencies(spark):
@@ -330,3 +336,35 @@ def test_trailing_window_extra_aggs(spark):
         lambda p: pd.DataFrame({"rng": [p["x"].max() - p["x"].min()]}), "rng double"
     )
     assert out.to_pandas()["rng"].iloc[0] == 2.0
+
+
+def test_stream_slice_pluck_filter_parity(spark):
+    # reference test_slice (tests/test_core.py), pluck list form
+    # (core.py:1886-1890), callable filter (core.py:888)
+    s = Stream.from_iterable(spark, list(range(10)))
+    assert s.slice(2, 8, 2).sink_to_list() == [2, 4, 6]
+    assert s.slice(start=5).sink_to_list() == [5, 6, 7, 8, 9]
+    assert s.filter(lambda x: x % 3 == 0).sink_to_list() == [0, 3, 6, 9]
+
+    t = Stream.from_iterable(
+        spark, [(1, "a", 10.0), (2, "b", 20.0)], schema="x long, y string, z double"
+    )
+    plucked = t.pluck(["x", "z"]).sink_to_list()
+    assert [(p["x"], p["z"]) for p in plucked] == [(1, 10.0), (2, 20.0)]
+
+
+def test_stream_partition_keyed(spark):
+    # reference partition(n, key=) (core.py:1078-1165): per-key batches
+    s = Stream.from_iterable(
+        spark,
+        [(i, "even" if i % 2 == 0 else "odd", float(i)) for i in range(10)],
+        schema="seq long, key string, value double",
+    )
+    parts = s.partition(2, key="key")
+    rows = sorted(
+        (r["key"], tuple(r["value"])) for r in parts.df.collect()
+    )
+    assert rows == [
+        ("even", (0.0, 2.0)), ("even", (4.0, 6.0)), ("even", (8.0,)),
+        ("odd", (1.0, 3.0)), ("odd", (5.0, 7.0)), ("odd", (9.0,)),
+    ]
