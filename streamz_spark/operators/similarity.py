@@ -38,6 +38,55 @@ def cosine_expr(a: str, b: str, norm_a: str, norm_b: str) -> Column:
     return F.when(denom > 0, dot / denom).otherwise(F.lit(0.0))
 
 
+def paired_cosine(
+    df: DataFrame, va: str, vb: str, na: str, nb: str, out: str = "cosine"
+) -> DataFrame:
+    """Append cosine(va, vb) to each row — the vectorized verify for
+    candidate-pair frames (millions of pairs after LSH bucketing).
+
+    Bit-identical to :func:`cosine_expr` (and the DuckDB oracles): the
+    dot accumulates dimension-by-dimension left-to-right like
+    ``aggregate(zip_with(...))``, the denominator is the same
+    ``na*nb`` product, zero-norm pairs get 0.0. Per-pair the numpy fold
+    is ~100x the interpreted expression fold, which is what makes the
+    LSH verify cheaper than the O(n²) BLAS prefilter past ~20k vectors.
+    """
+    import numpy as np
+    from pyspark.sql.types import DoubleType, StructField, StructType
+
+    schema = StructType(list(df.schema.fields) + [StructField(out, DoubleType())])
+    names = df.columns
+    ia, ib = names.index(va), names.index(vb)
+    ina, inb = names.index(na), names.index(nb)
+
+    def gen(batches):
+        # mapInArrow: list<double> columns flatten to one contiguous
+        # float64 buffer (zero-copy) — no per-row Python conversion,
+        # which dominated a mapInPandas version by ~10x at 600k pairs
+        import pyarrow as pa
+
+        for rb in batches:
+            n = rb.num_rows
+            if not n:
+                continue
+            A = rb.column(ia).flatten().to_numpy(zero_copy_only=False).reshape(n, -1)
+            B = rb.column(ib).flatten().to_numpy(zero_copy_only=False).reshape(n, -1)
+            acc = np.zeros(n, dtype=np.float64)
+            for d in range(A.shape[1]):  # sequential fold == SQL order
+                acc += A[:, d] * B[:, d]
+            denom = (
+                rb.column(ina).to_numpy(zero_copy_only=False)
+                * rb.column(inb).to_numpy(zero_copy_only=False)
+            )
+            cos = np.where(denom > 0, acc / np.where(denom > 0, denom, 1.0), 0.0)
+            yield pa.RecordBatch.from_arrays(
+                list(rb.columns) + [pa.array(cos, type=pa.float64())],
+                names=names + [out],
+            )
+
+    return df.mapInArrow(gen, schema)
+
+
 def brute_force_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -278,19 +327,23 @@ def hyperplane_lsh_ann(
     buckets = lsh_buckets(v, planes, tables, dim, plane_style).persist()
 
     a, b = buckets.alias("a"), buckets.alias("b")
-    cand = (
+    # dedupe (qid, cid) BEFORE scoring: a pair colliding in several
+    # tables must cost one cosine, not `tables` — then verify the
+    # unique pairs in one vectorized pass (see paired_cosine)
+    pairs = (
         a.join(
             b,
             (F.col("a.tbl") == F.col("b.tbl"))
             & (F.col("a.bucket") == F.col("b.bucket"))
             & (F.col("a.id") != F.col("b.id")),
         )
-        .select(
-            F.col("a.id").alias("qid"),
-            F.col("b.id").alias("cid"),
-            cosine_expr("a.v", "b.v", "a.norm", "b.norm").alias("cosine"),
-        )
+        .select(F.col("a.id").alias("qid"), F.col("b.id").alias("cid"))
         .distinct()
     )
+    qa = v.select(F.col("id").alias("qid"), F.col("v").alias("qv"), F.col("norm").alias("qn"))
+    ca = v.select(F.col("id").alias("cid"), F.col("v").alias("cv"), F.col("norm").alias("cn"))
+    cand = paired_cosine(
+        pairs.join(qa, "qid").join(ca, "cid"), "qv", "cv", "qn", "cn"
+    ).select("qid", "cid", "cosine")
     w = W.partitionBy("qid").orderBy(F.col("cosine").desc(), F.col("cid").asc())
     return cand.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
