@@ -79,3 +79,32 @@ def test_batch_semantics_unchanged(spark):
     assert out["x_sum"].iloc[0] == 4
     out2 = sdf.groupby("x").y.sum().y_sum.mean().to_pandas()
     assert out2["y_sum_mean"].iloc[0] == pytest.approx((5.0 + 2.0 + 3.0) / 3)
+
+
+def test_custom_aggregation_protocol(spark):
+    # reference test_custom_aggregation (test_dataframes.py:961-990):
+    # plain aggregate -> [0, 1, 2]; window(5).aggregate -> [1, -198, -397]
+    import numpy as np
+
+    from streamz_spark.aggregation import (
+        Aggregation,
+        aggregate_updating_to_list,
+        windowed_aggregate_to_list,
+    )
+
+    class Custom(Aggregation):
+        def initial(self, new):
+            return 0
+
+        def on_new(self, state, new):
+            return state + 1, state
+
+        def on_old(self, state, old):
+            return state - 100, state
+
+    chunk = pd.DataFrame({"x": np.arange(10, dtype=float), "y": [1.0, 2.0] * 5})
+    stream = from_iterable(spark, [chunk] * 3, schema="x double, y double")
+    assert aggregate_updating_to_list(stream, Custom()) == [0, 1, 2]
+
+    stream2 = from_iterable(spark, [chunk] * 3, schema="x double, y double")
+    assert windowed_aggregate_to_list(stream2, Custom(), n=5) == [1, -198, -397]
