@@ -106,3 +106,37 @@ def test_asof_join_matches_merge_asof(spark, frames):
     ).sort_values(["k", "t"], ignore_index=True)
     assert got["rv_right"].where(got["rv_right"].notna(), -1).tolist() == \
         want["rv"].where(want["rv"].notna(), -1).tolist()
+
+
+@given(data=st.data())
+@settings(max_examples=5, deadline=None)
+def test_paired_cosine_bit_exact_vs_expression(spark, data):
+    """The Arrow-vectorized pair verify must be BIT-identical to the
+    aggregate(zip_with(...)) expression (same IEEE fold order) — the
+    invariant the ANN/near-dup oracles rely on."""
+    from pyspark.sql import functions as F
+
+    from streamz_spark.operators.similarity import paired_cosine, with_norm
+
+    n = data.draw(st.integers(min_value=1, max_value=8))
+    dim = data.draw(st.integers(min_value=1, max_value=16))
+    vals = st.floats(min_value=-1e3, max_value=1e3, allow_nan=False, width=32)
+    rows = [
+        (i, [data.draw(vals) for _ in range(dim)], [data.draw(vals) for _ in range(dim)])
+        for i in range(n)
+    ]
+    df = spark.createDataFrame(rows, "id long, a array<float>, b array<float>")
+    va = with_norm(df.select("id", F.col("a").alias("v")), "v", "norm") \
+        .select("id", F.col("v").alias("va"), F.col("norm").alias("na"))
+    vb = with_norm(df.select("id", F.col("b").alias("v")), "v", "norm") \
+        .select("id", F.col("v").alias("vb"), F.col("norm").alias("nb"))
+    j = va.join(vb, "id")
+
+    from streamz_spark.operators.similarity import cosine_expr
+
+    expr_out = j.select("id", cosine_expr("va", "vb", "na", "nb").alias("cosine")) \
+        .toPandas().set_index("id")["cosine"].sort_index()
+    arrow_out = paired_cosine(j, "va", "vb", "na", "nb") \
+        .select("id", "cosine").toPandas().set_index("id")["cosine"].sort_index()
+    # bit-exact: no tolerance
+    assert expr_out.tolist() == arrow_out.tolist()
