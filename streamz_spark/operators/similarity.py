@@ -69,6 +69,11 @@ def paired_cosine(
             n = rb.num_rows
             if not n:
                 continue
+            if rb.column(ia).null_count or rb.column(ib).null_count:
+                # flatten() drops null slots -> rows would misalign
+                raise ValueError(
+                    "paired_cosine requires non-null vectors; filter nulls upstream"
+                )
             A = rb.column(ia).flatten().to_numpy(zero_copy_only=False).reshape(n, -1)
             B = rb.column(ib).flatten().to_numpy(zero_copy_only=False).reshape(n, -1)
             acc = np.zeros(n, dtype=np.float64)
