@@ -201,9 +201,12 @@ class Stream:
         )
 
     # ---------- multi-stream alignment (core.py:1575-1992) ----------
-    def zip(self, *others: "Stream") -> "Stream":
+    def zip(self, *others: "Stream", assume_dense: bool = False) -> "Stream":
         """Positional alignment (reference zip, core.py:1575-1649):
-        equi-join on per-stream sequence numbers."""
+        equi-join on per-stream sequence numbers. ``assume_dense=True``
+        skips the single-partition position-recovery window when every
+        stream's seq is already a dense 0-based position (unfiltered
+        sources) — fully parallel equi-join, the scale path."""
         from streamz_spark.operators.joins import zip_positional
 
         from streamz_spark.plans.graph import OpNode
@@ -211,7 +214,7 @@ class Stream:
         dfs = [self.df] + [o.df for o in others]
         orders = [self.seq_col] + [o.seq_col for o in others]
         node = OpNode("zip", (self.node, *(o.node for o in others)))
-        return Stream(zip_positional(dfs, orders), "seq", node)
+        return Stream(zip_positional(dfs, orders, assume_dense=assume_dense), "seq", node)
 
     def zip_latest(self, other: "Stream", on: str) -> "Stream":
         """Pair each element with the latest of other (core.py:1948-1992)."""

@@ -73,19 +73,36 @@ def asof_join(
     return out.filter(F.col("__side") == 1).drop("__side")
 
 
-def zip_positional(dfs: list[DataFrame], order_bys: list[str], prefixes: list[str] | None = None) -> DataFrame:
+def zip_positional(
+    dfs: list[DataFrame], order_bys: list[str],
+    prefixes: list[str] | None = None, assume_dense: bool = False,
+) -> DataFrame:
     """Reference ``zip`` (core.py:1575-1649): align i-th elements across
     streams. Implemented as an inner equi-join on per-stream monotonic
     sequence numbers (row_number over the stream's event order).
+
+    The position-recovery ``row_number`` is a keyless window — a
+    single-partition pass (inherent to global positions; SCALE.md).
+    When each ``order_bys`` column is ALREADY a dense 0-based position
+    (e.g. an unfiltered from_iterable seq, or positions carried from
+    an upstream zip), pass ``assume_dense=True`` to join on it
+    directly — a plain shuffled equi-join, fully parallel at any
+    scale.
     """
     prefixes = prefixes or [f"s{i}_" for i in range(len(dfs))]
     joined: DataFrame | None = None
     for df, order_col, pref in zip(dfs, order_bys, prefixes):
-        w = W.orderBy(order_col)
-        tagged = df.select(
-            F.row_number().over(w).cast("long").alias("__seq"),
-            *[F.col(c).alias(pref + c) for c in df.columns],
-        )
+        if assume_dense:
+            tagged = df.select(
+                F.col(order_col).cast("long").alias("__seq"),
+                *[F.col(c).alias(pref + c) for c in df.columns],
+            )
+        else:
+            w = W.orderBy(order_col)
+            tagged = df.select(
+                F.row_number().over(w).cast("long").alias("__seq"),
+                *[F.col(c).alias(pref + c) for c in df.columns],
+            )
         joined = tagged if joined is None else joined.join(tagged, "__seq", "inner")
     return joined.withColumnRenamed("__seq", "seq")
 

@@ -368,3 +368,16 @@ def test_stream_partition_keyed(spark):
         ("even", (0.0, 2.0)), ("even", (4.0, 6.0)), ("even", (8.0,)),
         ("odd", (1.0, 3.0)), ("odd", (5.0, 7.0)), ("odd", (9.0,)),
     ]
+
+
+def test_stream_zip_dense_fast_path(spark):
+    # assume_dense: join directly on the dense seq — no global window;
+    # results identical up to the seq base (0-based vs row_number's 1)
+    from streamz_spark.plans.inspect import explain_string
+
+    a = Stream.from_iterable(spark, [1, 2, 3])
+    b = Stream.from_iterable(spark, [10, 20, 30, 40])
+    z = a.zip(b, assume_dense=True)
+    rows = sorted((r.s0_value, r.s1_value) for r in z.df.collect())
+    assert rows == [(1, 10), (2, 20), (3, 30)]
+    assert "row_number" not in explain_string(z.df).lower()
