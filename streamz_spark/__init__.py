@@ -11,10 +11,11 @@ from streamz_spark.session import get_spark
 from streamz_spark.io import load_table, load_tables, register_views
 from streamz_spark.core import Stream
 from streamz_spark.frame import StreamingFrame
+from streamz_spark.aggregation import Aggregation
 
-__version__ = "0.1.0"
+__version__ = "0.2.0"
 
 __all__ = [
     "get_spark", "load_table", "load_tables", "register_views",
-    "Stream", "StreamingFrame", "__version__",
+    "Stream", "StreamingFrame", "Aggregation", "__version__",
 ]
