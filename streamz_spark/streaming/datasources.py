@@ -78,7 +78,6 @@ def filelog_append(path: str, records, partition: int = 0) -> int:
     """
     pdir = os.path.join(path, f"p={partition}")
     os.makedirs(pdir, exist_ok=True)
-    start = _partition_end_offset(pdir)
     rows = []
     now_us = int(time.time() * _EPOCH_US)
     for rec in records:
@@ -89,11 +88,22 @@ def filelog_append(path: str, records, partition: int = 0) -> int:
         else:
             key, value = None, rec
         rows.append({"key": key, "value": value, "ts": now_us})
-    tmp = os.path.join(pdir, f".tmp-{start:012d}-{len(rows)}.jsonl")
+    tmp = os.path.join(pdir, f".tmp-{os.getpid()}-{now_us}.jsonl")
     with open(tmp, "w") as f:
         for r in rows:
             f.write(json.dumps(r) + "\n")
-    os.rename(tmp, os.path.join(pdir, f"{start:012d}-{len(rows)}.jsonl"))
+    # os.link is atomic-fail-if-exists: two concurrent producers that
+    # computed the same start offset cannot clobber each other — the
+    # loser recomputes the end offset and retries (compare-and-swap).
+    while True:
+        start = _partition_end_offset(pdir)
+        final = os.path.join(pdir, f"{start:012d}-{len(rows)}.jsonl")
+        try:
+            os.link(tmp, final)
+            break
+        except FileExistsError:
+            continue
+    os.unlink(tmp)
     return start + len(rows)
 
 
@@ -210,12 +220,15 @@ class FileLogDataSource(DataSource):
 class _BufferedSimpleReader(SimpleDataSourceStreamReader):
     """Shared offset plumbing: a background producer appends rows to an
     in-memory list; offsets are indexes into it. readBetweenOffsets
-    replays from the retained buffer (at-least-once across driver
-    restarts only within buffer lifetime — same guarantee level as the
-    reference's non-Kafka sources, which lose in-flight data on crash)."""
+    replays from the retained buffer; commit(end) trims rows below the
+    committed offset so long-running sources don't grow without bound
+    (at-least-once across driver restarts only within buffer lifetime —
+    same guarantee level as the reference's non-Kafka sources, which
+    lose in-flight data on crash)."""
 
     def __init__(self):
         self._buf: list[tuple] = []
+        self._base = 0  # absolute offset of _buf[0]
         self._lock = threading.Lock()
         self._started = False
 
@@ -250,16 +263,23 @@ class _BufferedSimpleReader(SimpleDataSourceStreamReader):
     def read(self, start: dict):
         self._ensure_started()
         with self._lock:
-            n = len(self._buf)
-            rows = list(self._buf[start["index"]:n])
-        return iter(rows), {"index": n}
+            end = self._base + len(self._buf)
+            rows = list(self._buf[max(start["index"] - self._base, 0):])
+        return iter(rows), {"index": end}
 
     def readBetweenOffsets(self, start: dict, end: dict):
         with self._lock:
-            return iter(self._buf[start["index"]:end["index"]])
+            lo = max(start["index"] - self._base, 0)
+            hi = max(end["index"] - self._base, 0)
+            return iter(self._buf[lo:hi])
 
     def commit(self, end: dict) -> None:
-        pass
+        # committed rows can't be replayed again — release them
+        with self._lock:
+            drop = max(end["index"] - self._base, 0)
+            if drop:
+                del self._buf[:drop]
+                self._base += drop
 
 
 class _HTTPServerReader(_BufferedSimpleReader):
@@ -357,17 +377,13 @@ class ProcessDataSource(DataSource):
 # registration + user-facing helpers
 # ---------------------------------------------------------------------------
 
-_REGISTERED: set[int] = set()
-
-
 def register_datasources(spark: SparkSession) -> None:
-    """Idempotently register all Python data sources on a session."""
-    key = id(spark)
-    if key in _REGISTERED:
-        return
+    """Register all Python data sources on a session. Re-registration
+    replaces the previous entry and is cheap, so no caching — an
+    id(spark)-keyed cache would break when a new session reuses a
+    collected session's memory address."""
     for cls in (FileLogDataSource, HTTPServerDataSource, ProcessDataSource):
         spark.dataSource.register(cls)
-    _REGISTERED.add(key)
 
 
 def from_filelog(
@@ -422,7 +438,7 @@ def to_filelog(
     from streamz_spark.streaming.sinks import sink_foreach_batch
 
     def send(batch_df, batch_id):
-        vcol = value_col or batch_df.columns[0]
+        vcol = value_col or next(c for c in batch_df.columns if c != key_col)
         cols = [key_col, vcol] if key_col else [vcol]
         rows = batch_df.select(*cols).collect()
         records = [
