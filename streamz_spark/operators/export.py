@@ -1,0 +1,144 @@
+"""Training-data export operators: deterministic global shuffle,
+reproducible train/test splits, stratified sampling, and token-budget
+sequence packing.
+
+Scale design: no global sort barriers and no driver-side state. The
+shuffle and split are pure hash expressions (narrow or one exchange);
+packing is a per-shard sequential pass (``repartition(shards) +
+mapInPandas`` — the measured-cheaper shape vs per-group
+applyInPandas, see operators/windows.py ewm notes), so a 100 TB corpus
+packs in one shuffle with shards sized by ``num_shards``.
+
+No reference equivalent (streamz leaves corpus export to user code);
+semantics defined here and tested in tests/test_quality.py.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+from pyspark.sql.types import LongType, StructField, StructType
+
+__all__ = [
+    "deterministic_shuffle",
+    "hash_split",
+    "stratified_sample",
+    "pack_sequences",
+]
+
+
+def deterministic_shuffle(
+    df: DataFrame, id_col: str, seed: int = 0, num_partitions: int | None = None
+) -> DataFrame:
+    """Reproducible pseudo-random global order for training export.
+
+    Hash-partition on xxhash64(id, seed) then sort *within* partitions
+    by the same hash — a total order (partition index × intra-partition
+    rank) without a global range-sort barrier: one exchange, no
+    driver-side sampling pass, identical layout for identical
+    (data, seed) regardless of input partitioning. Writing the result
+    partition-by-partition yields the canonical shuffled corpus.
+    """
+    h = F.xxhash64(F.col(id_col), F.lit(seed))
+    parts = num_partitions or df.sparkSession.conf.get("spark.sql.shuffle.partitions")
+    return (
+        df.withColumn("__h", h)
+        .repartition(int(parts), F.col("__h"))
+        .sortWithinPartitions("__h", id_col)
+        .drop("__h")
+    )
+
+
+def hash_split(
+    df: DataFrame,
+    id_col: str,
+    test_frac: float = 0.01,
+    seed: int = 0,
+    split_col: str = "split",
+) -> DataFrame:
+    """Deterministic train/test assignment: a document's split depends
+    only on (id, seed), never on partitioning or row order — the
+    property that keeps eval sets stable across pipeline re-runs.
+    ``pmod(xxhash64(id, seed), 1e6) < test_frac*1e6`` → 'test'.
+    """
+    bucket = F.pmod(F.xxhash64(F.col(id_col), F.lit(seed)), F.lit(1_000_000))
+    return df.withColumn(
+        split_col,
+        F.when(bucket < int(test_frac * 1_000_000), F.lit("test")).otherwise(F.lit("train")),
+    )
+
+
+def stratified_sample(
+    df: DataFrame, strata_col: str, fractions: dict, seed: int = 0
+) -> DataFrame:
+    """Per-stratum sampling (e.g. per-language quotas when rebalancing
+    a corpus). Thin wrapper over ``sampleBy`` — kept as an operator so
+    pipelines name the intent; map-side filter, no shuffle."""
+    return df.sampleBy(strata_col, fractions=fractions, seed=seed)
+
+
+def pack_sequences(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    token_col: str = "n_tokens",
+    budget: int = 2048,
+    num_shards: int | None = None,
+) -> DataFrame:
+    """Greedy next-fit packing of documents into fixed token-budget
+    training sequences.
+
+    Documents are hash-sharded (one exchange), each shard is sorted by
+    (token_count desc, id) and packed next-fit in a single sequential
+    pandas pass; pack ids are globalized as shard*2^40 + local index so
+    no coordination is needed between shards. Deterministic for a given
+    (data, num_shards). Documents longer than the budget get a
+    singleton pack (callers chunk them upstream if needed).
+
+    Output: (id, n_tokens, pack_id, pack_tokens) with one row per input
+    document; pack_tokens is the filled total of that document's pack —
+    Σ pack_tokens/ (n_packs × budget) is the packing efficiency.
+    """
+    spark = df.sparkSession
+    shards = int(
+        num_shards or spark.conf.get("spark.sql.shuffle.partitions")
+    )
+    slim = df.select(
+        F.col(id_col).alias("id"), F.col(token_col).cast("long").alias("n_tokens")
+    ).repartition(shards, F.pmod(F.xxhash64(F.col(id_col)), F.lit(shards)))
+
+    schema = StructType(
+        [
+            StructField("id", slim.schema["id"].dataType),
+            StructField("n_tokens", LongType()),
+            StructField("pack_id", LongType()),
+            StructField("pack_tokens", LongType()),
+        ]
+    )
+
+    def pack(iterator):
+        import pandas as pd
+        from pyspark import TaskContext
+
+        shard = TaskContext.get().partitionId()
+        base = shard << 40
+        parts = [p for p in iterator]
+        if not parts:
+            return
+        pdf = pd.concat(parts).sort_values(
+            ["n_tokens", "id"], ascending=[False, True], ignore_index=True
+        )
+        pack_ids, fills = [], {}
+        cur, cur_fill = 0, 0
+        for n in pdf["n_tokens"]:
+            n = int(n)
+            if cur_fill > 0 and cur_fill + n > budget:
+                fills[cur] = cur_fill
+                cur += 1
+                cur_fill = 0
+            pack_ids.append(base + cur)
+            cur_fill += n
+        fills[cur] = cur_fill
+        pdf["pack_id"] = pd.Series(pack_ids, dtype="int64")
+        pdf["pack_tokens"] = pdf["pack_id"].map(lambda p: fills[p - base]).astype("int64")
+        yield pdf
+
+    return slim.mapInPandas(pack, schema=schema)

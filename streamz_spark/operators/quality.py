@@ -1,0 +1,252 @@
+"""Repetition / quality filters and PII scrubbing for LLM corpus
+cleaning (Gopher-style signals: Rae et al. 2021, "Scaling Language
+Models" §A1.1; RefinedWeb follows the same family).
+
+Everything here is narrow JVM expression work — no shuffle, no UDF —
+so it runs at full codegen speed and scales embarrassingly: at 100 TB
+these are the cheapest passes in the pipeline (a projection over the
+scan).
+
+Expression-design note: per the measured CollapseProject pitfall
+(word_shingles docstring), no lambda body references a computed array —
+run statistics come from element-bound folds over ``sort_array`` output
+(state = struct carried through ``F.aggregate``), so each array is
+evaluated once per row regardless of length.
+
+No reference equivalent: streamz users do this via pandas inside
+``map_partitions``; semantics are defined here and differential-tested
+against pure-Python implementations in tests/test_quality.py.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+from streamz_spark.operators.text import tokenize
+
+__all__ = [
+    "split_lines",
+    "duplicate_line_stats",
+    "ngram_run_stats",
+    "repetition_signals",
+    "gopher_quality_filter",
+    "pii_signals",
+    "pii_scrub",
+]
+
+
+def split_lines(col: Column | str) -> Column:
+    """Non-empty trimmed lines of a document ([] for blank text)."""
+    c = F.col(col) if isinstance(col, str) else col
+    lines = F.filter(
+        F.transform(F.split(c, r"\n"), lambda x: F.trim(x)),
+        lambda x: F.length(x) > 0,
+    )
+    return lines
+
+
+def _sum_len(arr: Column) -> Column:
+    """Total characters across an array of strings (element-bound fold)."""
+    return F.aggregate(arr, F.lit(0).cast("long"), lambda acc, x: acc + F.length(x))
+
+
+def duplicate_line_stats(lines: Column) -> Column:
+    """struct(dup_line_frac, dup_line_char_frac) over a line array.
+
+    dup_line_frac: fraction of line *occurrences* beyond the first of
+    their value (Gopher's duplicate-line fraction). dup_line_char_frac:
+    same, weighted by line length in characters.
+    """
+    n = F.size(lines)
+    n_distinct = F.size(F.array_distinct(lines))
+    total_chars = _sum_len(lines)
+    distinct_chars = _sum_len(F.array_distinct(lines))
+    frac = F.when(n > 0, (n - n_distinct) / n).otherwise(F.lit(0.0))
+    char_frac = F.when(total_chars > 0, (total_chars - distinct_chars) / total_chars).otherwise(
+        F.lit(0.0)
+    )
+    return F.struct(frac.alias("dup_line_frac"), char_frac.alias("dup_line_char_frac"))
+
+
+def _word_ngrams_with_dups(toks: Column, n: int) -> Column:
+    """All word n-grams (duplicates preserved — frequency matters here,
+    unlike the MinHash shingle *set*). zip_with over shifted slices,
+    element-bound like word_shingles."""
+    m = F.size(toks) - (n - 1)
+    acc = F.slice(toks, 1, m)
+    for j in range(1, n):
+        acc = F.zip_with(acc, F.slice(toks, j + 1, m), lambda a, b: F.concat(a, F.lit(" "), b))
+    return F.when(F.size(toks) >= n, acc).otherwise(F.array().cast("array<string>"))
+
+
+def ngram_run_stats(grams: Column) -> Column:
+    """struct(top_chars, dup_chars, all_chars) for an n-gram array.
+
+    Sorts the grams and folds run-lengths with a struct accumulator —
+    one pass, lambda touches only (acc, x), so the gram array is built
+    once per row. top_chars = count×len of the most frequent gram
+    (ties: larger char coverage wins); dup_chars = Σ count×len over
+    grams occurring more than once; all_chars = Σ count×len over all.
+    """
+    sorted_g = F.array_sort(grams)
+    zero = F.struct(
+        F.lit("").alias("prev"),
+        F.lit(0).cast("long").alias("cur"),
+        F.lit(0).cast("long").alias("top"),
+        F.lit(0).cast("long").alias("dup"),
+        F.lit(0).cast("long").alias("all"),
+    )
+
+    def step(acc, x):
+        cur = F.when(x == acc["prev"], acc["cur"] + 1).otherwise(F.lit(1).cast("long"))
+        ln = F.length(x).cast("long")
+        # when a run reaches 2, both the first and second occurrence
+        # become "duplicated" chars; later occurrences add one gram each
+        dup_add = (
+            F.when(cur == 2, 2 * ln).when(cur > 2, ln).otherwise(F.lit(0).cast("long"))
+        )
+        return F.struct(
+            x.alias("prev"),
+            cur.alias("cur"),
+            F.greatest(acc["top"], cur * ln).alias("top"),
+            (acc["dup"] + dup_add).alias("dup"),
+            (acc["all"] + ln).alias("all"),
+        )
+
+    st = F.aggregate(sorted_g, zero, step)
+    return F.struct(
+        st["top"].alias("top_chars"),
+        st["dup"].alias("dup_chars"),
+        st["all"].alias("all_chars"),
+    )
+
+
+def repetition_signals(
+    df: DataFrame,
+    text_col: str = "text",
+    top_ngram_ns: tuple[int, ...] = (2, 3, 4),
+    dup_ngram_ns: tuple[int, ...] = (5, 10),
+) -> DataFrame:
+    """Gopher repetition signals as columns:
+
+    - ``dup_line_frac`` / ``dup_line_char_frac``
+    - ``top_{n}gram_char_frac`` for n in top_ngram_ns — fraction of
+      gram-characters covered by the single most frequent word n-gram
+    - ``dup_{n}gram_char_frac`` for n in dup_ngram_ns — fraction of
+      gram-characters inside word n-grams that occur more than once
+
+    Char fractions are over total n-gram characters (the standard
+    overlap-ignoring approximation), raw doubles (bit-reproducible).
+    """
+    t = F.col(text_col)
+    ls = duplicate_line_stats(split_lines(t))
+    toks = tokenize(t)
+    cols = [
+        ls["dup_line_frac"].alias("dup_line_frac"),
+        ls["dup_line_char_frac"].alias("dup_line_char_frac"),
+    ]
+    for n in top_ngram_ns:
+        st = ngram_run_stats(_word_ngrams_with_dups(toks, n))
+        cols.append(
+            F.when(st["all_chars"] > 0, st["top_chars"] / st["all_chars"])
+            .otherwise(F.lit(0.0))
+            .alias(f"top_{n}gram_char_frac")
+        )
+    for n in dup_ngram_ns:
+        st = ngram_run_stats(_word_ngrams_with_dups(toks, n))
+        cols.append(
+            F.when(st["all_chars"] > 0, st["dup_chars"] / st["all_chars"])
+            .otherwise(F.lit(0.0))
+            .alias(f"dup_{n}gram_char_frac")
+        )
+    return df.select("*", *cols)
+
+
+# Gopher §A1.1 thresholds (document REMOVED when a signal exceeds its
+# cap / falls outside its range). Word-count bounds are parameters —
+# the paper's 50..100k default is tuned for web pages, not snippets.
+_GOPHER_CAPS = {
+    "dup_line_frac": 0.30,
+    "dup_line_char_frac": 0.20,
+    "top_2gram_char_frac": 0.20,
+    "top_3gram_char_frac": 0.18,
+    "top_4gram_char_frac": 0.16,
+    "dup_5gram_char_frac": 0.15,
+    "dup_10gram_char_frac": 0.10,
+}
+
+
+def gopher_quality_filter(
+    df: DataFrame,
+    text_col: str = "text",
+    min_words: int = 50,
+    max_words: int = 100_000,
+    mean_word_len_range: tuple[float, float] = (3.0, 10.0),
+    keep_col: str = "keep",
+) -> DataFrame:
+    """Boolean ``keep`` column from the Gopher rule set: word-count and
+    mean-word-length ranges plus the repetition caps. Keeps all input
+    rows (filtering is the caller's `.filter(F.col("keep"))`) so the
+    signal columns stay inspectable.
+    """
+    out = repetition_signals(df, text_col)
+    toks = tokenize(F.col(text_col))
+    n_words = F.size(toks)
+    mean_wl = F.when(
+        n_words > 0, _sum_len(toks) / n_words
+    ).otherwise(F.lit(0.0))
+    keep = (
+        (n_words >= min_words)
+        & (n_words <= max_words)
+        & (mean_wl >= mean_word_len_range[0])
+        & (mean_wl <= mean_word_len_range[1])
+    )
+    for sig, cap in _GOPHER_CAPS.items():
+        keep = keep & (F.col(sig) <= cap)
+    return out.withColumn("n_words", n_words).withColumn(keep_col, keep)
+
+
+# ---------------------------------------------------------------------------
+# PII
+# ---------------------------------------------------------------------------
+
+# Conservative, backreference-free patterns (portable across Java regex
+# and RE2-style engines; DuckDB-reproducible with the 'g' flag).
+PII_PATTERNS = {
+    "email": r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
+    "ipv4": r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b",
+    # optional country code + NANP-shaped 10-digit body; matches bare
+    # 10-digit runs too (PII recall beats false-positive avoidance here)
+    "phone": r"(\+?\d{1,3}[-. ]?)?\(?\d{3}\)?[-. ]?\d{3}[-. ]?\d{4}",
+}
+
+
+def pii_signals(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Per-document PII hit counts (``n_email``/``n_ipv4``/``n_phone``)
+    — regexp_count stays JVM-side; use to route documents to scrubbing
+    or removal."""
+    t = F.col(text_col)
+    return df.select(
+        "*",
+        *[
+            F.regexp_count(t, F.lit(pat)).cast("long").alias(f"n_{name}")
+            for name, pat in PII_PATTERNS.items()
+        ],
+    )
+
+
+def pii_scrub(
+    df: DataFrame,
+    text_col: str = "text",
+    out_col: str | None = None,
+    kinds: tuple[str, ...] = ("email", "ipv4", "phone"),
+) -> DataFrame:
+    """Replace PII matches with ``<EMAIL>``/``<IPV4>``/``<PHONE>``
+    tokens. Order matters: emails first (an email's host part must not
+    be half-eaten by the ipv4/phone patterns), then IPs, then phones.
+    """
+    t = F.col(text_col)
+    ordered = [k for k in ("email", "ipv4", "phone") if k in kinds]
+    for name in ordered:
+        t = F.regexp_replace(t, PII_PATTERNS[name], f"<{name.upper()}>")
+    return df.withColumn(out_col or text_col, t)

@@ -9,7 +9,8 @@ results are comparable against UTC-naive oracles (duckdb).
 ``spark.sql.legacy.parquet.nanosAsLong`` is required because the test
 tables store TIMESTAMP(NANOS) which Spark's vectorized parquet reader
 otherwise rejects; `streamz_spark.io.load_table` converts those longs
-back to timestamps losslessly (the data is µs-resolution).
+back to timestamps by integer ns→µs truncation (matching the DuckDB
+oracles' epoch_us semantics).
 """
 
 from __future__ import annotations

@@ -1,0 +1,209 @@
+"""Differential tests: quality/PII/export operators vs pure-Python
+reference implementations (the operators are expression-only, so any
+divergence is a semantics bug, not float noise)."""
+
+import re
+
+import pytest
+from pyspark.sql import Row, functions as F
+
+from streamz_spark.operators import export as ex
+from streamz_spark.operators import quality as q
+
+DOCS = [
+    # id, text
+    (1, "the cat sat on the mat\nthe cat sat on the mat\nunique line here"),
+    (2, "alpha beta gamma delta epsilon zeta eta theta"),
+    (3, "spam spam spam spam spam spam spam spam spam spam"),
+    (4, ""),
+    (5, "   \n  \n "),
+    (6, "one two three four five six seven eight nine ten " * 12),
+    (7, "a b a b a b a b a b a b a b a b"),
+    (8, "Line one\nline one\nLINE ONE\ndistinct"),
+    # 40 distinct words, no repetition: the only doc the Gopher caps keep
+    (9, " ".join(f"word{i:02d}" for i in range(40))),
+]
+
+
+def _tokens(text):
+    # mirror Spark/DuckDB trim (ASCII-space only, NOT \n/\t) and split
+    # semantics (leading/trailing empty fields kept with limit -1)
+    t = text.strip(" ").lower()
+    return re.split(r"\s+", t) if t else []
+
+
+def _lines(text):
+    return [ln.strip(" ") for ln in text.split("\n") if ln.strip(" ")]
+
+
+def _grams(toks, n):
+    return [" ".join(toks[i : i + n]) for i in range(len(toks) - n + 1)]
+
+
+def _dup_line_fracs(text):
+    lines = _lines(text)
+    if not lines:
+        return 0.0, 0.0
+    total, distinct = len(lines), len(set(lines))
+    tc = sum(map(len, lines))
+    dc = sum(map(len, set(lines)))
+    return (total - distinct) / total, (tc - dc) / tc if tc else 0.0
+
+
+def _top_frac(text, n):
+    grams = _grams(_tokens(text), n)
+    if not grams:
+        return 0.0
+    allc = sum(map(len, grams))
+    from collections import Counter
+
+    top = max(c * len(g) for g, c in Counter(grams).items())
+    return top / allc if allc else 0.0
+
+
+def _dup_frac(text, n):
+    grams = _grams(_tokens(text), n)
+    if not grams:
+        return 0.0
+    from collections import Counter
+
+    allc = sum(map(len, grams))
+    dup = sum(c * len(g) for g, c in Counter(grams).items() if c > 1)
+    return dup / allc if allc else 0.0
+
+
+@pytest.fixture(scope="module")
+def docs_df(spark):
+    return spark.createDataFrame(DOCS, ["doc_id", "text"])
+
+
+def test_repetition_signals_differential(docs_df):
+    out = {
+        r["doc_id"]: r
+        for r in q.repetition_signals(docs_df).collect()
+    }
+    for doc_id, text in DOCS:
+        r = out[doc_id]
+        dlf, dlcf = _dup_line_fracs(text)
+        assert r["dup_line_frac"] == pytest.approx(dlf, abs=0), (doc_id, "dup_line_frac")
+        assert r["dup_line_char_frac"] == pytest.approx(dlcf, abs=0)
+        for n in (2, 3, 4):
+            assert r[f"top_{n}gram_char_frac"] == pytest.approx(_top_frac(text, n), abs=0), (
+                doc_id,
+                n,
+            )
+        for n in (5, 10):
+            assert r[f"dup_{n}gram_char_frac"] == pytest.approx(_dup_frac(text, n), abs=0)
+
+
+def test_gopher_filter_flags(docs_df):
+    out = {r["doc_id"]: r for r in q.gopher_quality_filter(docs_df, min_words=5).collect()}
+    # doc 3: one word repeated -> top_2gram_char_frac = 1.0 -> removed
+    assert out[3]["keep"] is False
+    # doc 7: alternating bigram repetition -> removed
+    assert out[7]["keep"] is False
+    # doc 9: 40 distinct words, no repetition -> kept
+    assert out[9]["keep"] is True
+    # empty docs removed by word count
+    assert out[4]["keep"] is False and out[5]["keep"] is False
+
+
+PII_DOCS = [
+    (1, "contact me at john.doe+spam@example.co.uk or jane@x.io thanks"),
+    (2, "server at 192.168.001.1 port 80; also 8.8.8.8"),
+    (3, "call +1 (555) 123-4567 or 555.987.6543 now"),
+    (4, "no pii here, just 3.14 and v1.2.3 strings"),
+]
+
+
+def test_pii_scrub_and_counts(spark):
+    df = spark.createDataFrame(PII_DOCS, ["doc_id", "text"])
+    scrubbed = {r["doc_id"]: r["text"] for r in q.pii_scrub(df).collect()}
+    for doc_id, text in PII_DOCS:
+        expect = re.sub(q.PII_PATTERNS["email"], "<EMAIL>", text)
+        expect = re.sub(q.PII_PATTERNS["ipv4"], "<IPV4>", expect)
+        expect = re.sub(q.PII_PATTERNS["phone"], "<PHONE>", expect)
+        assert scrubbed[doc_id] == expect, doc_id
+    assert "<EMAIL>" in scrubbed[1] and "@" not in scrubbed[1]
+    assert scrubbed[4] == PII_DOCS[3][1]  # untouched
+
+    counts = {r["doc_id"]: r for r in q.pii_signals(df).collect()}
+    assert counts[1]["n_email"] == 2
+    assert counts[2]["n_ipv4"] == 2
+    assert counts[3]["n_phone"] == 2
+    assert counts[4]["n_email"] == counts[4]["n_ipv4"] == 0
+
+
+def test_hash_split_deterministic(spark):
+    df = spark.range(0, 2000).withColumnRenamed("id", "doc_id")
+    s1 = {r["doc_id"]: r["split"] for r in ex.hash_split(df, "doc_id", 0.2, seed=7).collect()}
+    # same assignment regardless of partitioning
+    s2 = {
+        r["doc_id"]: r["split"]
+        for r in ex.hash_split(df.repartition(13), "doc_id", 0.2, seed=7).collect()
+    }
+    assert s1 == s2
+    frac = sum(1 for v in s1.values() if v == "test") / len(s1)
+    assert 0.15 < frac < 0.25
+    # different seed -> different assignment
+    s3 = {r["doc_id"]: r["split"] for r in ex.hash_split(df, "doc_id", 0.2, seed=8).collect()}
+    assert s3 != s1
+
+
+def test_deterministic_shuffle_order_stable(spark):
+    df = spark.range(0, 500).withColumnRenamed("id", "doc_id")
+    o1 = [r["doc_id"] for r in ex.deterministic_shuffle(df, "doc_id", seed=3, num_partitions=8).collect()]
+    o2 = [
+        r["doc_id"]
+        for r in ex.deterministic_shuffle(df.repartition(11), "doc_id", seed=3, num_partitions=8).collect()
+    ]
+    assert o1 == o2
+    assert sorted(o1) == list(range(500))
+    assert o1 != list(range(500))  # actually shuffled
+
+
+def test_pack_sequences(spark):
+    rows = [Row(doc_id=i, n_tokens=(i * 37) % 900 + 10) for i in range(400)]
+    df = spark.createDataFrame(rows)
+    out = ex.pack_sequences(df, budget=2048, num_shards=4).collect()
+    assert len(out) == 400
+    assert sorted(r["id"] for r in out) == list(range(400))
+    # pack invariants: fill = sum of members, fill <= budget unless singleton oversize
+    from collections import defaultdict
+
+    packs = defaultdict(list)
+    for r in out:
+        packs[r["pack_id"]].append(r)
+    for pid, members in packs.items():
+        fill = sum(m["n_tokens"] for m in members)
+        assert all(m["pack_tokens"] == fill for m in members)
+        if fill > 2048:
+            assert len(members) == 1  # oversized doc -> singleton pack
+    # determinism
+    out2 = ex.pack_sequences(df, budget=2048, num_shards=4).collect()
+    assert sorted(map(tuple, out)) == sorted(map(tuple, out2))
+    # efficiency sanity: next-fit on sorted-desc shouldn't be pathological
+    n_packs = len(packs)
+    total = sum(r["n_tokens"] for r in rows)
+    assert n_packs <= total // 2048 * 2 + 4
+
+
+def test_oversized_doc_singleton(spark):
+    df = spark.createDataFrame(
+        [Row(doc_id=1, n_tokens=5000), Row(doc_id=2, n_tokens=100), Row(doc_id=3, n_tokens=200)]
+    )
+    out = ex.pack_sequences(df, budget=1024, num_shards=1).collect()
+    big = [r for r in out if r["id"] == 1][0]
+    assert big["pack_tokens"] == 5000
+    small = [r for r in out if r["id"] != 1]
+    assert {r["pack_id"] for r in small} != {big["pack_id"]}
+
+
+def test_stratified_sample(spark):
+    df = spark.createDataFrame(
+        [(i, "en" if i % 10 < 8 else "de") for i in range(5000)], ["doc_id", "lang"]
+    )
+    out = ex.stratified_sample(df, "lang", {"en": 0.1, "de": 1.0}, seed=1).groupBy("lang").count()
+    counts = {r["lang"]: r["count"] for r in out.collect()}
+    assert counts["de"] == 1000
+    assert 250 < counts["en"] < 550
