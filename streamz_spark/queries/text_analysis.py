@@ -17,41 +17,85 @@ from streamz_spark.operators import text as ops
 
 @register(
     "text_quality_profile",
+    # Extended round 2 with the repetition/PII family (operators/quality):
+    # duplicate-line fractions and the top-bigram char fraction are the
+    # Gopher §A1.1 signals re-derived in SQL (unnest → GROUP BY gram →
+    # MAX(c·len)/SUM(c·len)); PII counts/scrub mirror the exact regex
+    # chain with RE2-safe, backreference-free patterns.
     oracle="""
         WITH q AS (
-            SELECT doc_id, n_chars,
+            SELECT doc_id, n_chars, text,
                    length(text)::DOUBLE AS n,
                    length(regexp_replace(text, '[^.,;:!?''"()\\[\\]{}-]', '', 'g'))::DOUBLE AS punct,
                    length(regexp_replace(text, '[^0-9]', '', 'g'))::DOUBLE AS digits,
                    length(regexp_replace(text, '[^ \t\n]', '', 'g'))::DOUBLE AS spaces,
-                   CASE WHEN length(trim(lower(text))) = 0 THEN 0
-                        ELSE len(regexp_split_to_array(trim(lower(text)), '\\s+'))
-                   END AS n_tokens
+                   CASE WHEN length(trim(lower(text))) = 0 THEN []::VARCHAR[]
+                        ELSE regexp_split_to_array(trim(lower(text)), '\\s+')
+                   END AS w,
+                   list_filter(list_transform(regexp_split_to_array(text, '\n'), x -> trim(x)),
+                               x -> length(x) > 0) AS lines
             FROM documents
+        ), gr AS (
+            SELECT doc_id, unnest(
+                CASE WHEN len(w) >= 2
+                     THEN list_transform(generate_series(1, len(w) - 1), i -> w[i] || ' ' || w[i+1])
+                     ELSE []::VARCHAR[] END) AS g
+            FROM q
+        ), cnt AS (
+            SELECT doc_id, g, COUNT(*) AS c FROM gr GROUP BY 1, 2
+        ), topg AS (
+            SELECT doc_id,
+                   CAST(MAX(c * length(g)) AS BIGINT) AS topc,
+                   CAST(SUM(c * length(g)) AS BIGINT) AS allc
+            FROM cnt GROUP BY 1
         )
-        SELECT doc_id,
+        SELECT q.doc_id,
                CAST(n AS BIGINT) AS n_chars_computed,
                n_chars AS n_chars_declared,
                CASE WHEN n > 0 THEN punct / n ELSE 0.0 END  AS punct_ratio,
                CASE WHEN n > 0 THEN digits / n ELSE 0.0 END AS digit_ratio,
                CASE WHEN n > 0 THEN spaces / n ELSE 0.0 END AS space_ratio,
-               n_tokens,
-               CASE WHEN n_tokens > 0 THEN (n - spaces) / n_tokens ELSE 0.0 END AS mean_word_len
-        FROM q
+               len(w) AS n_tokens,
+               CASE WHEN len(w) > 0 THEN (n - spaces) / len(w) ELSE 0.0 END AS mean_word_len,
+               CASE WHEN len(lines) > 0
+                    THEN (len(lines) - len(list_distinct(lines))) / len(lines)
+                    ELSE 0.0 END AS dup_line_frac,
+               CASE WHEN COALESCE(CAST(list_sum(list_transform(lines, x -> length(x))) AS BIGINT), 0) > 0
+                    THEN (CAST(list_sum(list_transform(lines, x -> length(x))) AS BIGINT)
+                          - CAST(list_sum(list_transform(list_distinct(lines), x -> length(x))) AS BIGINT))
+                         / CAST(list_sum(list_transform(lines, x -> length(x))) AS BIGINT)
+                    ELSE 0.0 END AS dup_line_char_frac,
+               COALESCE(CASE WHEN t.allc > 0 THEN t.topc / t.allc END, 0.0) AS top_2gram_char_frac,
+               CAST(len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}')) AS BIGINT) AS n_email,
+               CAST(len(regexp_extract_all(text, '\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b')) AS BIGINT) AS n_ipv4,
+               regexp_replace(regexp_replace(
+                   regexp_replace(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+                   '\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b', '<IPV4>', 'g'),
+                   '(\\+?\\d{1,3}[-. ]?)?\\(?\\d{3}\\)?[-. ]?\\d{3}[-. ]?\\d{4}', '<PHONE>', 'g') AS text_scrubbed
+        FROM q LEFT JOIN topg t ON q.doc_id = t.doc_id
     """,
-    doc="per-document text profile: token counting (whitespace tokenizer) "
-        "+ quality scoring (length/punct/digit/whitespace ratios, mean "
-        "word length — the standard cheap corpus pre-filter)",
+    doc="per-document text profile: token counting + quality ratios + "
+        "Gopher repetition signals (dup-line fractions, top-bigram char "
+        "fraction) + PII counts and scrubbed text — the cheap narrow "
+        "pre-filter pass of a corpus pipeline, zero shuffle",
 )
 def text_quality_profile(spark, sf_dir):
+    from streamz_spark.operators import quality as qual
+
     docs = load_table(spark, sf_dir, "documents")
     out = ops.quality_features(docs, "text")
+    out = qual.repetition_signals(out, "text", top_ngram_ns=(2,), dup_ngram_ns=())
+    out = qual.pii_signals(out, "text")
+    out = qual.pii_scrub(out, "text", out_col="text_scrubbed")
     return out.select(
         "doc_id",
         F.length("text").cast("long").alias("n_chars_computed"),
         F.col("n_chars").alias("n_chars_declared"),
         "punct_ratio", "digit_ratio", "space_ratio",
         "n_tokens", "mean_word_len",
+        "dup_line_frac", "dup_line_char_frac", "top_2gram_char_frac",
+        "n_email", "n_ipv4",
+        "text_scrubbed",
     )
 
 
