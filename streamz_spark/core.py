@@ -168,13 +168,21 @@ class Stream:
         """Non-overlapping groups of n, per ``key`` when given
         (reference partition(n, key=), core.py:1078-1165; streaming
         variant with timeout: streaming.stateful.partition_batches).
-        Keyed grouping shuffles on the key — the scale path; keyless
-        needs a global order (single-partition window, documented in
-        SCALE.md)."""
-        w = (W.partitionBy(key) if key else W).orderBy(self.seq_col)
+        Keyed grouping shuffles on the key; keyless recovers global
+        positions via operators.order.global_index (range-partition +
+        prefix sums — parallel, no single-task window)."""
         keys = [F.col(key)] if key else []
+        if key:
+            w = W.partitionBy(key).orderBy(self.seq_col)
+            src = self.df.withColumn("__g", F.floor((F.row_number().over(w) - 1) / n))
+        else:
+            from streamz_spark.operators.order import global_index
+
+            src = global_index(self.df, [self.seq_col], "__rn").withColumn(
+                "__g", F.floor(F.col("__rn") / n)
+            ).drop("__rn")
         grouped = (
-            self.df.withColumn("__g", F.floor((F.row_number().over(w) - 1) / n))
+            src
             .groupBy("__g", *keys)
             .agg(
                 F.sort_array(F.collect_list(F.struct(self.seq_col, "value"))).alias("__s"),

@@ -312,12 +312,13 @@ class StreamingFrame:
         return self._agg_frame(lambda df: df.agg(F.count(F.lit(1)).alias("size")))
 
     def tail(self, n: int) -> "StreamingFrame":
+        """Last n rows by order_col. sort-desc + limit compiles to
+        TakeOrderedAndProject: per-partition top-n heaps merged once —
+        parallel, unlike a keyless row_number window (one task)."""
         if not self.order_col:
             raise ValueError("tail requires order_col")
-        w = W.orderBy(F.col(self.order_col).desc())
         return StreamingFrame(
-            self.df.withColumn("__rn", F.row_number().over(w))
-            .filter(F.col("__rn") <= n).drop("__rn"),
+            self.df.orderBy(F.col(self.order_col).desc()).limit(n),
             order_col=self.order_col,
         )
 
@@ -466,11 +467,9 @@ class TrailingWindow:
         if self.n is not None:
             if not f.order_col:
                 raise ValueError("window(n=) requires order_col")
-            w = W.orderBy(F.col(f.order_col).desc())
-            return (
-                f.df.withColumn("__rn", F.row_number().over(w))
-                .filter(F.col("__rn") <= self.n).drop("__rn")
-            )
+            # TakeOrderedAndProject: parallel per-partition top-n, not a
+            # keyless row_number window (single task over all rows)
+            return f.df.orderBy(F.col(f.order_col).desc()).limit(self.n)
         ts = f.ts_col or f.order_col
         if not ts:
             raise ValueError("window(value=) requires ts_col")

@@ -79,16 +79,18 @@ def zip_positional(
 ) -> DataFrame:
     """Reference ``zip`` (core.py:1575-1649): align i-th elements across
     streams. Implemented as an inner equi-join on per-stream monotonic
-    sequence numbers (row_number over the stream's event order).
+    sequence numbers.
 
-    The position-recovery ``row_number`` is a keyless window — a
-    single-partition pass (inherent to global positions; SCALE.md).
-    When each ``order_bys`` column is ALREADY a dense 0-based position
-    (e.g. an unfiltered from_iterable seq, or positions carried from
-    an upstream zip), pass ``assume_dense=True`` to join on it
-    directly — a plain shuffled equi-join, fully parallel at any
-    scale.
+    Position recovery is ``operators.order.global_index`` — a
+    range-partition + prefix-sum pass that stays fully parallel (the
+    round-1 keyless ``row_number`` funneled each stream through one
+    task). When each ``order_bys`` column is ALREADY a dense 0-based
+    position (e.g. an unfiltered from_iterable seq, or positions
+    carried from an upstream zip), pass ``assume_dense=True`` to join
+    on it directly and skip the position-recovery shuffle entirely.
     """
+    from streamz_spark.operators.order import global_index
+
     prefixes = prefixes or [f"s{i}_" for i in range(len(dfs))]
     joined: DataFrame | None = None
     for df, order_col, pref in zip(dfs, order_bys, prefixes):
@@ -98,10 +100,8 @@ def zip_positional(
                 *[F.col(c).alias(pref + c) for c in df.columns],
             )
         else:
-            w = W.orderBy(order_col)
-            tagged = df.select(
-                F.row_number().over(w).cast("long").alias("__seq"),
-                *[F.col(c).alias(pref + c) for c in df.columns],
+            tagged = global_index(df, [order_col], "__seq", zero_based=False).select(
+                "__seq", *[F.col(c).alias(pref + c) for c in df.columns]
             )
         joined = tagged if joined is None else joined.join(tagged, "__seq", "inner")
     return joined.withColumnRenamed("__seq", "seq")

@@ -126,13 +126,17 @@ def groupby_multi_agg(spark, sf_dir):
 )
 def topk(spark, sf_dir):
     ev = load_table(spark, sf_dir, "events")
+    # top-10 via sort+limit = TakeOrderedAndProject (per-partition heaps,
+    # fully parallel); the rank window then runs over 10 rows, not the data
     wg = W.orderBy(F.col("value").desc(), F.col("event_id").asc())
     global_top = (
-        ev.select(
+        ev.select("event_id", "value")
+        .orderBy(F.col("value").desc(), F.col("event_id").asc())
+        .limit(10)
+        .select(
             F.lit("global").alias("scope"), "event_id", "value",
             F.row_number().over(wg).cast("long").alias("rnk"),
         )
-        .filter(F.col("rnk") <= 10)
     )
     wp = W.partitionBy("event_type").orderBy(F.col("value").desc(), F.col("event_id").asc())
     per_group = (

@@ -128,12 +128,14 @@ def scalar_function_library(spark, sf_dir):
 def accumulate_slice(spark, sf_dir):
     ev = load_table(spark, sf_dir, "events")
     w = W.partitionBy("user_id").orderBy("event_id").rowsBetween(W.unboundedPreceding, 0)
+    from streamz_spark.operators.order import global_index
+
     acc = ev.select(
         "event_id", "user_id", F.sum("value").over(w).alias("acc")
     )
-    wg = W.orderBy("event_id")
+    # distributed position recovery (no keyless row_number single task)
     return (
-        acc.select("event_id", "user_id", "acc", F.row_number().over(wg).alias("rn"))
+        global_index(acc, ["event_id"], "rn", zero_based=False)
         .filter((F.col("rn") > 100) & (F.col("rn") <= 4000) & ((F.col("rn") - 101) % 3 == 0))
         .select("event_id", "user_id", "acc")
     )
@@ -155,11 +157,15 @@ def accumulate_slice(spark, sf_dir):
     doc="Stream.partition(n) (streamz core.py:1078-1165): count-batching as group-index aggregation",
 )
 def partition_groups(spark, sf_dir):
+    from streamz_spark.operators.order import global_index
+
     ev = load_table(spark, sf_dir, "events")
-    w = W.orderBy("event_id")
-    grp = F.floor((F.row_number().over(w) - 1) / 4).cast("long")
+    indexed = global_index(
+        ev.select("event_id", "value"), ["event_id"], "__rn", zero_based=False
+    )
+    grp = F.floor((F.col("__rn") - 1) / 4).cast("long")
     return (
-        ev.select("event_id", "value", grp.alias("grp"))
+        indexed.select("event_id", "value", grp.alias("grp"))
         .groupBy("grp")
         .agg(
             F.count(F.lit(1)).alias("n"),
