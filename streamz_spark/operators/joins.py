@@ -54,23 +54,94 @@ def asof_join(
             rhs = rhs.withColumn(c, F.lit(None).cast(left.schema[c].dataType))
     unioned = lhs.unionByName(rhs)
 
+    if direction not in ("backward", "forward"):
+        raise ValueError("direction must be backward|forward")
+    fill_cols = [c + suffix for c in rcols]
+
+    if not by:
+        # Keyless as-of: no key to shard on, but the carry trick still
+        # applies — range-partition on (ts, side), fill within each
+        # partition, and carry each partition's last (first) right-side
+        # values across partition boundaries via a prefix (suffix) pass
+        # over per-partition summaries. Fully parallel; round 1 ran
+        # this as a single-task global window.
+        return _asof_fill_global(unioned, on, fill_cols, direction)
+
     if direction == "backward":
         w = W.partitionBy(*by).orderBy(F.col(on).asc(), F.col("__side").asc()).rowsBetween(
             W.unboundedPreceding, 0
         )
-        fill = {c: F.last(F.when(F.col("__side") == 0, F.col(c)), ignorenulls=True).over(w) for c in [c + suffix for c in rcols]}
-    elif direction == "forward":
+        fill = {c: F.last(F.when(F.col("__side") == 0, F.col(c)), ignorenulls=True).over(w) for c in fill_cols}
+    else:
         w = W.partitionBy(*by).orderBy(F.col(on).asc(), F.col("__side").desc()).rowsBetween(
             0, W.unboundedFollowing
         )
-        fill = {c: F.first(F.when(F.col("__side") == 0, F.col(c)), ignorenulls=True).over(w) for c in [c + suffix for c in rcols]}
-    else:
-        raise ValueError("direction must be backward|forward")
+        fill = {c: F.first(F.when(F.col("__side") == 0, F.col(c)), ignorenulls=True).over(w) for c in fill_cols}
 
     out = unioned
     for c, expr in fill.items():
         out = out.withColumn(c, expr)
     return out.filter(F.col("__side") == 1).drop("__side")
+
+
+def _asof_fill_global(unioned: DataFrame, on: str, fill_cols: list[str], direction: str) -> DataFrame:
+    """Two-level forward/backward fill over a global (ts, side) order.
+
+    within-partition window keyed on the partition ordinal (parallel)
+    + per-partition last/first non-null summaries combined in a
+    metadata-sized prefix/suffix window, broadcast back as carry-ins.
+    """
+    from streamz_spark.operators.order import range_parted
+
+    backward = direction == "backward"
+    side_order = F.col("__side").asc() if backward else F.col("__side").desc()
+    parted = range_parted(unioned, [F.col(on).asc(), side_order])
+
+    if backward:
+        w_local = W.partitionBy("__pid").orderBy("__mid").rowsBetween(W.unboundedPreceding, 0)
+        pick_local = lambda c: F.last(  # noqa: E731
+            F.when(F.col("__side") == 0, F.col(c)), ignorenulls=True
+        ).over(w_local)
+        # per-partition LAST non-null right value of each fill column
+        summary = [
+            F.max_by(
+                F.col(c),
+                F.when((F.col("__side") == 0) & F.col(c).isNotNull(), F.col("__mid")),
+            ).alias(c)
+            for c in fill_cols
+        ]
+        w_carry = W.orderBy("__pid").rowsBetween(W.unboundedPreceding, -1)
+        carry_pick = F.last
+    else:
+        w_local = W.partitionBy("__pid").orderBy("__mid").rowsBetween(0, W.unboundedFollowing)
+        pick_local = lambda c: F.first(  # noqa: E731
+            F.when(F.col("__side") == 0, F.col(c)), ignorenulls=True
+        ).over(w_local)
+        summary = [
+            F.min_by(
+                F.col(c),
+                F.when((F.col("__side") == 0) & F.col(c).isNotNull(), F.col("__mid")),
+            ).alias(c)
+            for c in fill_cols
+        ]
+        w_carry = W.orderBy("__pid").rowsBetween(1, W.unboundedFollowing)
+        carry_pick = F.first
+
+    totals = parted.groupBy("__pid").agg(*summary)
+    carries = totals.select(
+        "__pid",
+        *[
+            carry_pick(F.col(c), ignorenulls=True).over(w_carry).alias(f"__carry_{c}")
+            for c in fill_cols
+        ],
+    )
+    out = parted.join(F.broadcast(carries), "__pid")
+    for c in fill_cols:
+        out = out.withColumn(c, F.coalesce(pick_local(c), F.col(f"__carry_{c}")))
+    return (
+        out.filter(F.col("__side") == 1)
+        .drop("__side", "__pid", "__mid", *[f"__carry_{c}" for c in fill_cols])
+    )
 
 
 def zip_positional(

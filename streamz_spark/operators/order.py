@@ -40,11 +40,45 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, Window as W, functions as F
 
-__all__ = ["global_index", "MID_PARTITION_SHIFT"]
+__all__ = [
+    "global_index", "range_parted", "global_cumulative",
+    "global_cumulative_multi", "MID_PARTITION_SHIFT",
+]
 
 # monotonically_increasing_id() == spark_partition_id() * 2^33 + row-in-partition
 MID_PARTITION_SHIFT = 33
 _MID_LOCAL_MASK = (1 << MID_PARTITION_SHIFT) - 1
+
+
+def range_parted(df: DataFrame, order_cols, num_partitions: int | None = None) -> DataFrame:
+    """Range-shuffle ``df`` on ``order_cols``, sort within partitions,
+    and attach stable ``__pid`` (partition ordinal under the global
+    order) and ``__mid`` (``pid * 2^33 + local_row``) columns.
+
+    The result is PERSISTED (MEMORY_AND_DISK): every consumer of this
+    primitive fans out into a per-partition-summary branch and a data
+    branch, and both must observe identical sampled range boundaries
+    (see module docstring). Shared by global_index / global_cumulative /
+    the keyless as-of join.
+    """
+    if not isinstance(order_cols, (list, tuple)):
+        order_cols = [order_cols]
+    order_cols = [F.col(c) if isinstance(c, str) else c for c in order_cols]
+    n = int(
+        num_partitions
+        or df.sparkSession.conf.get("spark.sql.shuffle.partitions", "200")
+    )
+    from pyspark import StorageLevel
+
+    parted = (
+        df.repartitionByRange(n, *order_cols)
+        .sortWithinPartitions(*order_cols)
+        .withColumn("__mid", F.monotonically_increasing_id())
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    return parted.withColumn(
+        "__pid", F.shiftright(F.col("__mid"), MID_PARTITION_SHIFT).cast("long")
+    )
 
 
 def global_index(
@@ -63,31 +97,9 @@ def global_index(
     downstream per-position joins (zip) shuffle on the position, and
     consumers that need the sorted order get it for free.
     """
-    if not isinstance(order_cols, (list, tuple)):
-        order_cols = [order_cols]
-    order_cols = [F.col(c) if isinstance(c, str) else c for c in order_cols]
-    n = int(
-        num_partitions
-        or df.sparkSession.conf.get("spark.sql.shuffle.partitions", "200")
-    )
+    parted = range_parted(df, order_cols, num_partitions)
 
-    from pyspark import StorageLevel
-
-    # persist: both branches below must read the SAME materialized
-    # partitioning (see module docstring) — load-bearing, not a tuning
-    parted = (
-        df.repartitionByRange(n, *order_cols)
-        .sortWithinPartitions(*order_cols)
-        .withColumn("__mid", F.monotonically_increasing_id())
-        .persist(StorageLevel.MEMORY_AND_DISK)
-    )
-    pid = F.shiftright(F.col("__mid"), MID_PARTITION_SHIFT).cast("long")
-
-    counts = (
-        parted.select(pid.alias("__pid"))
-        .groupBy("__pid")
-        .agg(F.count(F.lit(1)).alias("__cnt"))
-    )
+    counts = parted.groupBy("__pid").agg(F.count(F.lit(1)).alias("__cnt"))
     # exclusive prefix sum over ≤ n rows — the single-partition window
     # here touches partition COUNTS, never data rows
     w_off = W.orderBy("__pid").rowsBetween(W.unboundedPreceding, -1)
@@ -98,8 +110,119 @@ def global_index(
 
     base = F.col("__off") + F.col("__mid").bitwiseAND(F.lit(_MID_LOCAL_MASK))
     return (
-        parted.withColumn("__pid", pid)
-        .join(F.broadcast(offsets), "__pid")
+        parted.join(F.broadcast(offsets), "__pid")
         .withColumn(index_col, (base + (0 if zero_based else 1)).cast("long"))
         .drop("__pid", "__off", "__mid")
     )
+
+
+_CARRYABLE = {"sum", "min", "max", "count"}
+
+
+def global_cumulative(
+    df: DataFrame,
+    order_cols,
+    col: str,
+    op: str,
+    out_name: str,
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Keyless (global-order) cumulative aggregate that never runs a
+    single-partition window over the data: the classic two-level scan.
+
+    1. range-partition on the order (``range_parted``);
+    2. within-partition cumulative via a window keyed on the partition
+       ordinal — parallel across partitions (one extra hash shuffle on
+       ``__pid``, perfectly balanced);
+    3. per-partition totals → exclusive prefix combine (a window over
+       ≤ num_partitions summary rows) broadcast back as each
+       partition's carry-in.
+
+    Supports the carryable ops sum/min/max/count plus mean and prod
+    (decomposed into sum/max carries: prod = sign·exp(Σlog|x|) with an
+    any-zero flag, same formulation as ``windows.cumulative``).
+    Matches ``agg(col).over(Window.orderBy(order).rowsBetween(
+    unboundedPreceding, 0))`` up to tie order.
+    """
+    return global_cumulative_multi(df, order_cols, [(col, op, out_name)], num_partitions)
+
+
+def global_cumulative_multi(
+    df: DataFrame,
+    order_cols,
+    specs,
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Several global cumulative aggregates over ONE range pass.
+    ``specs`` = list of ``(col, op, out_name)``; mean and prod expand
+    into sum/max primitives that share the same shuffle/carry plan.
+    """
+    derived = []  # (out_name, builder) applied after the primitive pass
+    prims = []  # (src_col_expr_name, op, tmp_name)
+    pre = df
+    for col, op, out in specs:
+        c = F.col(col)
+        if op in ("mean", "avg"):
+            prims += [(col, "sum", out + "__s"), (col, "count", out + "__c")]
+            derived.append((out, lambda o=out: F.col(o + "__s") / F.col(o + "__c"),
+                            [out + "__s", out + "__c"]))
+        elif op == "prod":
+            pre = (
+                pre.withColumn(out + "__lg", F.log(F.abs(c)))
+                .withColumn(out + "__neg", (c < 0).cast("long"))
+                .withColumn(out + "__zero", (c == 0).cast("long"))
+            )
+            prims += [
+                (out + "__lg", "sum", out + "__cl"),
+                (out + "__neg", "sum", out + "__cn"),
+                (out + "__zero", "max", out + "__cz"),
+            ]
+
+            def _prod(o=out):
+                sign = F.when(F.col(o + "__cn") % 2 == 1, F.lit(-1.0)).otherwise(F.lit(1.0))
+                return F.when(F.col(o + "__cz") == 1, F.lit(0.0)).otherwise(
+                    sign * F.exp(F.col(o + "__cl"))
+                )
+
+            derived.append((out, _prod,
+                            [out + "__lg", out + "__neg", out + "__zero",
+                             out + "__cl", out + "__cn", out + "__cz"]))
+        elif op in _CARRYABLE:
+            prims.append((col, op, out))
+        else:
+            raise ValueError(
+                f"global_cumulative supports {sorted(_CARRYABLE)}+mean+prod, got {op!r}"
+            )
+
+    aggs = {"sum": F.sum, "min": F.min, "max": F.max, "count": F.count}
+    parted = range_parted(pre, order_cols, num_partitions)
+
+    w_local = W.partitionBy("__pid").orderBy("__mid").rowsBetween(W.unboundedPreceding, 0)
+    totals = parted.groupBy("__pid").agg(
+        *[aggs[op](F.col(c)).alias(f"__tot_{i}") for i, (c, op, _) in enumerate(prims)]
+    )
+    w_carry = W.orderBy("__pid").rowsBetween(W.unboundedPreceding, -1)
+    carries = totals.select(
+        "__pid",
+        *[
+            (F.sum if op in ("sum", "count") else aggs[op])(F.col(f"__tot_{i}"))
+            .over(w_carry).alias(f"__carry_{i}")
+            for i, (_, op, _o) in enumerate(prims)
+        ],
+    )
+
+    out = parted.join(F.broadcast(carries), "__pid")
+    for i, (c, op, name) in enumerate(prims):
+        within = aggs[op](F.col(c)).over(w_local)
+        carry = F.col(f"__carry_{i}")
+        if op in ("sum", "count"):
+            merged = within + F.coalesce(carry, F.lit(0))
+        elif op == "min":
+            merged = F.least(within, carry)  # least/greatest skip nulls
+        else:
+            merged = F.greatest(within, carry)
+        out = out.withColumn(name, merged)
+    out = out.drop("__pid", "__mid", *[f"__carry_{i}" for i in range(len(prims))])
+    for name, builder, tmps in derived:
+        out = out.withColumn(name, builder()).drop(*tmps)
+    return out

@@ -108,7 +108,20 @@ def expanding(
     """Everything-so-far window, result per row.
 
     Reference: sdf.expanding() (dataframe/core.py:171-172,641-656).
+
+    Keyless + carryable ops (sum/min/max/count/mean) run the two-level
+    range-partition scan (``operators.order.global_cumulative_multi``)
+    — no single-task global window; var/std keep the window form (their
+    merge needs Chan-style moment combination; use a keyed expanding at
+    scale).
     """
+    carryable = {"sum", "min", "max", "count", "mean", "avg"}
+    if not partition_by and all(op in carryable for _, op in aggs.values()):
+        from streamz_spark.operators.order import global_cumulative_multi
+
+        return global_cumulative_multi(
+            df, [order_by], [(col, op, name) for name, (col, op) in aggs.items()]
+        )
     w = (
         W.partitionBy(*(partition_by or []))
         .orderBy(order_by)
@@ -132,9 +145,18 @@ def cumulative(
 
     cumprod has no built-in — sign-aware exp(sum(log|x|)) with an
     any-zero flag, still whole-stage-codegen'd (no UDF).
+
+    Keyless (no ``partition_by``) dispatches to
+    ``operators.order.global_cumulative`` — the two-level
+    range-partition + carry scan — instead of a single-task global
+    window.
     """
+    if not partition_by:
+        from streamz_spark.operators.order import global_cumulative
+
+        return global_cumulative(df, [order_by], col, op, out_name)
     w = (
-        W.partitionBy(*(partition_by or []))
+        W.partitionBy(*partition_by)
         .orderBy(order_by)
         .rowsBetween(W.unboundedPreceding, 0)
     )

@@ -77,3 +77,95 @@ def test_positions_survive_downstream_shuffle(spark):
     grp = idx.withColumn("g", F.floor(F.col("pos") / 10)).groupBy("g").count()
     pdf = grp.orderBy("g").toPandas()
     assert pdf["count"].tolist() == [10] * 100
+
+
+class TestGlobalCumulative:
+    def test_matches_global_window(self, spark):
+        import numpy as np
+        from pyspark.sql import Window as W
+
+        from streamz_spark.operators import windows as ops
+
+        rows = [(i, ((i * 37) % 100 - 50) / 7.0) for i in random.Random(5).sample(range(50000), 2500)]
+        df = spark.createDataFrame(rows, "k long, v double").repartition(11)
+        w = W.orderBy("k").rowsBetween(W.unboundedPreceding, 0)
+        ref = df.select(
+            "k",
+            F.sum("v").over(w).alias("cs"),
+            F.max("v").over(w).alias("cmax"),
+            F.min("v").over(w).alias("cmin"),
+            F.count("v").over(w).alias("cc"),
+            (F.sum("v").over(w) / F.count("v").over(w)).alias("cmean"),
+        ).orderBy("k").toPandas()
+        got = ops.cumulative(df, "k", "v", "sum", "cs")
+        got = ops.cumulative(got, "k", "v", "max", "cmax")
+        got = ops.cumulative(got, "k", "v", "min", "cmin")
+        got = ops.expanding(got, "k", {"cc": ("v", "count"), "cmean": ("v", "mean")})
+        gp = got.select("k", "cs", "cmax", "cmin", "cc", "cmean").orderBy("k").toPandas()
+        for c in ["cs", "cmax", "cmin", "cmean"]:
+            # atol absorbs two-level summation reassociation (~1e-13)
+            # amplified by cancellation where the running sum nears 0
+            np.testing.assert_allclose(gp[c], ref[c], rtol=1e-9, atol=1e-9, err_msg=c)
+        assert gp["cc"].tolist() == ref["cc"].tolist()
+
+    def test_cumprod_signs_and_zero(self, spark):
+        import numpy as np
+
+        vals = [1.5, -2.0, 0.5, -1.0, 3.0, 0.0, 2.0, -4.0]
+        df = spark.createDataFrame(list(enumerate(vals)), "k long, v double")
+        from streamz_spark.operators import windows as ops
+
+        got = ops.cumulative(df, "k", "v", "prod", "cp").orderBy("k").toPandas()
+        want, acc = [], 1.0
+        for v in vals:
+            acc *= v
+            want.append(acc)
+        np.testing.assert_allclose(got["cp"], want, rtol=1e-9, atol=1e-12)
+
+    def test_keyless_plan_has_no_data_side_global_window(self, spark):
+        from streamz_spark.operators import windows as ops
+
+        df = spark.range(5000).select(F.col("id").alias("k"), (F.col("id") % 9).alias("v"))
+        out = ops.cumulative(df, "k", "v", "sum", "cs")
+        plan = out._jdf.queryExecution().optimizedPlan().toString()
+        # every Window node must be keyed (__pid partition spec or
+        # aggregate-summary input), never a bare global sort over data
+        for line in plan.splitlines():
+            if "windowspecdefinition(" in line.lower():
+                assert "__pid" in line, f"unkeyed data window in plan: {line}"
+
+
+class TestKeylessAsof:
+    def _frames(self, spark, unique_right=True):
+        import pandas as pd
+
+        rng = random.Random(13)
+        left = [(rng.randint(0, 50000), i) for i in range(2000)]
+        rts = rng.sample(range(0, 50000), 600)
+        right = [(t, float(i)) for i, t in enumerate(rts)]
+        ldf = spark.createDataFrame(left, "ts long, lid long").repartition(7)
+        rdf = spark.createDataFrame(right, "ts long, rv double").repartition(5)
+        lp = pd.DataFrame(left, columns=["ts", "lid"]).sort_values("ts", kind="stable")
+        rp = pd.DataFrame(right, columns=["ts", "rv"]).sort_values("ts", kind="stable")
+        return ldf, rdf, lp, rp
+
+    @pytest.mark.parametrize("direction", ["backward", "forward"])
+    def test_matches_merge_asof(self, spark, direction):
+        import pandas as pd
+
+        from streamz_spark.operators.joins import asof_join
+
+        ldf, rdf, lp, rp = self._frames(spark)
+        got = asof_join(ldf, rdf, on="ts", direction=direction).orderBy("lid").toPandas()
+        want = pd.merge_asof(lp, rp, on="ts", direction=direction).sort_values("lid")
+        assert got["rv_right"].fillna(-1).tolist() == want["rv"].fillna(-1).tolist()
+
+    def test_plan_no_keyless_data_window(self, spark):
+        from streamz_spark.operators.joins import asof_join
+
+        ldf, rdf, _, _ = self._frames(spark)
+        out = asof_join(ldf, rdf, on="ts")
+        plan = out._jdf.queryExecution().optimizedPlan().toString()
+        for line in plan.splitlines():
+            if "windowspecdefinition(" in line.lower():
+                assert "__pid" in line, f"unkeyed data window in plan: {line}"
