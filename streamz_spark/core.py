@@ -155,13 +155,14 @@ class Stream:
 
     # ---------- windows & batching (reference core.py:1078-1481) ----------
     def sliding_window(self, n: int, return_partial: bool = True) -> "Stream":
-        """Overlapping tuples of the last n events (core.py:1269-1316)."""
-        w = W.orderBy(self.seq_col).rowsBetween(-(n - 1), 0)
-        out = self.df.select(
-            self.seq_col, F.collect_list("value").over(w).alias("value")
+        """Overlapping tuples of the last n events (core.py:1269-1316).
+        Distributed via explode + window-id groupBy (shuffle ∝ output
+        size), not a single-task global window."""
+        from streamz_spark.operators.windows import sliding_tuples_global
+
+        out = sliding_tuples_global(
+            self.df, self.seq_col, "value", n, "value", return_partial
         )
-        if not return_partial:
-            out = out.filter(F.size("value") == n)
         return self._with(out)
 
     def partition(self, n: int, key: str | None = None) -> "Stream":

@@ -287,12 +287,70 @@ def sliding_window_list(
 ) -> DataFrame:
     """Overlapping tuples of the last n events (reference sliding_window,
     core.py:1269-1316) — collect_list over a row frame.
+
+    Keyless dispatches to :func:`sliding_tuples_global` (explode +
+    window-id groupBy, parallel); keyed stays a row-frame window on the
+    key shuffle.
     """
-    w = W.partitionBy(*(partition_by or [])).orderBy(order_by).rowsBetween(-(n - 1), 0)
+    if not partition_by:
+        return sliding_tuples_global(df, order_by, col, n, out_name, return_partial)
+    w = W.partitionBy(*partition_by).orderBy(order_by).rowsBetween(-(n - 1), 0)
     out = df.withColumn(out_name, F.collect_list(col).over(w))
     if not return_partial:
         out = out.filter(F.size(out_name) == n)
     return out
+
+
+def sliding_tuples_global(
+    df: DataFrame,
+    order_by: str,
+    col: str,
+    n: int,
+    out_name: str = "window",
+    return_partial: bool = True,
+) -> DataFrame:
+    """Global-order sliding tuples without a single-task window.
+
+    Each row at dense position p (operators.order.global_index) is a
+    member of windows p..p+n-1, so it explodes into n (window_id, value)
+    contributions; grouping on window_id rebuilds each trailing tuple.
+    The shuffle moves n·rows records — proportional to the OUTPUT
+    (every sliding-window result is an n-tuple), i.e. the minimum any
+    distribution of this operator must pay. Windows past the last row
+    are dropped by requiring the window's own row (pos == window_id)
+    to be present.
+    """
+    from streamz_spark.operators.order import global_index
+
+    idx = global_index(df.select(order_by, col), [order_by], "__pos")
+    contrib = idx.select(
+        F.col(order_by),
+        F.col(col),
+        F.col("__pos"),
+        F.explode(
+            F.sequence(F.col("__pos"), F.col("__pos") + F.lit(n - 1))
+        ).alias("__w"),
+    )
+    grouped = (
+        contrib.groupBy("__w")
+        .agg(
+            F.sort_array(
+                F.collect_list(F.struct(F.col("__pos"), F.col(col).alias("v")))
+            ).alias("__m"),
+            F.max("__pos").alias("__maxp"),
+            F.max_by(F.col(order_by), F.col("__pos")).alias(order_by),
+        )
+        # keep only windows anchored at a real row (tail windows whose
+        # anchor position exceeds the data are artifacts of the explode)
+        .filter(F.col("__maxp") == F.col("__w"))
+        .select(
+            order_by,
+            F.transform("__m", lambda m: m.getField("v")).alias(out_name),
+        )
+    )
+    if not return_partial:
+        grouped = grouped.filter(F.size(out_name) == n)
+    return grouped
 
 
 def tumbling_window(

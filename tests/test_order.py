@@ -169,3 +169,30 @@ class TestKeylessAsof:
         for line in plan.splitlines():
             if "windowspecdefinition(" in line.lower():
                 assert "__pid" in line, f"unkeyed data window in plan: {line}"
+
+
+class TestSlidingTuplesGlobal:
+    def test_matches_window_formulation(self, spark):
+        from pyspark.sql import Window as W
+
+        from streamz_spark.operators.windows import sliding_tuples_global
+
+        rows = [(k, float(k * 3 % 17)) for k in random.Random(2).sample(range(40000), 1500)]
+        df = spark.createDataFrame(rows, "k long, v double").repartition(9)
+        w = W.orderBy("k").rowsBetween(-4, 0)
+        ref = (
+            df.select("k", F.collect_list("v").over(w).alias("win"))
+            .orderBy("k").toPandas()
+        )
+        got = sliding_tuples_global(df, "k", "v", 5, "win").orderBy("k").toPandas()
+        assert got["k"].tolist() == ref["k"].tolist()
+        assert [list(x) for x in got["win"]] == [list(x) for x in ref["win"]]
+
+    def test_drop_partials(self, spark):
+        from streamz_spark.operators.windows import sliding_tuples_global
+
+        df = spark.createDataFrame([(i, float(i)) for i in range(10)], "k long, v double")
+        got = sliding_tuples_global(df, "k", "v", 4, "win", return_partial=False)
+        pdf = got.orderBy("k").toPandas()
+        assert len(pdf) == 7  # windows anchored at rows 3..9
+        assert [list(x) for x in pdf["win"]][0] == [0.0, 1.0, 2.0, 3.0]
