@@ -29,7 +29,7 @@ HEADLINE = [
     "tpch_q3_shipping_priority",
     "tpch_q5_local_supplier_volume",
     "tpch_q6_forecast_revenue",
-    "rolling_count_window",
+    "rolling_windows",
     "cumulative_expanding",
     "sessionize",
     "asof_join_enrich",

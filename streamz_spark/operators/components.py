@@ -1,0 +1,132 @@
+"""Distributed connected components for duplicate-cluster resolution.
+
+Near-dup pair ops (`operators.dedup`) emit *edges*; turning edges into
+deduplication decisions needs the connected components of the pair
+graph — a transitive-closure step the reference's single-process model
+never needed, but which is mandatory at corpus scale (A≈B, B≈C must
+collapse into one cluster even when A,C were never compared).
+
+Algorithm: alternating large-star / small-star (Kiveris et al.,
+"Connected Components in MapReduce and Beyond", SoCC'14 — public
+literature). Each round is two shuffle stages (groupBy min-neighbor +
+re-emit edges); the edge set converges to stars whose centers are the
+component minima in O(log² n) rounds — for duplicate clusters (near-
+cliques of diameter ≤ 2) it converges in 2-3 rounds. Compare: naive
+min-label propagation needs O(diameter) rounds, which dies on chain-
+shaped near-dup graphs (doc A ≈ B ≈ C ≈ ... from incremental edits).
+
+Scale notes: every stage shuffles on vertex id (high-cardinality,
+balanced); per-round `localCheckpoint` truncates the lineage so plan
+size stays constant across iterations (the classic iterative-Spark
+trap: without it the DAG doubles every round and planning time, not
+compute, becomes the bottleneck). Convergence is detected from two
+cheap aggregates (edge count + an order-independent xxhash64 sum),
+one job per round.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+__all__ = ["connected_components", "dedup_clusters"]
+
+
+def _canonical(edges: DataFrame) -> DataFrame:
+    """Undirected edge set as canonical (u < v) pairs, no self-loops."""
+    u, v = F.col("u"), F.col("v")
+    return (
+        edges.select(F.least(u, v).alias("u"), F.greatest(u, v).alias("v"))
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+    )
+
+
+def _star_round(edges: DataFrame, large: bool) -> DataFrame:
+    """One large-star (connect strictly-greater neighbors to the min)
+    or small-star (connect not-greater neighbors to the min) round.
+
+    Neighborhoods are formed over the symmetric edge list; `m` is the
+    min of each center's neighborhood including itself.
+    """
+    sym = edges.union(edges.select(F.col("v").alias("u"), F.col("u").alias("v")))
+    m = (
+        sym.groupBy("u").agg(F.min("v").alias("mn"))
+        .select("u", F.least(F.col("u"), F.col("mn")).alias("m"))
+    )
+    nbrs = sym.join(m, "u")
+    cond = F.col("v") > F.col("u") if large else F.col("v") <= F.col("u")
+    out = nbrs.filter(cond).select(F.col("v").alias("u"), F.col("m").alias("v"))
+    # the center keeps its own link to m so singleton stars survive
+    out = out.union(m.select("u", F.col("m").alias("v")))
+    return _canonical(out)
+
+
+def connected_components(
+    edges: DataFrame,
+    src: str = "id_a",
+    dst: str = "id_b",
+    max_iter: int = 25,
+) -> DataFrame:
+    """Resolve the connected components of an undirected edge list.
+
+    Returns one row per vertex appearing in `edges`:
+    ``(id, component)`` where ``component`` is the smallest vertex id
+    in the vertex's component — a deterministic, join-stable cluster
+    key (no dependence on iteration order or partitioning).
+    """
+    e = _canonical(edges.select(F.col(src).alias("u"), F.col(dst).alias("v")))
+    e = e.localCheckpoint(eager=True)
+
+    prev_sig = None
+    for _ in range(max_iter):
+        e = _star_round(e, large=True)
+        e = _star_round(e, large=False)
+        e = e.localCheckpoint(eager=True)  # constant-size plan per round
+        sig = e.agg(
+            F.count(F.lit(1)).alias("n"),
+            # decimal accumulator: a long sum of 64-bit hashes overflows
+            # under ANSI mode
+            F.sum(F.xxhash64("u", "v").cast("decimal(38,0)")).alias("h"),
+        ).first()
+        if (sig["n"], sig["h"]) == prev_sig:
+            break
+        prev_sig = (sig["n"], sig["h"])
+
+    # at convergence every edge points a vertex at its component min;
+    # vertices that ended as centers label themselves
+    members = e.select(F.col("v").alias("id"), F.col("u").alias("component"))
+    centers = e.select(F.col("u").alias("id"), F.col("u").alias("component"))
+    return (
+        members.union(centers)
+        .groupBy("id")
+        .agg(F.min("component").alias("component"))
+    )
+
+
+def dedup_clusters(
+    docs: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    src: str = "id_a",
+    dst: str = "id_b",
+) -> DataFrame:
+    """Near-duplicate clusters from a pair list: connected components
+    + per-cluster size and kept (min-id) representative.
+
+    Output: ``(doc_id, cluster_id, cluster_size, keep)`` for every doc
+    in a multi-doc cluster. The downstream dedup transform is
+    ``docs.join(clusters.filter(~keep), on=id, how='left_anti')`` —
+    an anti-join against only the drop list, so untouched docs never
+    shuffle.
+    """
+    cc = connected_components(pairs, src, dst)
+    sizes = cc.groupBy("component").agg(F.count(F.lit(1)).alias("cluster_size"))
+    return (
+        cc.join(sizes, "component")
+        .select(
+            F.col("id").alias(id_col),
+            F.col("component").alias("cluster_id"),
+            "cluster_size",
+            (F.col("id") == F.col("component")).alias("keep"),
+        )
+    )

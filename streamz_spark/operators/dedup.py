@@ -28,16 +28,20 @@ __all__ = [
 ]
 
 
-def exact_duplicates(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+def exact_duplicates(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text",
+    min_group: int = 2,
+) -> DataFrame:
     """Groups of byte-identical (normalized) documents: fingerprint →
-    groupBy → keep groups with >1 member. One shuffle on the md5 key.
+    groupBy → keep groups with ≥ ``min_group`` members (default: only
+    true duplicate groups; ``min_group=1`` returns every group — the
+    dedup transform's kept representatives). One shuffle on the md5 key.
     """
     fp = df.select(F.col(id_col), fingerprint(text_col, "fp"))
-    return (
-        fp.groupBy("fp")
-        .agg(F.count(F.lit(1)).alias("n_dups"), F.min(id_col).alias("keep_id"))
-        .filter(F.col("n_dups") > 1)
+    out = fp.groupBy("fp").agg(
+        F.count(F.lit(1)).alias("n_dups"), F.min(id_col).alias("keep_id")
     )
+    return out.filter(F.col("n_dups") >= min_group) if min_group > 1 else out
 
 
 def dedup_exact(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:

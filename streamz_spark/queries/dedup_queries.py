@@ -32,37 +32,33 @@ _SHINGLE_SQL = """
 
 
 @register(
-    "dedup_exact_groups",
-    oracle="""
-        SELECT md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fp,
-               COUNT(*) AS n_dups,
-               MIN(doc_id) AS keep_id
-        FROM documents
-        GROUP BY 1
-        HAVING COUNT(*) > 1
-    """,
-    doc="exact dedup: fingerprint → hash-groupBy → duplicate groups (one shuffle on md5 key)",
-)
-def dedup_exact_groups(spark, sf_dir):
-    docs = load_table(spark, sf_dir, "documents")
-    return dd.exact_duplicates(docs)
-
-
-@register(
-    "dedup_exact_keep",
+    "dedup_exact",
+    # one entry for both halves of exact dedup: the kept (min-id)
+    # representative per fingerprint group + that group's size. A
+    # group_size > 1 row is the duplicate-groups report; group_size = 1
+    # rows are the pass-through docs — the actual dedup transform output.
     oracle="""
         WITH fp AS (
             SELECT doc_id, md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS f
             FROM documents
         )
-        SELECT doc_id FROM fp
-        WHERE doc_id = (SELECT MIN(doc_id) FROM fp f2 WHERE f2.f = fp.f)
+        SELECT doc_id, group_size FROM (
+            SELECT doc_id,
+                   COUNT(*) OVER (PARTITION BY f) AS group_size,
+                   MIN(doc_id) OVER (PARTITION BY f) AS keep
+            FROM fp
+        ) WHERE doc_id = keep
     """,
-    doc="exact dedup transform: keep min-id representative per fingerprint group",
+    doc="exact dedup: fingerprint → hash-groupBy on md5 key (one shuffle) "
+        "→ keep min-id representative per group, with the group size "
+        "(duplicate-groups report and dedup transform in one output)",
 )
-def dedup_exact_keep(spark, sf_dir):
+def dedup_exact(spark, sf_dir):
     docs = load_table(spark, sf_dir, "documents")
-    return dd.dedup_exact(docs).select("doc_id")
+    groups = dd.exact_duplicates(docs, min_group=1)
+    return groups.select(
+        F.col("keep_id").alias("doc_id"), F.col("n_dups").alias("group_size")
+    )
 
 
 @register(
@@ -130,6 +126,61 @@ def ngram_jaccard_pairs(spark, sf_dir):
 def minhash_near_duplicates(spark, sf_dir):
     docs = load_table(spark, sf_dir, "documents")
     return dd.minhash_near_duplicates(docs, num_perm=64, bands=16, threshold=0.5)
+
+
+@register(
+    "dedup_clusters",
+    # transitive closure over the exact n-gram pair set (same k=3,
+    # threshold=0.5, max_df=50 as ngram_jaccard_pairs, so edge sets are
+    # identical on both engines). The oracle walks reachability with a
+    # recursive CTE; the Spark side runs alternating large-star/small-
+    # star rounds — different algorithms, same fixpoint.
+    oracle=f"""
+        WITH RECURSIVE sh AS ({_SHINGLE_SQL}),
+        sized AS (SELECT id, len(sh) AS n_sh FROM sh WHERE len(sh) > 0),
+        posting0 AS (SELECT id, unnest(sh) AS shingle FROM sh),
+        hot AS (SELECT shingle FROM posting0 GROUP BY shingle HAVING COUNT(*) > 50),
+        posting AS (SELECT * FROM posting0 WHERE shingle NOT IN (SELECT shingle FROM hot)),
+        inter AS (
+            SELECT a.id AS id_a, b.id AS id_b, COUNT(*) AS n_common
+            FROM posting a JOIN posting b
+              ON a.shingle = b.shingle AND a.id < b.id
+            GROUP BY 1, 2
+        ),
+        pairs AS (
+            SELECT id_a, id_b
+            FROM inter
+            JOIN sized na ON na.id = id_a
+            JOIN sized nb ON nb.id = id_b
+            WHERE n_common / (na.n_sh + nb.n_sh - n_common) >= 0.5
+        ),
+        edges AS (
+            SELECT id_a AS u, id_b AS v FROM pairs
+            UNION SELECT id_b, id_a FROM pairs
+        ),
+        reach AS (
+            SELECT DISTINCT u AS id, u AS r FROM edges
+            UNION
+            SELECT e.v AS id, reach.r FROM reach JOIN edges e ON e.u = reach.id
+        ),
+        comp AS (SELECT id, MIN(r) AS cluster_id FROM reach GROUP BY id),
+        sizes AS (SELECT cluster_id, COUNT(*) AS cluster_size
+                  FROM comp GROUP BY cluster_id)
+        SELECT comp.id AS doc_id, comp.cluster_id, sizes.cluster_size,
+               comp.id = comp.cluster_id AS keep
+        FROM comp JOIN sizes USING (cluster_id)
+    """,
+    doc="duplicate-cluster resolution: connected components over the "
+        "near-dup pair graph (alternating large-star/small-star rounds, "
+        "O(log^2 n) convergence, localCheckpoint-truncated lineage) with "
+        "per-cluster size and kept min-id representative",
+)
+def dedup_clusters(spark, sf_dir):
+    from streamz_spark.operators.components import dedup_clusters as dc
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = dd.ngram_jaccard_pairs(docs, k=3, threshold=0.5, max_df=50)
+    return dc(docs, pairs)
 
 
 @register(

@@ -53,41 +53,28 @@ def map_assign(spark, sf_dir):
 
 
 @register(
-    "filter_query",
+    "filter_query_pluck",
     oracle="""
-        SELECT event_id, user_id, event_type, value
+        SELECT event_id, user_id, event_type, value,
+               CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
         FROM events
         WHERE value > 100 AND event_type IN ('purchase', 'click')
           AND value < 400 AND user_id % 2 = 0
     """,
     doc="sdf[sdf.x > 4] boolean-mask filter (streamz dataframe/"
         "core.py:239-246) chained with sdf.query('x > 1 and x < 4') "
-        "(dataframe/core.py:294-296): Column predicate + SQL-string "
-        "predicate compose into one pushed-down scan filter",
+        "(dataframe/core.py:294-296) and Stream.pluck + map(json.loads) "
+        "(core.py:1862-1898): Column predicate + SQL-string predicate "
+        "compose into one pushed-down scan filter; the JSON pluck is the "
+        "from_json/get_json_object builtin on the surviving rows",
 )
-def filter_query(spark, sf_dir):
+def filter_query_pluck(spark, sf_dir):
     ev = load_table(spark, sf_dir, "events")
     masked = ev.filter(
         (F.col("value") > 100) & F.col("event_type").isin("purchase", "click")
     )
     return masked.filter("value < 400 AND user_id % 2 = 0").select(
-        "event_id", "user_id", "event_type", "value"
-    )
-
-
-@register(
-    "pluck_json",
-    oracle="""
-        SELECT event_id,
-               CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
-        FROM events
-    """,
-    doc="Stream.pluck + map(json.loads) — streamz core.py:1862-1898, test_dataframes.py:468; from_json builtin",
-)
-def pluck_json(spark, sf_dir):
-    ev = load_table(spark, sf_dir, "events")
-    return ev.select(
-        "event_id",
+        "event_id", "user_id", "event_type", "value",
         F.get_json_object("props", "$.k").cast("long").alias("k"),
     )
 

@@ -69,7 +69,7 @@ def cumulative_expanding(spark, sf_dir):
 
 
 @register(
-    "rolling_count_window",
+    "rolling_windows",
     # quantiles: both engines sort the frame and linearly interpolate on
     # the same doubles — raw values compare bit-exact
     oracle="""
@@ -80,16 +80,22 @@ def cumulative_expanding(spark, sf_dir):
                MAX(value) OVER w AS roll_max,
                COUNT(value) OVER w AS roll_count,
                quantile_cont(value, 0.5) OVER w AS roll_median,
-               quantile_cont(value, 0.9) OVER w AS roll_p90
-        FROM events
+               quantile_cont(value, 0.9) OVER w AS roll_p90,
+               ROUND(SUM(value) OVER tw, 6) AS t_roll_sum,
+               COUNT(value) OVER tw         AS t_roll_count
+        FROM (SELECT *, epoch_us(ts) AS e FROM events)
         WINDOW w AS (PARTITION BY user_id ORDER BY event_id
-                     ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
+                     ROWS BETWEEN 6 PRECEDING AND CURRENT ROW),
+               tw AS (PARTITION BY user_id ORDER BY e
+                     RANGE BETWEEN 3599999999 PRECEDING AND CURRENT ROW)
     """,
     doc="sdf.rolling(7) agg matrix (streamz dataframe/core.py:94-127,"
         "757-770; row frame replaces backlog deque) incl. the exact "
-        "interpolated rolling quantile/median",
+        "interpolated rolling quantile/median, PLUS sdf.rolling('1h') "
+        "(dataframe/core.py:430-510; range frame on epoch µs, (t-1h, t]) "
+        "— both §2.4 rolling rows in one scan, two window frames",
 )
-def rolling_count_window(spark, sf_dir):
+def rolling_windows(spark, sf_dir):
     ev = load_table(spark, sf_dir, "events")
     out = ops.rolling_count_window(
         ev,
@@ -104,6 +110,11 @@ def rolling_count_window(spark, sf_dir):
         n=7,
         partition_by=["user_id"],
     )
+    out = ops.rolling_time_window(
+        out, "ts", 3600.0,
+        {"t_roll_sum": ("value", "sum"), "t_roll_count": ("value", "count")},
+        partition_by=["user_id"],
+    )
     w = W.partitionBy("user_id").orderBy("event_id").rowsBetween(-6, 0)
     return out.select(
         "event_id", "user_id",
@@ -112,32 +123,8 @@ def rolling_count_window(spark, sf_dir):
         "roll_min", "roll_max", "roll_count",
         F.percentile("value", F.lit(0.5)).over(w).alias("roll_median"),
         F.percentile("value", F.lit(0.9)).over(w).alias("roll_p90"),
-    )
-
-
-@register(
-    "rolling_time_window",
-    oracle="""
-        SELECT event_id, user_id,
-               ROUND(SUM(value) OVER w, 6)  AS roll_sum,
-               COUNT(value) OVER w          AS roll_count
-        FROM (SELECT *, epoch_us(ts) AS e FROM events)
-        WINDOW w AS (PARTITION BY user_id ORDER BY e
-                     RANGE BETWEEN 3599999999 PRECEDING AND CURRENT ROW)
-    """,
-    doc="sdf.rolling('1h') — streamz dataframe/core.py:430-510; range frame on epoch µs, (t-1h, t]",
-)
-def rolling_time_window(spark, sf_dir):
-    ev = load_table(spark, sf_dir, "events")
-    out = ops.rolling_time_window(
-        ev, "ts", 3600.0,
-        {"roll_sum": ("value", "sum"), "roll_count": ("value", "count")},
-        partition_by=["user_id"],
-    )
-    return out.select(
-        "event_id", "user_id",
-        F.round("roll_sum", 6).alias("roll_sum"),
-        "roll_count",
+        F.round("t_roll_sum", 6).alias("t_roll_sum"),
+        "t_roll_count",
     )
 
 

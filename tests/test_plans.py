@@ -113,12 +113,12 @@ def test_groupby_has_partial_aggregation(spark):
 
 def test_single_shuffle_for_keyed_window(spark):
     # one Exchange (hash by user_id) should cover all the window aggs
-    df = q("rolling_count_window", spark)
+    df = q("rolling_windows", spark)
     assert exchange_count(df) == 1
 
 
 def test_filter_pushdown_events(spark):
-    df = q("filter_query", spark)
+    df = q("filter_query_pluck", spark)
     pf = " ".join(pushed_filters(df))
     assert "value" in pf and "event_type" in pf
 
