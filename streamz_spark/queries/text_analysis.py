@@ -144,3 +144,97 @@ def text_language_id(spark, sf_dir):
 def doc_fingerprint(spark, sf_dir):
     docs = load_table(spark, sf_dir, "documents")
     return docs.select("doc_id", ops.fingerprint("text", "fingerprint"))
+
+
+@register(
+    "contamination_check",
+    # k=7 shingles at this corpus size (docs avg ~54 words); published
+    # decontamination pipelines use k=13 on web-scale text — same op,
+    # different knob. Benchmark stand-in: the deterministic doc_id%97
+    # sample (both engines compute the identical set).
+    oracle="""
+        WITH w AS (
+            SELECT doc_id,
+                   CASE WHEN length(trim(lower(text))) = 0 THEN []::VARCHAR[]
+                        ELSE regexp_split_to_array(trim(lower(text)), '\\s+')
+                   END AS w
+            FROM documents
+        ),
+        sh AS (
+            SELECT doc_id,
+                   list_distinct(list_transform(
+                       generate_series(1, greatest(len(w) - 6, 0)),
+                       i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2] || ' ' ||
+                            w[i+3] || ' ' || w[i+4] || ' ' || w[i+5] || ' ' || w[i+6]
+                   )) AS sh
+            FROM w
+        ),
+        bench AS (
+            SELECT DISTINCT unnest(sh) AS shingle FROM sh WHERE doc_id % 97 = 0
+        ),
+        posting AS (SELECT doc_id, unnest(sh) AS shingle FROM sh),
+        hits AS (
+            SELECT doc_id, COUNT(*) AS n_hits
+            FROM posting JOIN bench USING (shingle)
+            GROUP BY doc_id
+        )
+        SELECT s.doc_id,
+               len(s.sh)::BIGINT AS n_shingles,
+               COALESCE(h.n_hits, 0)::BIGINT AS n_hits,
+               CASE WHEN len(s.sh) > 0
+                    THEN COALESCE(h.n_hits, 0) / len(s.sh) ELSE 0.0 END AS overlap,
+               (CASE WHEN len(s.sh) > 0
+                     THEN COALESCE(h.n_hits, 0) / len(s.sh) ELSE 0.0 END) >= 0.5
+                   AS contaminated
+        FROM sh s LEFT JOIN hits h USING (doc_id)
+    """,
+    doc="benchmark decontamination (GPT-3 appx C / Gopher A.1 recipe): "
+        "per-doc fraction of distinct k-gram shingles hitting the "
+        "benchmark shingle set; corpus scanned once, benchmark side "
+        "collapsed to a distinct-shingle join (AQE broadcasts when small)",
+)
+def contamination_check(spark, sf_dir):
+    from streamz_spark.operators.contamination import contamination_check as cc
+
+    docs = load_table(spark, sf_dir, "documents")
+    bench = docs.filter(F.col("doc_id") % 97 == 0)
+    out = cc(docs, bench, k=7, threshold=0.5)
+    return out.select(
+        "doc_id",
+        F.col("n_shingles").cast("long").alias("n_shingles"),
+        "n_hits", "overlap", "contaminated",
+    )
+
+
+@register(
+    "train_val_split",
+    # hash-bucket split + exact stratified sample in one output. md5-
+    # derived buckets are bit-identical across engines, so the oracle
+    # recomputes the identical assignment (portability is the point:
+    # the same rows land in the same split on any engine).
+    oracle="""
+        WITH h AS (
+            SELECT doc_id, lang,
+                   ('0x' || substr(md5('42:' || doc_id), 1, 8))::BIGINT % 10000 AS bucket,
+                   ('0x' || substr(md5('42#' || doc_id), 1, 12))::BIGINT AS ord
+            FROM documents
+        )
+        SELECT doc_id, lang,
+               CASE WHEN bucket < 9000 THEN 'train'
+                    WHEN bucket < 9500 THEN 'val'
+                    ELSE 'test' END AS split,
+               (ROW_NUMBER() OVER (PARTITION BY lang ORDER BY ord, doc_id)) <= 10
+                   AS eval_sampled
+        FROM h
+    """,
+    doc="deterministic train/val/test hash split (map-side, no shuffle, "
+        "stable under corpus growth) + exact per-language stratified "
+        "sample flag (seeded-hash rank); both md5-portable across engines",
+)
+def train_val_split(spark, sf_dir):
+    from streamz_spark.operators.sampling import hash_split, stratified_sample
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "lang")
+    out = hash_split(docs, "doc_id")
+    out = stratified_sample(out, ["lang"], 10, "doc_id", flag_col="eval_sampled")
+    return out.select("doc_id", "lang", "split", "eval_sampled")

@@ -1,0 +1,99 @@
+"""hash_split / stratified_sample (operators/sampling.py) and
+contamination_check (operators/contamination.py)."""
+
+import hashlib
+
+import pytest
+from pyspark.sql import functions as F
+
+from streamz_spark.operators.contamination import contamination_check
+from streamz_spark.operators.sampling import hash_bucket, hash_split, stratified_sample
+
+
+def _py_bucket(i, seed="42", buckets=10_000):
+    return int(hashlib.md5(f"{seed}:{i}".encode()).hexdigest()[:8], 16) % buckets
+
+
+class TestHashSplit:
+    def test_matches_python_md5(self, spark):
+        df = spark.createDataFrame([(i,) for i in range(500)], "id long")
+        got = {r.id: r.bucket for r in df.select("id", hash_bucket("id").alias("bucket")).collect()}
+        assert got == {i: _py_bucket(i) for i in range(500)}
+
+    def test_split_proportions_and_determinism(self, spark):
+        df = spark.createDataFrame([(i,) for i in range(5000)], "id long")
+        out = hash_split(df, "id")
+        counts = {r.split: r["count"] for r in out.groupBy("split").count().collect()}
+        assert set(counts) == {"train", "val", "test"}
+        assert counts["train"] == pytest.approx(4500, rel=0.05)
+        # same rows → same assignment on a second run
+        again = {r.id: r.split for r in hash_split(df, "id").collect()}
+        first = {r.id: r.split for r in out.collect()}
+        assert first == again
+
+    def test_stable_under_growth(self, spark):
+        # adding rows must not move existing assignments
+        small = hash_split(spark.createDataFrame([(i,) for i in range(100)], "id long"), "id")
+        big = hash_split(spark.createDataFrame([(i,) for i in range(200)], "id long"), "id")
+        s = {r.id: r.split for r in small.collect()}
+        b = {r.id: r.split for r in big.collect()}
+        assert all(b[i] == s[i] for i in s)
+
+    def test_no_shuffle_in_plan(self, spark):
+        from streamz_spark.plans.inspect import exchange_count
+
+        df = spark.createDataFrame([(i,) for i in range(10)], "id long")
+        assert exchange_count(hash_split(df, "id")) == 0
+
+
+class TestStratifiedSample:
+    def test_exact_n_per_stratum(self, spark):
+        rows = [(i, "abc"[i % 3]) for i in range(300)]
+        df = spark.createDataFrame(rows, "id long, g string")
+        out = stratified_sample(df, ["g"], 7, "id")
+        counts = {r.g: r["count"] for r in out.groupBy("g").count().collect()}
+        assert counts == {"a": 7, "b": 7, "c": 7}
+
+    def test_flag_mode_keeps_all_rows(self, spark):
+        rows = [(i, "ab"[i % 2]) for i in range(50)]
+        df = spark.createDataFrame(rows, "id long, g string")
+        out = stratified_sample(df, ["g"], 5, "id", flag_col="sampled")
+        assert out.count() == 50
+        assert out.filter("sampled").count() == 10
+
+    def test_small_stratum_returns_all(self, spark):
+        df = spark.createDataFrame([(1, "x"), (2, "x")], "id long, g string")
+        assert stratified_sample(df, ["g"], 10, "id").count() == 2
+
+
+class TestContamination:
+    def test_exact_copy_is_contaminated(self, spark):
+        bench_text = "the quick brown fox jumps over the lazy dog again and again"
+        docs = spark.createDataFrame(
+            [
+                (1, bench_text),                      # exact benchmark copy
+                (2, "totally unrelated words here nothing shared at all among these tokens"),
+                (3, bench_text + " with a small suffix appended here"),  # superset
+            ],
+            "doc_id long, text string",
+        )
+        bench = spark.createDataFrame([(99, bench_text)], "doc_id long, text string")
+        out = {r.doc_id: r for r in contamination_check(docs, bench, k=5, threshold=0.5).collect()}
+        assert out[1].contaminated and out[1].overlap == 1.0
+        assert not out[2].contaminated and out[2].n_hits == 0
+        assert out[3].contaminated  # most of its shingles are benchmark shingles
+
+    def test_short_doc_reported_zero(self, spark):
+        docs = spark.createDataFrame([(1, "too short")], "doc_id long, text string")
+        bench = spark.createDataFrame([(9, "some benchmark text that is long enough ok")],
+                                      "doc_id long, text string")
+        r = contamination_check(docs, bench, k=5).collect()[0]
+        assert r.n_shingles == 0 and r.overlap == 0.0 and not r.contaminated
+
+    def test_corpus_scanned_once_no_self_join(self, spark):
+        docs = spark.createDataFrame(
+            [(i, f"w{i} a b c d e f g h i j") for i in range(20)], "doc_id long, text string")
+        bench = docs.filter("doc_id < 2")
+        out = contamination_check(docs, bench, k=3)
+        plan = out._jdf.queryExecution().optimizedPlan().toString()
+        assert "CartesianProduct" not in plan and "NestedLoop" not in plan
