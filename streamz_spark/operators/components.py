@@ -66,6 +66,8 @@ def connected_components(
     src: str = "id_a",
     dst: str = "id_b",
     max_iter: int = 25,
+    mode: str = "auto",
+    driver_limit: int = 2_000_000,
 ) -> DataFrame:
     """Resolve the connected components of an undirected edge list.
 
@@ -73,9 +75,40 @@ def connected_components(
     ``(id, component)`` where ``component`` is the smallest vertex id
     in the vertex's component — a deterministic, join-stable cluster
     key (no dependence on iteration order or partitioning).
+
+    ``mode="auto"`` dispatches on edge count (known for free from the
+    initial materialization): up to ``driver_limit`` edges, a driver-
+    side union-find (path-halving) labels the graph in one pass —
+    distributed star rounds on a small graph spend minutes of
+    scheduler latency on ~50 near-empty stages to produce what the
+    driver computes in milliseconds. Above the limit (the 100 TB
+    path), alternating large-star/small-star rounds run fully
+    distributed. Same fixpoint either way (differential-tested);
+    2M edges ≈ 32 MB driver memory, far below any driver heap.
     """
     e = _canonical(edges.select(F.col(src).alias("u"), F.col(dst).alias("v")))
     e = e.localCheckpoint(eager=True)
+
+    if mode == "auto":
+        mode = "driver" if e.count() <= driver_limit else "distributed"
+    if mode == "driver":
+        parent: dict = {}
+
+        def find(x):
+            parent.setdefault(x, x)
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for row in e.toLocalIterator():
+            ra, rb = find(row["u"]), find(row["v"])
+            if ra != rb:
+                parent[max(ra, rb)] = min(ra, rb)
+        labels = [(v, find(v)) for v in parent]
+        return edges.sparkSession.createDataFrame(
+            labels, "id long, component long"
+        )
 
     prev_sig = None
     for _ in range(max_iter):
