@@ -38,6 +38,9 @@ HEADLINE = [
     "ewm_mean_per_user",
     "ngram_jaccard_pairs",
     "minhash_near_duplicates",
+    "dedup_clusters",
+    "contamination_check",
+    "train_val_split",
     "embedding_near_dups",
     "ann_brute_force_topk",
     "text_quality_profile",
