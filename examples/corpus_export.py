@@ -20,6 +20,7 @@ from streamz_spark import get_spark, load_table
 from streamz_spark.operators import dedup as dd
 from streamz_spark.operators import export as ex
 from streamz_spark.operators import quality as q
+from streamz_spark.operators import sampling as sa
 from streamz_spark.operators.text import token_count
 
 
@@ -37,7 +38,7 @@ def main(sf_dir: str = "/root/testdata/sf0.01"):
     print("exact dedup ->", deduped.count())
 
     # 3. deterministic split: same ids land in 'test' on every run
-    split = ex.hash_split(deduped, "doc_id", test_frac=0.05, seed=42)
+    split = sa.hash_split_fast(deduped, "doc_id", test_frac=0.05, seed=42)
     print("split:", {r["split"]: r["count"] for r in split.groupBy("split").count().collect()})
 
     # 4. pack the train shard into 512-token sequences

@@ -1,6 +1,6 @@
-"""Training-data export operators: deterministic global shuffle,
-reproducible train/test splits, stratified sampling, and token-budget
-sequence packing.
+"""Training-data export operators: deterministic global shuffle and
+token-budget sequence packing. (Splits and sampling live in
+:mod:`streamz_spark.operators.sampling`.)
 
 Scale design: no global sort barriers and no driver-side state. The
 shuffle and split are pure hash expressions (narrow or one exchange);
@@ -20,8 +20,6 @@ from pyspark.sql.types import LongType, StructField, StructType
 
 __all__ = [
     "deterministic_shuffle",
-    "hash_split",
-    "stratified_sample",
     "pack_sequences",
 ]
 
@@ -46,34 +44,6 @@ def deterministic_shuffle(
         .sortWithinPartitions("__h", id_col)
         .drop("__h")
     )
-
-
-def hash_split(
-    df: DataFrame,
-    id_col: str,
-    test_frac: float = 0.01,
-    seed: int = 0,
-    split_col: str = "split",
-) -> DataFrame:
-    """Deterministic train/test assignment: a document's split depends
-    only on (id, seed), never on partitioning or row order — the
-    property that keeps eval sets stable across pipeline re-runs.
-    ``pmod(xxhash64(id, seed), 1e6) < test_frac*1e6`` → 'test'.
-    """
-    bucket = F.pmod(F.xxhash64(F.col(id_col), F.lit(seed)), F.lit(1_000_000))
-    return df.withColumn(
-        split_col,
-        F.when(bucket < int(test_frac * 1_000_000), F.lit("test")).otherwise(F.lit("train")),
-    )
-
-
-def stratified_sample(
-    df: DataFrame, strata_col: str, fractions: dict, seed: int = 0
-) -> DataFrame:
-    """Per-stratum sampling (e.g. per-language quotas when rebalancing
-    a corpus). Thin wrapper over ``sampleBy`` — kept as an operator so
-    pipelines name the intent; map-side filter, no shuffle."""
-    return df.sampleBy(strata_col, fractions=fractions, seed=seed)
 
 
 def pack_sequences(

@@ -24,7 +24,13 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, Window as W, functions as F
 
-__all__ = ["hash_bucket", "hash_split", "stratified_sample"]
+__all__ = [
+    "hash_bucket",
+    "hash_split",
+    "hash_split_fast",
+    "stratified_sample",
+    "sample_fractions",
+]
 
 _BUCKETS = 10_000
 
@@ -90,3 +96,35 @@ def stratified_sample(
     if flag_col is not None:
         return ranked.withColumn(flag_col, F.col("__rk") <= n_per_stratum).drop("__rk")
     return ranked.filter(F.col("__rk") <= n_per_stratum).drop("__rk")
+
+
+def hash_split_fast(
+    df: DataFrame,
+    id_col: str,
+    test_frac: float = 0.01,
+    seed: int = 0,
+    split_col: str = "split",
+) -> DataFrame:
+    """Two-way train/test split on ``xxhash64`` — the Spark-internal
+    fast path (codegen'd JVM hash, no md5 string round-trip). Same
+    determinism/growth-stability guarantees as :func:`hash_split`, but
+    assignments are only reproducible *inside Spark* — use
+    :func:`hash_split` when the split must be recomputable by other
+    engines.
+    """
+    bucket = F.pmod(F.xxhash64(F.col(id_col), F.lit(seed)), F.lit(1_000_000))
+    return df.withColumn(
+        split_col,
+        F.when(bucket < int(test_frac * 1_000_000), F.lit("test")).otherwise(F.lit("train")),
+    )
+
+
+def sample_fractions(
+    df: DataFrame, strata_col: str, fractions: dict, seed: int = 0
+) -> DataFrame:
+    """Per-stratum *fractional* sampling (e.g. per-language quotas when
+    rebalancing a corpus) — thin wrapper over ``sampleBy`` so pipelines
+    name the intent; map-side filter, no shuffle, approximate counts.
+    For an exact n-per-stratum carve-out use :func:`stratified_sample`.
+    """
+    return df.sampleBy(strata_col, fractions=fractions, seed=seed)

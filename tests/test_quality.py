@@ -8,6 +8,7 @@ import pytest
 from pyspark.sql import Row, functions as F
 
 from streamz_spark.operators import export as ex
+from streamz_spark.operators import sampling as sa
 from streamz_spark.operators import quality as q
 
 DOCS = [
@@ -136,17 +137,17 @@ def test_pii_scrub_and_counts(spark):
 
 def test_hash_split_deterministic(spark):
     df = spark.range(0, 2000).withColumnRenamed("id", "doc_id")
-    s1 = {r["doc_id"]: r["split"] for r in ex.hash_split(df, "doc_id", 0.2, seed=7).collect()}
+    s1 = {r["doc_id"]: r["split"] for r in sa.hash_split_fast(df, "doc_id", 0.2, seed=7).collect()}
     # same assignment regardless of partitioning
     s2 = {
         r["doc_id"]: r["split"]
-        for r in ex.hash_split(df.repartition(13), "doc_id", 0.2, seed=7).collect()
+        for r in sa.hash_split_fast(df.repartition(13), "doc_id", 0.2, seed=7).collect()
     }
     assert s1 == s2
     frac = sum(1 for v in s1.values() if v == "test") / len(s1)
     assert 0.15 < frac < 0.25
     # different seed -> different assignment
-    s3 = {r["doc_id"]: r["split"] for r in ex.hash_split(df, "doc_id", 0.2, seed=8).collect()}
+    s3 = {r["doc_id"]: r["split"] for r in sa.hash_split_fast(df, "doc_id", 0.2, seed=8).collect()}
     assert s3 != s1
 
 
@@ -203,7 +204,7 @@ def test_stratified_sample(spark):
     df = spark.createDataFrame(
         [(i, "en" if i % 10 < 8 else "de") for i in range(5000)], ["doc_id", "lang"]
     )
-    out = ex.stratified_sample(df, "lang", {"en": 0.1, "de": 1.0}, seed=1).groupBy("lang").count()
+    out = sa.sample_fractions(df, "lang", {"en": 0.1, "de": 1.0}, seed=1).groupBy("lang").count()
     counts = {r["lang"]: r["count"] for r in out.collect()}
     assert counts["de"] == 1000
     assert 250 < counts["en"] < 550
