@@ -28,6 +28,17 @@ def main(sf_dir: str = "/root/testdata/sf0.01"):
     near = dd.minhash_near_duplicates(deduped, num_perm=64, bands=16, threshold=0.5)
     print("near-dup pairs (MinHash->verified Jaccard>=0.5):", near.count())
 
+    # pairs -> clusters (transitive closure) -> drop all but one per cluster
+    from pyspark.sql import functions as F
+
+    from streamz_spark.operators.components import dedup_clusters
+
+    clusters = dedup_clusters(deduped, near)
+    drop = clusters.filter(~F.col("keep")).select("doc_id")
+    resolved = deduped.join(drop, "doc_id", "left_anti")
+    print("cluster-resolved ->", resolved.count(),
+          f"({clusters.select('cluster_id').distinct().count()} clusters)")
+
     lang = language_id(deduped)
     lang.groupBy("lang", "lang_pred").count().orderBy("lang", "lang_pred").show(30)
     spark.stop()
