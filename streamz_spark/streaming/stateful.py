@@ -291,3 +291,92 @@ def count_window_sum(sdf: DataFrame, key: str, n: int, value_col: str = "value")
         state_schema="tail array<double>",
         output_schema=f"{key} long, window_sum double, window_len int",
     )
+
+
+def streaming_minhash_neardup(
+    sdf: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_perm: int = 64,
+    bands: int = 16,
+    min_est_jaccard: float = 0.5,
+    k: int = 3,
+) -> DataFrame:
+    """Incremental near-duplicate detection: every arriving document is
+    checked against ALL history via LSH band state.
+
+    The batch near-dup pipeline (operators/dedup.minhash_near_duplicates)
+    re-banded the whole corpus each run; here the (band, band_hash)
+    buckets live in the state store, so a new document only touches the
+    buckets it hashes into — the per-doc cost is O(bands), independent
+    of corpus size. This is the ingest-time shape of billion-doc dedup
+    services (state shards across executors on the high-cardinality
+    bucket key; the signature math is the same seeded-xxhash expression
+    pipeline as the batch op, computed in codegen before the stateful
+    stage).
+
+    Emits one row per detected candidate pair ``(id_a, id_b,
+    est_jaccard)`` with ``id_a < id_b``, where ``est_jaccard`` is the
+    signature-agreement estimate (for exact confirmation join text back
+    and verify — the batch op's verify stage). Multi-band collisions
+    are deduplicated with state-backed ``dropDuplicates``.
+
+    State is a JSON payload of (ids, signatures) per bucket: an
+    arriving doc compares against only its bucket's members —
+    collision lists, not the corpus.
+    """
+    import json
+
+    from pyspark.sql import functions as F
+
+    from streamz_spark.operators import dedup as dd
+
+    rows_per_band = num_perm // bands
+    sig = dd.minhash_signatures(sdf.select(id_col, text_col), id_col, text_col,
+                                num_perm=num_perm, k=k)
+    banded = sig.select(
+        "id",
+        "signature",
+        F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(b).alias("band"),
+                    F.xxhash64(*[
+                        F.element_at("signature", b * rows_per_band + r + 1)
+                        for r in range(rows_per_band)
+                    ]).alias("bhash"),
+                )
+                for b in range(bands)
+            ])
+        ).alias("bb"),
+    ).select("id", "signature", F.col("bb.band").alias("band"), F.col("bb.bhash").alias("bhash"))
+
+    def step(key, pdfs, state: GroupState):
+        ids, sigs = json.loads(state.get[0]) if state.exists else ([], [])
+        out_a, out_b, est = [], [], []
+        for pdf in pdfs:
+            for i, s in zip(pdf["id"], pdf["signature"]):
+                i, s = int(i), [int(x) for x in s]
+                for oid, osig in zip(ids, sigs):
+                    if oid == i:
+                        continue
+                    match = sum(1 for x, y in zip(s, osig) if x == y) / len(s)
+                    out_a.append(min(i, oid))
+                    out_b.append(max(i, oid))
+                    est.append(match)
+                ids.append(i)
+                sigs.append(s)
+        state.update((json.dumps([ids, sigs]),))
+        if out_a:
+            yield pd.DataFrame({"id_a": out_a, "id_b": out_b, "est_jaccard": est})
+
+    pairs = banded.groupBy("band", "bhash").applyInPandasWithState(
+        step,
+        "id_a long, id_b long, est_jaccard double",
+        "payload string",
+        "append",
+        GroupStateTimeout.NoTimeout,
+    )
+    return pairs.filter(pairs["est_jaccard"] >= min_est_jaccard).dropDuplicates(
+        ["id_a", "id_b"]
+    )
