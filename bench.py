@@ -44,7 +44,7 @@ HEADLINE = [
     "embedding_near_dups",
     "ann_brute_force_topk",
     "text_quality_profile",
-    "doc_fingerprint",
+    "tfidf_top_terms",
 ]
 
 

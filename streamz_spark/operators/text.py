@@ -19,6 +19,7 @@ __all__ = [
     "language_id",
     "fingerprint",
     "word_shingles",
+    "tfidf_top_terms",
 ]
 
 # tiny deterministic stopword lists for the heuristic language id
@@ -131,4 +132,45 @@ def word_shingles(col: Column | str, k: int = 3) -> Column:
         )
     return F.when(n >= k, F.array_distinct(acc)).otherwise(
         F.array().cast("array<string>")
+    )
+
+
+def tfidf_top_terms(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    top_n: int = 5,
+) -> DataFrame:
+    """Per-document top-n terms by TF-IDF — the classic corpus
+    keyword/topic signal (salton-style tf·ln(N/df), smoothed as
+    ``tf * (ln((N+1)/(df+1)) + 1)`` so corpus-wide terms don't zero
+    out).
+
+    Shape at scale: one groupBy on (doc, term) for TF, one on term for
+    DF (both high-cardinality, balanced), a join on term, and a per-doc
+    top-n window — the doc-count scalar rides in as a broadcast
+    cross-join, not a collect. Output: ``(id, term, tf, df_count,
+    rank)``; rank ties break lexicographically so results are
+    total-ordered and engine-reproducible.
+    """
+    from pyspark.sql import Window as W
+
+    toks = df.select(F.col(id_col).alias("id"), F.explode(tokenize(text_col)).alias("term"))
+    tf = toks.groupBy("id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df_count"))
+    n_docs = toks.select("id").distinct().agg(F.count(F.lit(1)).alias("n_docs"))
+    scored = (
+        tf.join(dfreq, "term")
+        .crossJoin(F.broadcast(n_docs))
+        .withColumn(
+            "score",
+            F.col("tf")
+            * (F.log((F.col("n_docs") + 1) / (F.col("df_count") + 1)) + 1.0),
+        )
+    )
+    w = W.partitionBy("id").orderBy(F.col("score").desc(), F.col("term").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= top_n)
+        .select(F.col("id").alias(id_col), "term", "tf", "df_count", "rank")
     )

@@ -122,28 +122,19 @@ def text_quality_profile(spark, sf_dir):
                     WHEN h_en = GREATEST(h_de, h_en, h_es, h_fr) THEN 'en'
                     WHEN h_es = GREATEST(h_de, h_en, h_es, h_fr) THEN 'es'
                     ELSE 'fr'
-               END AS lang_pred
-        FROM hits
+               END AS lang_pred,
+               md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fingerprint
+        FROM hits JOIN documents USING (doc_id, lang)
     """,
-    doc="heuristic n-gram/stopword language id; argmax with deterministic tie-break",
+    doc="heuristic n-gram/stopword language id (argmax, deterministic "
+        "tie-break) + md5 document fingerprint — both per-doc text "
+        "signals in one narrow scan",
 )
 def text_language_id(spark, sf_dir):
     docs = load_table(spark, sf_dir, "documents")
-    return ops.language_id(docs, "text").select("doc_id", "lang", "lang_pred")
-
-
-@register(
-    "doc_fingerprint",
-    oracle="""
-        SELECT doc_id,
-               md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fingerprint
-        FROM documents
-    """,
-    doc="document fingerprinting: md5 of whitespace-normalized text",
-)
-def doc_fingerprint(spark, sf_dir):
-    docs = load_table(spark, sf_dir, "documents")
-    return docs.select("doc_id", ops.fingerprint("text", "fingerprint"))
+    return ops.language_id(docs, "text").select(
+        "doc_id", "lang", "lang_pred", ops.fingerprint("text", "fingerprint")
+    )
 
 
 @register(
@@ -238,3 +229,41 @@ def train_val_split(spark, sf_dir):
     out = hash_split(docs, "doc_id")
     out = stratified_sample(out, ["lang"], 10, "doc_id", flag_col="eval_sampled")
     return out.select("doc_id", "lang", "split", "eval_sampled")
+
+
+@register(
+    "tfidf_top_terms",
+    # score = tf * (ln((N+1)/(df+1)) + 1): both engines evaluate the
+    # identical double expression (StrictMath/libm ln agree on these
+    # inputs); only integer columns + the rank are output, with a
+    # lexicographic tie-break so ordering is total.
+    oracle="""
+        WITH toks AS (
+            SELECT doc_id AS id, unnest(
+                CASE WHEN length(trim(lower(text))) = 0 THEN []::VARCHAR[]
+                     ELSE regexp_split_to_array(trim(lower(text)), '\\s+')
+                END) AS term
+            FROM documents
+        ),
+        tf AS (SELECT id, term, COUNT(*) AS tf FROM toks GROUP BY 1, 2),
+        dfq AS (SELECT term, COUNT(*) AS df_count FROM tf GROUP BY 1),
+        nd AS (SELECT COUNT(DISTINCT id) AS n_docs FROM toks)
+        SELECT id AS doc_id, term, tf, df_count, rank FROM (
+            SELECT id, term, tf, df_count,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY id
+                       ORDER BY tf * (ln((n_docs + 1) / (df_count + 1)) + 1) DESC,
+                                term ASC) AS rank
+            FROM tf JOIN dfq USING (term) CROSS JOIN nd
+        ) WHERE rank <= 5
+    """,
+    doc="per-doc top-5 terms by smoothed TF-IDF: one (doc,term) groupBy, "
+        "one term groupBy, term join, per-doc top-n window; the corpus "
+        "doc count rides in as a broadcast cross-join, never a collect",
+)
+def tfidf_top_terms(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    out = ops.tfidf_top_terms(docs, top_n=5)
+    return out.select(
+        "doc_id", "term", "tf", "df_count", F.col("rank").cast("long").alias("rank")
+    )
