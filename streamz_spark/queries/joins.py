@@ -29,14 +29,16 @@ from streamz_spark.operators import joins as ops
         JOIN nation n   ON c.c_nationkey = n.n_nationkey
         GROUP BY c.c_mktsegment, n.n_name
     """,
-    doc="key equi-join over star schema (engine superset; broadcast dims — no fact shuffle)",
+    doc="key equi-join over star schema. Hint only on nation (25 rows, "
+        "scale-invariant); customer is 150k×sf so AQE decides that join "
+        "— broadcast at small sf, shuffle at the 100 TB target",
 )
 def join_star_schema(spark, sf_dir):
     orders = load_table(spark, sf_dir, "orders")
     customer = load_table(spark, sf_dir, "customer")
     nation = load_table(spark, sf_dir, "nation")
     return (
-        orders.join(F.broadcast(customer), orders.o_custkey == customer.c_custkey)
+        orders.join(customer, orders.o_custkey == customer.c_custkey)
         .join(F.broadcast(nation), customer.c_nationkey == nation.n_nationkey)
         .groupBy("c_mktsegment", "n_name")
         .agg(

@@ -69,10 +69,12 @@ def tpch_q1_pricing_summary(spark, sf_dir):
         ORDER BY revenue DESC, l_orderkey ASC
         LIMIT 10
     """,
-    doc="TPC-H Q3: selective dims broadcast into the fact scan; top-k, no "
-        "global sort. No hint on orders — it is fact-sized (1.5B rows at "
-        "sf1000), so lineitem⋈orders is left to AQE: shuffle join at "
-        "scale, runtime-broadcast when the filtered side turns out small",
+    doc="TPC-H Q3: top-k, no global sort. NO broadcast hints at all: "
+        "every table here (customer 150k×sf, orders 1.5M×sf, lineitem "
+        "6M×sf) scales with sf, so a hard hint on any of them OOMs at the "
+        "100 TB target (sf~100k ⇒ customer alone is 15B rows). AQE "
+        "runtime-broadcasts whichever filtered side turns out small; at "
+        "scale all three joins degrade gracefully to shuffle joins",
 )
 def tpch_q3_shipping_priority(spark, sf_dir):
     cutoff = F.lit("1995-03-15").cast("timestamp_ntz")
@@ -83,7 +85,7 @@ def tpch_q3_shipping_priority(spark, sf_dir):
     li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_shipdate") > cutoff)
     return (
         li.join(orders, li.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(customer), orders.o_custkey == customer.c_custkey)
+        .join(customer, orders.o_custkey == customer.c_custkey)
         .groupBy("l_orderkey", "o_orderdate")
         .agg(
             F.round(
@@ -113,11 +115,13 @@ def tpch_q3_shipping_priority(spark, sf_dir):
         WHERE r.r_name = 'ASIA'
         GROUP BY n.n_name
     """,
-    doc="TPC-H Q5: 6-table star join, dims (customer/supplier/nation/"
-        "region) broadcast, single fact pass. orders carries no broadcast "
-        "hint — it is fact-sized (1.5B rows at sf1000) and a forced "
-        "broadcast OOMs at 100×; AQE picks the lineitem⋈orders strategy "
-        "at runtime",
+    doc="TPC-H Q5: 6-table star join, single fact pass. Broadcast hints "
+        "ONLY on nation (25 rows) and region (5 rows) — the two tables "
+        "whose size is scale-invariant. customer (150k×sf) and supplier "
+        "(10k×sf) scale with sf: at the 100 TB target they are 15B/1B "
+        "rows and a hard hint is a guaranteed OOM, so AQE decides those "
+        "joins at runtime (broadcast at small sf, shuffle at scale). "
+        "orders/lineitem are fact-sized and likewise unhinted",
 )
 def tpch_q5_local_supplier_volume(spark, sf_dir):
     customer = load_table(spark, sf_dir, "customer")
@@ -128,9 +132,9 @@ def tpch_q5_local_supplier_volume(spark, sf_dir):
     region = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
     return (
         li.join(orders, li.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(customer), orders.o_custkey == customer.c_custkey)
+        .join(customer, orders.o_custkey == customer.c_custkey)
         .join(
-            F.broadcast(supplier),
+            supplier,
             (li.l_suppkey == supplier.s_suppkey)
             & (customer.c_nationkey == supplier.s_nationkey),
         )

@@ -85,22 +85,33 @@ def test_range_join_bucketized_matches_theta(spark):
     assert bucketed.exceptAll(theta).count() == 0
 
 
-def test_no_broadcast_hint_on_fact_sized_orders(spark):
-    # orders is fact-sized (1.5B rows at sf1000): a hard-coded broadcast
-    # hint OOMs at 100x. Auto-broadcast chosen by AQE/CBO at small SF is
-    # fine — what must not exist is a *hint* forcing it at any scale.
-    for name in ("tpch_q3_shipping_priority", "tpch_q5_local_supplier_volume"):
+def test_no_broadcast_hint_on_sf_scaled_tables(spark):
+    # Only nation (25 rows) and region (5 rows) are scale-invariant;
+    # every other star-schema table grows with sf. A hard-coded broadcast
+    # hint on an sf-scaled table (customer is 15B rows at the 100 TB
+    # target) is a guaranteed OOM, so the star queries may hint ONLY
+    # nation/region; AQE decides everything else at runtime.
+    expected = {
+        "tpch_q3_shipping_priority": 0,   # no scale-invariant dims in q3
+        "tpch_q5_local_supplier_volume": 2,  # nation + region
+        "join_star_schema": 1,            # nation
+    }
+    # relation identifiers that may legitimately sit under a hint
+    scale_invariant = ("nation", "region")
+    for name, n_expected in expected.items():
         df = q(name, spark)
         logical = df._jdf.queryExecution().analyzed().toString()
-        for line in logical.splitlines():
-            if "ResolvedHint" in line:
-                assert "orders" not in line.lower(), f"{name}: broadcast hint on orders"
-        # the hint subtrees: no UnresolvedHint/ResolvedHint ancestor of an
-        # orders relation — approximate by checking hint count equals the
-        # number of genuine dim hints in the query source
         n_hints = logical.count("ResolvedHint")
-        expected = {"tpch_q3_shipping_priority": 1, "tpch_q5_local_supplier_volume": 4}[name]
-        assert n_hints == expected, f"{name}: {n_hints} hints, expected {expected}"
+        assert n_hints == n_expected, f"{name}: {n_hints} hints, expected {n_expected}"
+        # each hint subtree must reference a scale-invariant table within
+        # the next few plan lines (the hinted relation is a direct child)
+        lines = logical.splitlines()
+        for i, line in enumerate(lines):
+            if "ResolvedHint" in line:
+                subtree = " ".join(lines[i : i + 4]).lower()
+                assert any(t in subtree for t in scale_invariant), (
+                    f"{name}: broadcast hint on non-scale-invariant table: {subtree[:200]}"
+                )
 
 
 def test_groupby_has_partial_aggregation(spark):
