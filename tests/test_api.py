@@ -210,51 +210,62 @@ def test_frame_rolling_time_window(spark):
     )
 
 
-def test_map_async_concurrent_and_ordered(spark):
+def test_map_async_concurrent_and_ordered(spark, tmp_path):
     """Reference map_async semantics (streamz core.py:722-835): parallel
-    evaluation, ordered output. Measured against a serial-sleep UDF on
-    the same data so Python-worker startup overhead (which dominates
-    cold wall-clock) cancels out."""
+    evaluation, ordered output. Concurrency is asserted structurally —
+    each coroutine logs its (start, end) interval to a per-process file
+    and the test computes peak overlap — rather than via a wall-clock
+    speedup threshold, which is flaky under machine load."""
+    import os
     import time
 
     from streamz_spark.core import Stream
 
+    logdir = str(tmp_path / "intervals")
+    os.makedirs(logdir, exist_ok=True)
+
     async def slow_double(x):
         import asyncio
+        import os
+        import time
 
-        await asyncio.sleep(0.02)
+        t0 = time.time()
+        await asyncio.sleep(0.05)
+        t1 = time.time()
+        # local[*] workers share the filesystem; one log per worker pid
+        with open(f"{logdir}/{os.getpid()}.log", "a") as f:
+            f.write(f"{t0} {t1}\n")
         return float(x) * 2.0
-
-    def serial_double(s: pd.Series) -> pd.Series:
-        out = []
-        for x in s:
-            time.sleep(0.02)
-            out.append(float(x) * 2.0)
-        return pd.Series(out, index=s.index)
 
     n = 400
     s = Stream.from_iterable(spark, [float(i) for i in range(n)])
-    # warm the python workers with a real UDF evaluation (count() would
-    # prune the UDF column and warm nothing)
-    s.map(lambda col: col, "double").df.toPandas()
-
-    t0 = time.perf_counter()
     out = (
         s.map_async(slow_double)
         .df.toPandas()
         .sort_values("seq", ignore_index=True)
     )
-    elapsed_async = time.perf_counter() - t0
-
-    t0 = time.perf_counter()
-    s.map(serial_double, "double").df.toPandas()
-    elapsed_serial = time.perf_counter() - t0
-
+    # ordered output despite parallel evaluation
     assert out["value"].tolist() == [float(i) * 2.0 for i in range(n)]
-    assert elapsed_async < elapsed_serial / 2, (
-        f"map_async not concurrent: async={elapsed_async:.2f}s "
-        f"serial={elapsed_serial:.2f}s"
+
+    # structural concurrency: sweep the recorded intervals for peak
+    # in-flight count. Serial evaluation would peak at 1; the async
+    # executor overlaps sleeps within each Arrow batch regardless of
+    # CPU contention.
+    intervals = []
+    for fname in os.listdir(logdir):
+        with open(os.path.join(logdir, fname)) as f:
+            for line in f:
+                a, b = line.split()
+                intervals.append((float(a), float(b)))
+    assert len(intervals) == n
+    events = sorted(
+        [(a, 1) for a, _ in intervals] + [(b, -1) for _, b in intervals]
     )
+    peak = cur = 0
+    for _, delta in events:
+        cur += delta
+        peak = max(peak, cur)
+    assert peak >= 8, f"map_async not concurrent: peak in-flight {peak}"
 
 
 def test_visualize_dag(spark, tmp_path):
