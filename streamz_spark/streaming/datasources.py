@@ -428,26 +428,63 @@ def from_process(
 def to_filelog(
     df: DataFrame, path: str,
     value_col: str | None = None, key_col: str | None = None,
-    partition: int = 0, timeout: int = 300,
+    partition: int = 0, num_partitions: int | None = None, timeout: int = 300,
 ):
     """foreachBatch producer onto the file-backed log — the substitute
     for reference to_kafka (sinks.py:116-195). Each micro-batch appends
-    one immutable segment (at-least-once: a retried batch re-appends;
-    Kafka's producer has the same default semantics without
-    idempotence)."""
+    immutable segments (at-least-once: a retried batch re-appends;
+    Kafka's producer has the same default semantics without idempotence).
+
+    The append runs EXECUTOR-side via ``foreachPartition`` — each Spark
+    task writes its own segment directly into the log's partition dir
+    (``filelog_append``'s os.link compare-and-swap makes concurrent
+    appenders safe), so sink throughput scales with the cluster instead
+    of being capped by a driver collect. The log dir must be on storage
+    all executors can reach — true for the local-mode test substitute
+    and for any shared filesystem.
+
+    ``num_partitions`` with a ``key_col`` gives Kafka's keyed routing:
+    records go to ``hash(key) % num_partitions``, preserving per-key
+    ordering across partitions. Without it, all records land in the
+    fixed ``partition``.
+    """
     from streamz_spark.streaming.sinks import sink_foreach_batch
 
+    log_path, vcol_opt, kcol, fixed_part, n_parts = (
+        path, value_col, key_col, partition, num_partitions,
+    )
+
     def send(batch_df, batch_id):
-        vcol = value_col or next(c for c in batch_df.columns if c != key_col)
-        cols = [key_col, vcol] if key_col else [vcol]
-        rows = batch_df.select(*cols).collect()
-        records = [
-            (r[key_col], str(r[vcol])) if key_col else str(r[vcol]) for r in rows
-        ]
-        if records:
-            filelog_append(path, records, partition=partition)
+        vcol = vcol_opt or next(c for c in batch_df.columns if c != kcol)
+        cols = [kcol, vcol] if kcol else [vcol]
+        sel = batch_df.select(*cols)
+
+        def append_partition(rows):
+            # runs on the executor; one filelog segment per (task, target)
+            by_target: dict[int, list] = {}
+            for r in rows:
+                if kcol:
+                    key = r[kcol]
+                    target = (
+                        _stable_hash(key) % n_parts if n_parts else fixed_part
+                    )
+                    by_target.setdefault(target, []).append((key, str(r[vcol])))
+                else:
+                    by_target.setdefault(fixed_part, []).append(str(r[vcol]))
+            for target, records in by_target.items():
+                filelog_append(log_path, records, partition=target)
+
+        sel.foreachPartition(append_partition)
 
     return sink_foreach_batch(df, send, timeout=timeout)
+
+
+def _stable_hash(key) -> int:
+    """Process-independent key hash for producer partition routing
+    (Python's hash() is salted per process — useless across executors)."""
+    import zlib
+
+    return zlib.crc32(str(key).encode()) & 0x7FFFFFFF
 
 
 def from_q(

@@ -208,6 +208,37 @@ def test_to_filelog_roundtrip(spark, tmp_path):
     assert vals == [0, 2, 4, 6, 8, 10]
 
 
+def test_to_filelog_keyed_routing(spark, tmp_path):
+    # Kafka-style keyed producer: hash(key) % num_partitions routing,
+    # appended executor-side (foreachPartition), per-key records land in
+    # exactly one log partition so per-key order is preserved.
+    import os
+
+    src_log, dst_log = str(tmp_path / "src"), str(tmp_path / "dst")
+    filelog_append(src_log, [(f"k{i % 5}", str(i)) for i in range(20)])
+    df = from_filelog(spark, src_log)
+    from streamz_spark.streaming.datasources import to_filelog
+
+    to_filelog(df, dst_log, value_col="value", key_col="key", num_partitions=4)
+
+    # every record arrived, across >1 physical partition dir
+    out = sink_to_list(from_filelog(spark, dst_log))
+    rows = [(k, v) for b in out for k, v in zip(b["key"], b["value"])]
+    assert sorted(int(v) for _, v in rows) == list(range(20))
+    pdirs = [d for d in os.listdir(dst_log) if d.startswith("p=")]
+    assert len(pdirs) > 1, "keyed routing produced a single partition"
+    # a key never straddles partitions
+    key_parts: dict = {}
+    for pd_ in pdirs:
+        import json as _json
+
+        for seg in os.listdir(os.path.join(dst_log, pd_)):
+            for line in open(os.path.join(dst_log, pd_, seg)):
+                k = _json.loads(line)["key"]
+                key_parts.setdefault(k, set()).add(pd_)
+    assert all(len(ps) == 1 for ps in key_parts.values()), key_parts
+
+
 def test_ws_mqtt_sinks_gated(spark):
     from streamz_spark.streaming import sinks as s
 
