@@ -262,7 +262,16 @@ def ivf_ann(
         from pyspark.ml.clustering import KMeans
         from pyspark.ml.functions import array_to_vector
 
-        train = v.select("id", array_to_vector(F.col("v")).alias("features"))
+        # Train on a bounded sample: Lloyd iterations over the full
+        # corpus are pointless (centroid quality saturates long before
+        # 100k vectors) and a full-corpus fit is a scale hazard at the
+        # 100 TB target. Assignment below still covers every vector.
+        max_train = 100_000
+        n = v.count()
+        train_src = (
+            v.sample(fraction=min(1.0, max_train / n), seed=seed) if n > max_train else v
+        )
+        train = train_src.select("id", array_to_vector(F.col("v")).alias("features"))
         model = KMeans(k=n_cells, seed=seed, maxIter=10).fit(train)
         cent_rows = [
             (ci, [float(x) for x in c]) for ci, c in enumerate(model.clusterCenters())
