@@ -39,6 +39,7 @@ HEADLINE = [
     "ngram_jaccard_pairs",
     "minhash_near_duplicates",
     "dedup_clusters",
+    "dedup_clusters_distributed",
     "contamination_check",
     "train_val_split",
     "embedding_near_dups",

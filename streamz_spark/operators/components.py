@@ -142,6 +142,7 @@ def dedup_clusters(
     id_col: str = "doc_id",
     src: str = "id_a",
     dst: str = "id_b",
+    mode: str = "auto",
 ) -> DataFrame:
     """Near-duplicate clusters from a pair list: connected components
     + per-cluster size and kept (min-id) representative.
@@ -152,7 +153,7 @@ def dedup_clusters(
     an anti-join against only the drop list, so untouched docs never
     shuffle.
     """
-    cc = connected_components(pairs, src, dst)
+    cc = connected_components(pairs, src, dst, mode=mode)
     sizes = cc.groupBy("component").agg(F.count(F.lit(1)).alias("cluster_size"))
     return (
         cc.join(sizes, "component")

@@ -128,14 +128,12 @@ def minhash_near_duplicates(spark, sf_dir):
     return dd.minhash_near_duplicates(docs, num_perm=64, bands=16, threshold=0.5)
 
 
-@register(
-    "dedup_clusters",
-    # transitive closure over the exact n-gram pair set (same k=3,
-    # threshold=0.5, max_df=50 as ngram_jaccard_pairs, so edge sets are
-    # identical on both engines). The oracle walks reachability with a
-    # recursive CTE; the Spark side runs alternating large-star/small-
-    # star rounds — different algorithms, same fixpoint.
-    oracle=f"""
+# transitive closure over the exact n-gram pair set (same k=3,
+# threshold=0.5, max_df=50 as ngram_jaccard_pairs, so edge sets are
+# identical on both engines). The oracle walks reachability with a
+# recursive CTE; the Spark side runs alternating large-star/small-
+# star rounds — different algorithms, same fixpoint.
+_DEDUP_CLUSTERS_ORACLE = f"""
         WITH RECURSIVE sh AS ({_SHINGLE_SQL}),
         sized AS (SELECT id, len(sh) AS n_sh FROM sh WHERE len(sh) > 0),
         posting0 AS (SELECT id, unnest(sh) AS shingle FROM sh),
@@ -169,7 +167,12 @@ def minhash_near_duplicates(spark, sf_dir):
         SELECT comp.id AS doc_id, comp.cluster_id, sizes.cluster_size,
                comp.id = comp.cluster_id AS keep
         FROM comp JOIN sizes USING (cluster_id)
-    """,
+    """
+
+
+@register(
+    "dedup_clusters",
+    oracle=_DEDUP_CLUSTERS_ORACLE,
     doc="duplicate-cluster resolution: connected components over the "
         "near-dup pair graph (alternating large-star/small-star rounds, "
         "O(log^2 n) convergence, localCheckpoint-truncated lineage) with "
@@ -181,6 +184,23 @@ def dedup_clusters(spark, sf_dir):
     docs = load_table(spark, sf_dir, "documents")
     pairs = dd.ngram_jaccard_pairs(docs, k=3, threshold=0.5, max_df=50)
     return dc(docs, pairs)
+
+
+@register(
+    "dedup_clusters_distributed",
+    oracle=_DEDUP_CLUSTERS_ORACLE,
+    doc="same fixpoint as dedup_clusters but forcing the distributed "
+        "large-star/small-star path (mode='distributed') — the code "
+        "path that runs when the edge list exceeds the driver union-"
+        "find cutoff, i.e. the 100 TB path, kept benchmarked and "
+        "oracle-checked at every sf",
+)
+def dedup_clusters_distributed(spark, sf_dir):
+    from streamz_spark.operators.components import dedup_clusters as dc
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = dd.ngram_jaccard_pairs(docs, k=3, threshold=0.5, max_df=50)
+    return dc(docs, pairs, mode="distributed")
 
 
 @register(
