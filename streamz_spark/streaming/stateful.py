@@ -301,6 +301,7 @@ def streaming_minhash_neardup(
     bands: int = 16,
     min_est_jaccard: float = 0.5,
     k: int = 3,
+    ttl: float | None = None,
 ) -> DataFrame:
     """Incremental near-duplicate detection: every arriving document is
     checked against ALL history via LSH band state.
@@ -321,11 +322,23 @@ def streaming_minhash_neardup(
     and verify — the batch op's verify stage). Multi-band collisions
     are deduplicated with state-backed ``dropDuplicates``.
 
-    State is a JSON payload of (ids, signatures) per bucket: an
-    arriving doc compares against only its bucket's members —
-    collision lists, not the corpus.
+    State is a JSON payload of (ids, signatures, seen-times) per
+    bucket: an arriving doc compares against only its bucket's members
+    — collision lists, not the corpus.
+
+    ``ttl`` (seconds) bounds state for unbounded ingest: members older
+    than the TTL are pruned on each bucket update (per-member
+    eviction), and buckets idle for a full TTL are dropped wholesale
+    via ProcessingTimeTimeout — so a year of ingest cannot OOM the
+    state store; dup detection holds within the TTL window, which is
+    the product contract of every ingest-time dedup service. Without
+    ``ttl`` state grows with history (fine for bounded corpora). At
+    production scale run the query with the RocksDB state store
+    (spark.sql.streaming.stateStore.providerClass =
+    ...RocksDBStateStoreProvider) so bucket state spills off-heap.
     """
     import json
+    import time as _time
 
     from pyspark.sql import functions as F
 
@@ -352,7 +365,23 @@ def streaming_minhash_neardup(
     ).select("id", "signature", F.col("bb.band").alias("band"), F.col("bb.bhash").alias("bhash"))
 
     def step(key, pdfs, state: GroupState):
-        ids, sigs = json.loads(state.get[0]) if state.exists else ([], [])
+        if ttl is not None and state.hasTimedOut:
+            # bucket idle a full TTL: every member is expired — drop it
+            state.remove()
+            return
+        if state.exists:
+            loaded = json.loads(state.get[0])
+            ids, sigs, times = loaded if len(loaded) == 3 else (*loaded, [])
+            times = times or [0.0] * len(ids)
+        else:
+            ids, sigs, times = [], [], []
+        now = _time.time()
+        if ttl is not None:
+            keep = [j for j, t in enumerate(times) if now - t < ttl]
+            if len(keep) < len(ids):
+                ids = [ids[j] for j in keep]
+                sigs = [sigs[j] for j in keep]
+                times = [times[j] for j in keep]
         out_a, out_b, est = [], [], []
         for pdf in pdfs:
             for i, s in zip(pdf["id"], pdf["signature"]):
@@ -366,7 +395,10 @@ def streaming_minhash_neardup(
                     est.append(match)
                 ids.append(i)
                 sigs.append(s)
-        state.update((json.dumps([ids, sigs]),))
+                times.append(now)
+        state.update((json.dumps([ids, sigs, times]),))
+        if ttl is not None:
+            state.setTimeoutDuration(int(ttl * 1000))
         if out_a:
             yield pd.DataFrame({"id_a": out_a, "id_b": out_b, "est_jaccard": est})
 
@@ -375,7 +407,9 @@ def streaming_minhash_neardup(
         "id_a long, id_b long, est_jaccard double",
         "payload string",
         "append",
-        GroupStateTimeout.NoTimeout,
+        GroupStateTimeout.ProcessingTimeTimeout
+        if ttl is not None
+        else GroupStateTimeout.NoTimeout,
     )
     return pairs.filter(pairs["est_jaccard"] >= min_est_jaccard).dropDuplicates(
         ["id_a", "id_b"]
