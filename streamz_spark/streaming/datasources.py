@@ -515,27 +515,29 @@ def from_q(
 
 def from_websocket(spark: SparkSession, host: str, port: int, log_dir: str, **connect_kwargs) -> DataFrame:
     """Websocket server → stream (reference from_websocket,
-    sources.py:799-839). Requires the ``websockets`` package (not in
-    this container — gated, bridge untested here by design)."""
+    sources.py:799-839). Uses the ``websockets`` package when
+    installed; otherwise the built-in RFC 6455 fallback
+    (streaming/ws.py) serves the same live path — no gate either way.
+    Messages land in a filelog partition, which upgrades the
+    reference's fire-and-forget delivery to replayable offsets."""
     try:
         import websockets  # noqa: F401
-    except ImportError as exc:  # pragma: no cover
-        raise ImportError(
-            "from_websocket requires the 'websockets' package; in this "
-            "container use from_filelog/from_http_server instead"
-        ) from exc
 
-    import asyncio
+        import asyncio
 
-    async def handler(ws):  # pragma: no cover - needs websockets lib
-        async for msg in ws:
-            filelog_append(log_dir, [msg if isinstance(msg, str) else msg.decode()])
+        async def handler(ws):  # pragma: no cover - needs websockets lib
+            async for msg in ws:
+                filelog_append(log_dir, [msg if isinstance(msg, str) else msg.decode()])
 
-    async def serve():  # pragma: no cover
-        async with websockets.serve(handler, host, port, **connect_kwargs):
-            await asyncio.Future()
+        async def serve():  # pragma: no cover
+            async with websockets.serve(handler, host, port, **connect_kwargs):
+                await asyncio.Future()
 
-    threading.Thread(target=lambda: asyncio.run(serve()), daemon=True).start()
+        threading.Thread(target=lambda: asyncio.run(serve()), daemon=True).start()
+    except ImportError:
+        from streamz_spark.streaming.ws import WSServer
+
+        WSServer(host, port, lambda msg: filelog_append(log_dir, [msg])).start()
     return from_filelog(spark, log_dir)
 
 

@@ -123,24 +123,31 @@ def _rows_as_payloads(batch_df, value_col: str | None):
 def to_websocket(df: DataFrame, uri: str, value_col: str | None = None,
                  ws_kwargs: dict | None = None, timeout: int = 300):
     """Send one column's values over a websocket — reference to_websocket
-    (sinks.py:199-232). Requires the ``websockets`` package (absent in
-    this container — gated); connection per micro-batch via foreach
-    partition-free foreachBatch, at-least-once."""
+    (sinks.py:199-232). Uses the ``websockets`` package when installed,
+    else the built-in RFC 6455 client (streaming/ws.py) — live either
+    way. Connection per micro-batch via foreachBatch, at-least-once."""
     try:
         import websockets
-    except ImportError as exc:
-        raise ImportError(
-            "to_websocket requires the 'websockets' package; in this "
-            "container use sink_to_directory/filelog_append instead"
-        ) from exc
-    import asyncio
 
-    def send(batch_df, batch_id):  # pragma: no cover - needs websockets lib
-        async def run():
-            async with websockets.connect(uri, **(ws_kwargs or {})) as ws:
+        import asyncio
+
+        def send(batch_df, batch_id):  # pragma: no cover - needs websockets lib
+            async def run():
+                async with websockets.connect(uri, **(ws_kwargs or {})) as ws:
+                    for payload in _rows_as_payloads(batch_df, value_col):
+                        await ws.send(payload)
+            asyncio.run(run())
+    except ImportError:
+        from streamz_spark.streaming.ws import WSClient, parse_ws_uri
+
+        def send(batch_df, batch_id):
+            host, port, path = parse_ws_uri(uri)
+            client = WSClient(host, port, path)
+            try:
                 for payload in _rows_as_payloads(batch_df, value_col):
-                    await ws.send(payload)
-        asyncio.run(run())
+                    client.send(payload if isinstance(payload, str) else payload.decode())
+            finally:
+                client.close()
 
     return sink_foreach_batch(df, send, timeout=timeout)
 

@@ -171,17 +171,47 @@ def test_from_q_bridge(spark, tmp_path):
         q.stop()
 
 
-def test_websocket_mqtt_gated(spark, tmp_path):
+def test_websocket_source_live(spark, tmp_path):
+    # reference from_websocket (sources.py:799-838): a live client
+    # pushes text frames at the server; they become stream rows. Runs
+    # on the built-in RFC 6455 fallback when `websockets` is absent.
+    import os
+    import socket
+    import time
+
+    from streamz_spark.streaming import datasources as d
+    from streamz_spark.streaming.ws import WSClient
+
+    with socket.socket() as s:  # pick a free port
+        s.bind(("127.0.0.1", 0))
+        port = s.getsockname()[1]
+
+    log_dir = str(tmp_path / "ws")
+    df = d.from_websocket(spark, "127.0.0.1", port, log_dir)
+    client = WSClient("127.0.0.1", port)
+    for msg in ("alpha", "beta", "gamma"):
+        client.send(msg)
+    client.close()
+    # server thread appends asynchronously; wait for the log to fill
+    deadline = time.time() + 20
+    def n_logged():
+        pdir = os.path.join(log_dir, "p=0")
+        if not os.path.isdir(pdir):
+            return 0
+        return sum(
+            1 for f in os.listdir(pdir) if not f.startswith(".")
+            for _ in open(os.path.join(pdir, f))
+        )
+    while time.time() < deadline and n_logged() < 3:
+        time.sleep(0.2)
+    out = sink_to_list(df)
+    vals = sorted(v for b in out for v in b["value"])
+    assert vals == ["alpha", "beta", "gamma"]
+
+
+def test_mqtt_gated(spark, tmp_path):
     from streamz_spark.streaming import datasources as d
 
-    has_ws = True
-    try:
-        import websockets  # noqa: F401
-    except ImportError:
-        has_ws = False
-    if not has_ws:
-        with pytest.raises(ImportError, match="websockets"):
-            d.from_websocket(spark, "localhost", 0, str(tmp_path / "ws"))
     has_mqtt = True
     try:
         import paho.mqtt.client  # noqa: F401
@@ -239,15 +269,33 @@ def test_to_filelog_keyed_routing(spark, tmp_path):
     assert all(len(ps) == 1 for ps in key_parts.values()), key_parts
 
 
-def test_ws_mqtt_sinks_gated(spark):
+def test_websocket_sink_live(spark, tmp_path):
+    # reference to_websocket (sinks.py:199-232): stream rows pushed out
+    # over a live websocket connection, one connection per micro-batch.
+    import time
+
+    from streamz_spark.streaming import sinks as s
+    from streamz_spark.streaming.ws import WSServer
+
+    received: list = []
+    server = WSServer("127.0.0.1", 0, received.append).start()
+    try:
+        src_log = str(tmp_path / "src")
+        filelog_append(src_log, ["one", "two", "three"])
+        df = from_filelog(spark, src_log)
+        s.to_websocket(df, f"ws://127.0.0.1:{server.port}/", value_col="value")
+        deadline = time.time() + 20
+        while time.time() < deadline and len(received) < 3:
+            time.sleep(0.2)
+    finally:
+        server.stop()
+    assert sorted(received) == ["one", "three", "two"]
+
+
+def test_mqtt_sink_gated(spark):
     from streamz_spark.streaming import sinks as s
 
     df = spark.range(1).selectExpr("cast(id as string) as value")
-    try:
-        import websockets  # noqa: F401
-    except ImportError:
-        with pytest.raises(ImportError, match="websockets"):
-            s.to_websocket(df, "ws://localhost:1")
     try:
         import paho.mqtt.client  # noqa: F401
     except ImportError:
