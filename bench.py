@@ -29,6 +29,13 @@ HEADLINE = [
     "tpch_q3_shipping_priority",
     "tpch_q5_local_supplier_volume",
     "tpch_q6_forecast_revenue",
+    "tpch_q7_volume_shipping",
+    "tpch_q8_market_share",
+    "tpch_q10_returned_items",
+    "tpch_q13_customer_distribution",
+    "tpch_q14_promo_effect",
+    "tpch_q17_small_quantity",
+    "tpch_q18_large_volume",
     "rolling_windows",
     "cumulative_expanding",
     "sessionize",
@@ -53,7 +60,12 @@ def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     spark = get_spark("streamz_spark_bench")
-    registry = load_all()
+    registry = dict(load_all())
+    # bench-only extras (the driver's correctness registry is capped at
+    # 50 entries; extras are oracle-checked by tests/test_extra_queries)
+    from streamz_spark.queries.extra import EXTRA_REGISTRY
+
+    registry.update(EXTRA_REGISTRY)
     names = [n for n in HEADLINE if n in registry] or list(registry)
 
     # warm the JVM + parquet footers once (not counted per-query)

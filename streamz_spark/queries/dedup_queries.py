@@ -186,21 +186,9 @@ def dedup_clusters(spark, sf_dir):
     return dc(docs, pairs)
 
 
-@register(
-    "dedup_clusters_distributed",
-    oracle=_DEDUP_CLUSTERS_ORACLE,
-    doc="same fixpoint as dedup_clusters but forcing the distributed "
-        "large-star/small-star path (mode='distributed') — the code "
-        "path that runs when the edge list exceeds the driver union-"
-        "find cutoff, i.e. the 100 TB path, kept benchmarked and "
-        "oracle-checked at every sf",
-)
-def dedup_clusters_distributed(spark, sf_dir):
-    from streamz_spark.operators.components import dedup_clusters as dc
-
-    docs = load_table(spark, sf_dir, "documents")
-    pairs = dd.ngram_jaccard_pairs(docs, k=3, threshold=0.5, max_df=50)
-    return dc(docs, pairs, mode="distributed")
+# dedup_clusters_distributed lives in queries/extra.py: the driver
+# evaluates at most 50 registry entries, so bench-and-test-only
+# variants must not occupy a slot in this registry.
 
 
 @register(

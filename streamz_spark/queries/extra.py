@@ -1,0 +1,404 @@
+"""Extra catalog: bench/test-verified queries BEYOND the driver's 50.
+
+The driver evaluates at most 50 registry entries, so the main
+catalog (streamz_spark.queries.__init__) is pinned to exactly 50 —
+one per SURVEY.md §2 operator family. Everything here registers into
+a SEPARATE registry consumed by bench.py and tests only: importing
+this module never contaminates the driver's set.
+
+Contents: the distributed connected-components variant plus seven
+more TPC-H queries (q7/q8/q10/q13/q14/q17/q18 adapted to the testdata
+subset — no partsupp, no commit/receipt dates, 1995-2001 date range,
+synthetic NATION_N names). Each carries a DuckDB oracle checked by
+tests/test_extra_queries.py with the same rows+schema+hash comparison
+the driver applies to the main 50.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from streamz_spark.catalog import QueryDef
+from streamz_spark.io import load_table
+
+EXTRA_REGISTRY: dict[str, QueryDef] = {}
+
+
+def register_extra(name: str, oracle: str | None = None, doc: str = ""):
+    def deco(fn):
+        EXTRA_REGISTRY[name] = QueryDef(name=name, fn=fn, oracle=oracle, doc=doc)
+        return fn
+
+    return deco
+
+
+# --------------------------------------------------------------------------
+# distributed connected components (bench entry for the 100 TB code path)
+# --------------------------------------------------------------------------
+
+def _dedup_clusters_oracle() -> str:
+    from streamz_spark.queries.dedup_queries import _DEDUP_CLUSTERS_ORACLE
+
+    return _DEDUP_CLUSTERS_ORACLE
+
+
+@register_extra(
+    "dedup_clusters_distributed",
+    oracle=None,  # filled lazily below (module-load order)
+    doc="same fixpoint as dedup_clusters but forcing the distributed "
+        "large-star/small-star path — the code path that runs when the "
+        "edge list exceeds the driver union-find cutoff (the 100 TB "
+        "path), kept benchmarked and oracle-checked at every sf",
+)
+def dedup_clusters_distributed(spark, sf_dir):
+    from streamz_spark.operators import dedup as dd
+    from streamz_spark.operators.components import dedup_clusters as dc
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = dd.ngram_jaccard_pairs(docs, k=3, threshold=0.5, max_df=50)
+    return dc(docs, pairs, mode="distributed")
+
+
+EXTRA_REGISTRY["dedup_clusters_distributed"] = QueryDef(
+    name="dedup_clusters_distributed",
+    fn=EXTRA_REGISTRY["dedup_clusters_distributed"].fn,
+    oracle=_dedup_clusters_oracle(),
+    doc=EXTRA_REGISTRY["dedup_clusters_distributed"].doc,
+)
+
+
+# --------------------------------------------------------------------------
+# TPC-H q7 — volume shipping between two nations by ship year
+# --------------------------------------------------------------------------
+
+@register_extra(
+    "tpch_q7_volume_shipping",
+    oracle="""
+        SELECT supp_nation, cust_nation, l_year, ROUND(SUM(volume), 4) AS revenue
+        FROM (
+            SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+                   CAST(EXTRACT(year FROM l.l_shipdate) AS BIGINT) AS l_year,
+                   l.l_extendedprice * (1 - l.l_discount) AS volume
+            FROM supplier s
+            JOIN lineitem l ON s.s_suppkey = l.l_suppkey
+            JOIN orders o   ON o.o_orderkey = l.l_orderkey
+            JOIN customer c ON c.c_custkey = o.o_custkey
+            JOIN nation n1  ON s.s_nationkey = n1.n_nationkey
+            JOIN nation n2  ON c.c_nationkey = n2.n_nationkey
+            WHERE ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+                OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+              AND l.l_shipdate BETWEEN TIMESTAMP '1996-01-01 00:00:00'
+                                   AND TIMESTAMP '1997-12-31 00:00:00'
+        ) shipping
+        GROUP BY supp_nation, cust_nation, l_year
+    """,
+    doc="TPC-H Q7 (adapted dates/nations): bidirectional nation-pair "
+        "revenue flow by year. Broadcast hints only on the two nation "
+        "branches (25 rows, scale-invariant); fact joins left to AQE",
+)
+def tpch_q7_volume_shipping(spark, sf_dir):
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp_ntz"))
+        & (F.col("l_shipdate") <= F.lit("1997-12-31").cast("timestamp_ntz"))
+    )
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    supplier = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+    n1 = nation.select(F.col("n_nationkey").alias("n1_key"), F.col("n_name").alias("supp_nation"))
+    n2 = nation.select(F.col("n_nationkey").alias("n2_key"), F.col("n_name").alias("cust_nation"))
+    return (
+        li.join(supplier, li.l_suppkey == supplier.s_suppkey)
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(customer, orders.o_custkey == customer.c_custkey)
+        .join(F.broadcast(n1), F.col("s_nationkey") == F.col("n1_key"))
+        .join(F.broadcast(n2), F.col("c_nationkey") == F.col("n2_key"))
+        .filter(
+            ((F.col("supp_nation") == "NATION_1") & (F.col("cust_nation") == "NATION_2"))
+            | ((F.col("supp_nation") == "NATION_2") & (F.col("cust_nation") == "NATION_1"))
+        )
+        .groupBy(
+            "supp_nation", "cust_nation",
+            F.year("l_shipdate").cast("long").alias("l_year"),
+        )
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4
+            ).alias("revenue")
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# TPC-H q8 — market share of one supplier nation in a region's market
+# --------------------------------------------------------------------------
+
+@register_extra(
+    "tpch_q8_market_share",
+    oracle="""
+        SELECT o_year,
+               ROUND(SUM(CASE WHEN supp_nation = 'NATION_3' THEN volume ELSE 0 END)
+                     / SUM(volume), 6) AS mkt_share
+        FROM (
+            SELECT CAST(EXTRACT(year FROM o.o_orderdate) AS BIGINT) AS o_year,
+                   l.l_extendedprice * (1 - l.l_discount) AS volume,
+                   n2.n_name AS supp_nation
+            FROM part p
+            JOIN lineitem l ON p.p_partkey = l.l_partkey
+            JOIN supplier s ON s.s_suppkey = l.l_suppkey
+            JOIN orders o   ON l.l_orderkey = o.o_orderkey
+            JOIN customer c ON o.o_custkey = c.c_custkey
+            JOIN nation n1  ON c.c_nationkey = n1.n_nationkey
+            JOIN region r   ON n1.n_regionkey = r.r_regionkey
+            JOIN nation n2  ON s.s_nationkey = n2.n_nationkey
+            WHERE r.r_name = 'ASIA' AND p.p_type = 'ECONOMY'
+              AND o.o_orderdate BETWEEN TIMESTAMP '1996-01-01 00:00:00'
+                                    AND TIMESTAMP '1997-12-31 00:00:00'
+        ) all_nations
+        GROUP BY o_year
+    """,
+    doc="TPC-H Q8 (adapted): NATION_3's share of ASIA's ECONOMY-part "
+        "market by order year — 8-table join, conditional-sum ratio. "
+        "Hints only on nation/region; part/customer/supplier scale "
+        "with sf and are left to AQE",
+)
+def tpch_q8_market_share(spark, sf_dir):
+    part = load_table(spark, sf_dir, "part").filter(F.col("p_type") == "ECONOMY")
+    li = load_table(spark, sf_dir, "lineitem")
+    supplier = load_table(spark, sf_dir, "supplier")
+    orders = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp_ntz"))
+        & (F.col("o_orderdate") <= F.lit("1997-12-31").cast("timestamp_ntz"))
+    )
+    customer = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    n1 = nation.select(F.col("n_nationkey").alias("n1_key"), F.col("n_regionkey").alias("n1_rkey"))
+    n2 = nation.select(F.col("n_nationkey").alias("n2_key"), F.col("n_name").alias("supp_nation"))
+    volume = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.join(part, li.l_partkey == part.p_partkey)
+        .join(supplier, li.l_suppkey == supplier.s_suppkey)
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(customer, orders.o_custkey == customer.c_custkey)
+        .join(F.broadcast(n1), F.col("c_nationkey") == F.col("n1_key"))
+        .join(F.broadcast(region), F.col("n1_rkey") == F.col("r_regionkey"))
+        .join(F.broadcast(n2), F.col("s_nationkey") == F.col("n2_key"))
+        .groupBy(F.year("o_orderdate").cast("long").alias("o_year"))
+        .agg(
+            F.round(
+                F.sum(F.when(F.col("supp_nation") == "NATION_3", volume).otherwise(0.0))
+                / F.sum(volume),
+                6,
+            ).alias("mkt_share")
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# TPC-H q10 — returned-item reporting (top 20 customers by lost revenue)
+# --------------------------------------------------------------------------
+
+@register_extra(
+    "tpch_q10_returned_items",
+    oracle="""
+        SELECT c.c_custkey, c.c_name,
+               ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 4) AS revenue,
+               c.c_acctbal, n.n_name
+        FROM customer c
+        JOIN orders o   ON c.c_custkey = o.o_custkey
+        JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+        JOIN nation n   ON c.c_nationkey = n.n_nationkey
+        WHERE o.o_orderdate >= TIMESTAMP '1996-10-01 00:00:00'
+          AND o.o_orderdate <  TIMESTAMP '1997-01-01 00:00:00'
+          AND l.l_returnflag = 'R'
+        GROUP BY c.c_custkey, c.c_name, c.c_acctbal, n.n_name
+        ORDER BY revenue DESC, c_custkey ASC
+        LIMIT 20
+    """,
+    doc="TPC-H Q10 (adapted quarter): revenue lost to returns per "
+        "customer, top-20. Hint only on nation; top-k via "
+        "TakeOrderedAndProject (no global sort)",
+)
+def tpch_q10_returned_items(spark, sf_dir):
+    customer = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-10-01").cast("timestamp_ntz"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp_ntz"))
+    )
+    li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    nation = load_table(spark, sf_dir, "nation")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(customer, orders.o_custkey == customer.c_custkey)
+        .join(F.broadcast(nation), customer.c_nationkey == nation.n_nationkey)
+        .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4
+            ).alias("revenue")
+        )
+        .select("c_custkey", "c_name", "revenue", "c_acctbal", "n_name")
+        .orderBy(F.col("revenue").desc(), F.col("c_custkey").asc())
+        .limit(20)
+    )
+
+
+# --------------------------------------------------------------------------
+# TPC-H q13 — customer order-count distribution
+# --------------------------------------------------------------------------
+
+@register_extra(
+    "tpch_q13_customer_distribution",
+    oracle="""
+        SELECT c_count, COUNT(*) AS custdist
+        FROM (
+            SELECT c.c_custkey, COUNT(o.o_orderkey) AS c_count
+            FROM customer c
+            LEFT JOIN orders o ON c.c_custkey = o.o_custkey
+            GROUP BY c.c_custkey
+        ) c_orders
+        GROUP BY c_count
+    """,
+    doc="TPC-H Q13: orders-per-customer histogram — left join keeps "
+        "order-less customers at count 0; two shuffles (custkey, then "
+        "the tiny c_count regroup), both with partial aggregation",
+)
+def tpch_q13_customer_distribution(spark, sf_dir):
+    customer = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    per_cust = (
+        customer.join(orders, customer.c_custkey == orders.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return per_cust.groupBy("c_count").agg(F.count(F.lit(1)).alias("custdist"))
+
+
+# --------------------------------------------------------------------------
+# TPC-H q14 — promotion revenue share for one ship month
+# --------------------------------------------------------------------------
+
+@register_extra(
+    "tpch_q14_promo_effect",
+    oracle="""
+        SELECT ROUND(
+                 100.00 * SUM(CASE WHEN p.p_type LIKE 'PROMO%'
+                              THEN l.l_extendedprice * (1 - l.l_discount)
+                              ELSE 0 END)
+                 / SUM(l.l_extendedprice * (1 - l.l_discount)), 6) AS promo_revenue
+        FROM lineitem l
+        JOIN part p ON l.l_partkey = p.p_partkey
+        WHERE l.l_shipdate >= TIMESTAMP '1996-09-01 00:00:00'
+          AND l.l_shipdate <  TIMESTAMP '1996-10-01 00:00:00'
+    """,
+    doc="TPC-H Q14: PROMO-part revenue percentage for one month — "
+        "conditional-sum ratio over a selective month scan; part join "
+        "left to AQE (part scales with sf)",
+)
+def tpch_q14_promo_effect(spark, sf_dir):
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-09-01").cast("timestamp_ntz"))
+        & (F.col("l_shipdate") < F.lit("1996-10-01").cast("timestamp_ntz"))
+    )
+    part = load_table(spark, sf_dir, "part")
+    disc = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.join(part, li.l_partkey == part.p_partkey)
+        .agg(
+            F.round(
+                F.lit(100.0)
+                * F.sum(F.when(F.col("p_type").like("PROMO%"), disc).otherwise(0.0))
+                / F.sum(disc),
+                6,
+            ).alias("promo_revenue")
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# TPC-H q17 — small-quantity-order revenue (correlated avg as a join)
+# --------------------------------------------------------------------------
+
+@register_extra(
+    "tpch_q17_small_quantity",
+    oracle="""
+        SELECT ROUND(SUM(l.l_extendedprice) / 7.0, 4) AS avg_yearly
+        FROM lineitem l
+        JOIN part p ON p.p_partkey = l.l_partkey AND p.p_brand = 'Brand#13'
+        JOIN (
+            SELECT l_partkey, 0.2 * AVG(l_quantity) AS qty_lim
+            FROM lineitem GROUP BY l_partkey
+        ) a ON a.l_partkey = l.l_partkey
+        WHERE l.l_quantity < a.qty_lim
+    """,
+    doc="TPC-H Q17 (brand-only — no p_container in testdata): the "
+        "correlated per-part AVG subquery decorrelates to a groupBy + "
+        "self-join co-partitioned on l_partkey — one shuffle key for "
+        "both sides, no per-row subquery execution",
+)
+def tpch_q17_small_quantity(spark, sf_dir):
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part").filter(F.col("p_brand") == "Brand#13")
+    lim = li.groupBy("l_partkey").agg(
+        (F.lit(0.2) * F.avg("l_quantity")).alias("qty_lim")
+    ).withColumnRenamed("l_partkey", "a_partkey")
+    return (
+        li.join(part, li.l_partkey == part.p_partkey)
+        .join(lim, li.l_partkey == F.col("a_partkey"))
+        .filter(F.col("l_quantity") < F.col("qty_lim"))
+        .agg(F.round(F.sum("l_extendedprice") / 7.0, 4).alias("avg_yearly"))
+    )
+
+
+# --------------------------------------------------------------------------
+# TPC-H q18 — large-volume customers
+# --------------------------------------------------------------------------
+
+@register_extra(
+    "tpch_q18_large_volume",
+    oracle="""
+        SELECT c.c_name, c.c_custkey, o.o_orderkey,
+               strftime(o.o_orderdate, '%Y-%m-%d') AS o_orderdate,
+               o.o_totalprice,
+               ROUND(SUM(l.l_quantity), 4) AS sum_qty
+        FROM customer c
+        JOIN orders o   ON c.c_custkey = o.o_custkey
+        JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+        WHERE o.o_orderkey IN (
+            SELECT l_orderkey FROM lineitem
+            GROUP BY l_orderkey HAVING SUM(l_quantity) > 200
+        )
+        GROUP BY c.c_name, c.c_custkey, o.o_orderkey, o.o_orderdate, o.o_totalprice
+        ORDER BY o.o_totalprice DESC, o.o_orderkey ASC
+        LIMIT 100
+    """,
+    doc="TPC-H Q18: orders whose total quantity exceeds 200 — the IN "
+        "subquery becomes a semi-join against the HAVING aggregate, "
+        "co-partitioned with the main l_orderkey join; top-k by price",
+)
+def tpch_q18_large_volume(spark, sf_dir):
+    customer = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").alias("tq"))
+        .filter(F.col("tq") > 200)
+        .select("l_orderkey")
+    )
+    return (
+        li.join(big.withColumnRenamed("l_orderkey", "b_orderkey"),
+                li.l_orderkey == F.col("b_orderkey"), "left_semi")
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(customer, orders.o_custkey == customer.c_custkey)
+        .groupBy("c_name", "c_custkey", "o_orderkey", "o_orderdate", "o_totalprice")
+        .agg(F.round(F.sum("l_quantity"), 4).alias("sum_qty"))
+        .select(
+            "c_name", "c_custkey", "o_orderkey",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("o_orderdate"),
+            "o_totalprice", "sum_qty",
+        )
+        .orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey").asc())
+        .limit(100)
+    )

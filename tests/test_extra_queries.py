@@ -1,0 +1,53 @@
+"""Extra-catalog correctness: the driver's registry is capped at 50
+entries, so the queries in streamz_spark/queries/extra.py are held to
+the SAME rows+schema+hash bar here instead — DuckDB oracle on the same
+parquet, order-insensitive compare, exact equality after sorting."""
+
+from __future__ import annotations
+
+import duckdb
+import pytest
+
+from streamz_spark.queries.extra import EXTRA_REGISTRY
+
+from .conftest import SF_DIR
+
+TABLES = [
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings",
+]
+
+
+@pytest.fixture(scope="module")
+def duck():
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{SF_DIR}/{t}.parquet'")
+    yield con
+    con.close()
+
+
+def test_driver_registry_is_exactly_50():
+    # the driver evaluates at most 50 entries; a 51st would silently
+    # push the last one off the correctness gate. Extras must go to
+    # EXTRA_REGISTRY, never the main one.
+    from streamz_spark.catalog import load_all
+
+    assert len(load_all()) == 50
+
+
+@pytest.mark.parametrize("name", sorted(EXTRA_REGISTRY))
+def test_extra_query_matches_oracle(name, spark, duck):
+    qd = EXTRA_REGISTRY[name]
+    spdf = qd.fn(spark, SF_DIR).toPandas()
+    assert qd.oracle, f"{name}: extra entries must carry an oracle"
+    odf = duck.execute(qd.oracle).df()
+    assert len(spdf) == len(odf), f"{name}: rows {len(spdf)} vs {len(odf)}"
+    cols = sorted(spdf.columns)
+    assert cols == sorted(odf.columns), f"{name}: schema {cols} vs {sorted(odf.columns)}"
+    s = spdf.reindex(cols, axis=1).sort_values(cols, ignore_index=True)
+    o = odf.reindex(cols, axis=1).sort_values(cols, ignore_index=True)
+    if not s.equals(o):
+        diff = (s != o) & ~(s.isna() & o.isna())
+        raise AssertionError(f"{name}: value mismatch\n{s[diff.any(axis=1)].head()}\n"
+                             f"{o[diff.any(axis=1)].head()}")

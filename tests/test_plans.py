@@ -21,7 +21,9 @@ from streamz_spark.plans import (
 
 from .conftest import SF_DIR
 
-REG = load_all()
+from streamz_spark.queries.extra import EXTRA_REGISTRY
+
+REG = {**load_all(), **EXTRA_REGISTRY}
 
 
 def q(name, spark):
@@ -95,6 +97,13 @@ def test_no_broadcast_hint_on_sf_scaled_tables(spark):
         "tpch_q3_shipping_priority": 0,   # no scale-invariant dims in q3
         "tpch_q5_local_supplier_volume": 2,  # nation + region
         "join_star_schema": 1,            # nation
+        "tpch_q7_volume_shipping": 2,     # nation x2
+        "tpch_q8_market_share": 3,        # nation x2 + region
+        "tpch_q10_returned_items": 1,     # nation
+        "tpch_q13_customer_distribution": 0,
+        "tpch_q14_promo_effect": 0,       # part scales with sf
+        "tpch_q17_small_quantity": 0,
+        "tpch_q18_large_volume": 0,
     }
     # relation identifiers that may legitimately sit under a hint
     scale_invariant = ("nation", "region")

@@ -42,10 +42,9 @@ def test_intra_batch_and_no_self_pairs(spark):
     assert got["est_jaccard"].iloc[0] == pytest.approx(1.0)
 
 
-def test_ttl_evicts_expired_members_detects_fresh(spark, tmp_path):
-    """State-size policy for unbounded ingest: with ttl set, members
-    older than the TTL are pruned (no pair against expired history),
-    while detection keeps working inside the window.
+def _run_ttl_stream(spark, log, ttl, drive):
+    """Start the TTL'd near-dup stream over a filelog and call
+    ``drive(q, rows, wait_processed, append)``.
 
     Harness note: with ProcessingTimeTimeout the engine schedules
     batches continuously (timeout sweeps), so processAllAvailable never
@@ -54,50 +53,74 @@ def test_ttl_evicts_expired_members_detects_fresh(spark, tmp_path):
 
     from streamz_spark.streaming.datasources import filelog_append, from_filelog
 
-    def wait_for(cond, timeout=60, msg=""):
-        t0 = time.time()
-        while time.time() - t0 < timeout:
-            if cond():
-                return
-            time.sleep(0.2)
-        raise TimeoutError(msg)
-
-    def rows_in(q):
-        return sum(int(p["numInputRows"]) for p in q.recentProgress)
-
-    log = str(tmp_path / "log")
-    filelog_append(log, [("1", BASE)])
     src = from_filelog(spark, log).selectExpr(
         "cast(key as long) as doc_id", "value as text"
     )
-    # ttl must comfortably exceed one batch latency (the doc3->doc5 gap,
-    # ~1-3 s with a Python stateful stage) yet keep the test short
-    ttl = 8.0
     out = streaming_minhash_neardup(src, min_est_jaccard=0.5, ttl=ttl)
-
-    rows = []
+    rows: list = []
     q = (
         out.writeStream.outputMode("append")
         .foreachBatch(lambda b, i: rows.extend(b.collect()))
         .trigger(processingTime="500 milliseconds")
         .start()
     )
+
+    def wait_processed(n, timeout=120):
+        t0 = time.time()
+        while time.time() - t0 < timeout:
+            if sum(int(p["numInputRows"]) for p in q.recentProgress) >= n:
+                return
+            time.sleep(0.2)
+        raise TimeoutError(f"stream never processed {n} input rows")
+
     try:
-        # doc 1 fully absorbed into bucket state (batch committed)
-        wait_for(lambda: rows_in(q) >= 1, msg="doc 1 never processed")
-        time.sleep(ttl + 1.0)            # > ttl: doc 1 expires
-        filelog_append(log, [("3", NEAR)])
-        wait_for(lambda: rows_in(q) >= 2, msg="doc 3 never processed")
-        filelog_append(log, [("5", NEAR)])
-        # positive signal: the fresh pair appears
-        wait_for(
-            lambda: any((r["id_a"], r["id_b"]) == (3, 5) for r in rows),
-            msg="fresh pair (3,5) not detected inside the TTL window",
-        )
+        drive(q, rows, wait_processed, lambda recs: filelog_append(log, recs))
     finally:
         q.stop()
+    return {(r["id_a"], r["id_b"]) for r in rows}
 
-    pairs = {(r["id_a"], r["id_b"]) for r in rows}
-    assert (1, 3) not in pairs, "expired member produced a pair"
-    assert (1, 5) not in pairs, "expired member produced a pair"
-    assert (3, 5) in pairs
+
+def test_ttl_evicts_expired_members(spark, tmp_path):
+    """Eviction half of the state-size policy: a member older than the
+    TTL never pairs. Load-independent — the expiry sleep starts only
+    AFTER doc 1's batch is confirmed committed, so doc 1's recorded
+    seen-time is strictly older than ttl when doc 3 processes."""
+    import time
+
+    from streamz_spark.streaming.datasources import filelog_append
+
+    log = str(tmp_path / "log")
+    filelog_append(log, [("1", BASE)])
+    ttl = 2.0
+
+    def drive(q, rows, wait_processed, append):
+        wait_processed(1)          # doc 1 absorbed into bucket state
+        time.sleep(ttl + 1.0)      # > ttl: doc 1 expires
+        append([("3", NEAR)])
+        wait_processed(2)          # doc 3 compared against pruned state
+
+    pairs = _run_ttl_stream(spark, str(tmp_path / "log"), ttl, drive)
+    assert pairs == set(), f"expired member produced pairs: {pairs}"
+
+
+def test_ttl_detects_inside_window(spark, tmp_path):
+    """Detection half: with a TTL far larger than any batch latency,
+    cross-batch pairs still surface — the TTL code path (per-member
+    timestamps + ProcessingTimeTimeout) must not break detection."""
+    import time
+
+    from streamz_spark.streaming.datasources import filelog_append
+
+    log = str(tmp_path / "log")
+    filelog_append(log, [("1", BASE), ("2", OTHER)])
+
+    def drive(q, rows, wait_processed, append):
+        wait_processed(2)
+        append([("3", NEAR)])
+        t0 = time.time()
+        while time.time() - t0 < 120 and not rows:
+            time.sleep(0.2)
+
+    pairs = _run_ttl_stream(spark, log, ttl=600.0, drive=drive)
+    assert (1, 3) in pairs
+    assert all(p == (1, 3) for p in pairs)
