@@ -26,6 +26,65 @@ from streamz_spark.operators.text import word_shingles
 __all__ = ["contamination_check"]
 
 
+def _bloom_bits(n_items: int, fpp: float) -> int:
+    """Optimal Bloom size: m = -n·ln(p) / ln(2)^2 (standard formula)."""
+    import math
+
+    return max(64, int(-n_items * math.log(fpp) / (math.log(2.0) ** 2)))
+
+
+def _bloom_prune(
+    posting: DataFrame, bench: DataFrame, col: str, expected_items: int, fpp: float
+) -> DataFrame:
+    """Filter ``posting`` to rows whose ``col`` might be in ``bench``.
+
+    Driver builds the bitmap from the benchmark side's xxhash64 values
+    (small side by contract), Spark broadcasts it, executors probe it
+    in a vectorized Arrow batch. k hash probes derive from one 64-bit
+    hash via Kirsch-Mitzenmacher double hashing: idx_i = h1 + i*h2."""
+    import math
+
+    import numpy as np
+    from pyspark.sql.functions import pandas_udf
+    from pyspark.sql.types import BooleanType
+
+    m_bits = _bloom_bits(expected_items, fpp)
+    n_hashes = max(1, round(m_bits / expected_items * math.log(2.0)))
+    n_words = (m_bits + 63) // 64
+
+    # xxhash64 returns signed longs; reinterpret as uint64 bit patterns
+    hashes = np.array(
+        [r["h"] for r in bench.select(F.xxhash64(col).alias("h")).collect()],
+        dtype=np.int64,
+    ).astype(np.uint64)
+    bitmap = np.zeros(n_words, dtype=np.uint64)
+    h1 = hashes % np.uint64(m_bits)
+    h2 = (hashes >> np.uint64(17) | hashes << np.uint64(47)) % np.uint64(m_bits - 1) + np.uint64(1)
+    for i in range(n_hashes):
+        idx = (h1 + np.uint64(i) * h2) % np.uint64(m_bits)
+        np.bitwise_or.at(bitmap, idx >> np.uint64(6), np.uint64(1) << (idx & np.uint64(63)))
+
+    sc = posting.sparkSession.sparkContext
+    b_bitmap = sc.broadcast(bitmap)
+    mb, nh = m_bits, n_hashes
+
+    @pandas_udf(BooleanType())
+    def might_contain(h):
+        import pandas as pd
+
+        bm = b_bitmap.value
+        hv = h.to_numpy(dtype=np.int64).astype(np.uint64)
+        p1 = hv % np.uint64(mb)
+        p2 = (hv >> np.uint64(17) | hv << np.uint64(47)) % np.uint64(mb - 1) + np.uint64(1)
+        ok = np.ones(len(hv), dtype=bool)
+        for i in range(nh):
+            idx = (p1 + np.uint64(i) * p2) % np.uint64(mb)
+            ok &= (bm[idx >> np.uint64(6)] >> (idx & np.uint64(63))) & np.uint64(1) != 0
+        return pd.Series(ok)
+
+    return posting.filter(might_contain(F.xxhash64(col)))
+
+
 def contamination_check(
     docs: DataFrame,
     benchmark: DataFrame,
@@ -34,6 +93,9 @@ def contamination_check(
     bench_text_col: str | None = None,
     k: int = 13,
     threshold: float = 0.8,
+    bloom_prefilter: bool = False,
+    bloom_expected_items: int = 4_000_000,
+    bloom_fpp: float = 0.01,
 ) -> DataFrame:
     """Flag training docs whose k-gram overlap with a benchmark set
     exceeds ``threshold``.
@@ -44,6 +106,23 @@ def contamination_check(
     shingles. Docs shorter than k words have no shingles and are
     reported with ``n_shingles = 0, overlap = 0.0`` (can't be judged —
     published pipelines fall back to exact-substring rules there).
+
+    ``bloom_prefilter=True`` is the 100 TB path: a Bloom sketch over
+    the benchmark shingle hashes (a few MB — benchmarks are MBs
+    against TBs of corpus) is built once on the driver, broadcast to
+    executors, and applied as a vectorized membership predicate on the
+    corpus posting list BEFORE the hit join — only probable-hit
+    shingles (true hits + ~fpp of the rest) ever shuffle, which at a
+    1:10^6 benchmark:corpus ratio removes ~99% of the join input. The
+    exact join then runs on the survivors, so results are IDENTICAL to
+    the exact path (Bloom has no false negatives; false positives are
+    eliminated by the verify join) — same oracle, same hashes.
+
+    Spark's own runtime bloom filters (bloom_filter_agg/might_contain)
+    are internal-only expressions in this Spark version, so the sketch
+    is a numpy bitmap over JVM-computed xxhash64 values, probed in an
+    Arrow-batched pandas UDF (vectorized double-hashing — the standard
+    Kirsch-Mitzenmacher construction).
     """
     sh = docs.select(
         F.col(id_col), word_shingles(text_col, k).alias("sh")
@@ -55,6 +134,10 @@ def contamination_check(
         )
         .distinct()
     )
+    if bloom_prefilter:
+        posting = _bloom_prune(
+            posting, bench, "shingle", bloom_expected_items, bloom_fpp
+        )
     hits = (
         posting.join(bench, "shingle")
         .groupBy(id_col)

@@ -68,6 +68,49 @@ EXTRA_REGISTRY["dedup_clusters_distributed"] = QueryDef(
 
 
 # --------------------------------------------------------------------------
+# Bloom-prefiltered decontamination — identical results, 100 TB join diet
+# --------------------------------------------------------------------------
+
+def _contamination_oracle() -> str:
+    from streamz_spark.catalog import load_all
+
+    return load_all()["contamination_check"].oracle
+
+
+@register_extra(
+    "contamination_bloom",
+    oracle=None,  # filled below — identical to the exact path's oracle
+    doc="contamination_check with bloom_prefilter=True: a broadcast "
+        "bloom_filter_agg sketch of the benchmark shingles prunes the "
+        "corpus posting list before the hit join (no false negatives; "
+        "false positives die in the verify join) — identical output to "
+        "the exact path with ~99% less join input at corpus scale",
+)
+def contamination_bloom(spark, sf_dir):
+    from pyspark.sql import functions as FF
+
+    from streamz_spark.operators.contamination import contamination_check as cc
+
+    docs = load_table(spark, sf_dir, "documents")
+    bench = docs.filter(FF.col("doc_id") % 97 == 0)
+    out = cc(docs, bench, k=7, threshold=0.5, bloom_prefilter=True,
+             bloom_expected_items=500_000)
+    return out.select(
+        "doc_id",
+        FF.col("n_shingles").cast("long").alias("n_shingles"),
+        "n_hits", "overlap", "contaminated",
+    )
+
+
+EXTRA_REGISTRY["contamination_bloom"] = QueryDef(
+    name="contamination_bloom",
+    fn=EXTRA_REGISTRY["contamination_bloom"].fn,
+    oracle=_contamination_oracle(),
+    doc=EXTRA_REGISTRY["contamination_bloom"].doc,
+)
+
+
+# --------------------------------------------------------------------------
 # TPC-H q7 — volume shipping between two nations by ship year
 # --------------------------------------------------------------------------
 

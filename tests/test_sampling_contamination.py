@@ -97,3 +97,26 @@ class TestContamination:
         out = contamination_check(docs, bench, k=3)
         plan = out._jdf.queryExecution().optimizedPlan().toString()
         assert "CartesianProduct" not in plan and "NestedLoop" not in plan
+
+
+def test_bloom_prefilter_prunes_but_never_drops_hits(spark):
+    """The bloom prefilter must (a) keep every true benchmark hit — no
+    false negatives, guaranteed by construction — and (b) actually
+    prune most non-hits (~fpp survival), i.e. not be a constant-true
+    predicate."""
+    from pyspark.sql import functions as F
+
+    from streamz_spark.operators.contamination import _bloom_prune
+
+    posting = spark.range(0, 20000).select(
+        F.col("id").alias("doc_id"),
+        F.concat(F.lit("shingle-"), F.col("id")).alias("shingle"),
+    )
+    bench = spark.range(0, 200).select(
+        F.concat(F.lit("shingle-"), F.col("id")).alias("shingle")
+    )
+    pruned = _bloom_prune(posting, bench, "shingle", expected_items=1000, fpp=0.01)
+    kept = {r["doc_id"] for r in pruned.collect()}
+    assert set(range(200)) <= kept, "bloom dropped a true hit (false negative)"
+    # 19800 non-hits at fpp=0.01 -> ~198 expected survivors; 5x slack
+    assert len(kept) - 200 < 1000, f"bloom barely pruned: {len(kept)} rows survived"
