@@ -543,22 +543,27 @@ def from_websocket(spark: SparkSession, host: str, port: int, log_dir: str, **co
 
 def from_mqtt(spark: SparkSession, host: str, port: int, topic: str, log_dir: str) -> DataFrame:
     """MQTT subscription → stream (reference from_mqtt,
-    sources.py:880-932). Requires ``paho-mqtt`` (not in this container
-    — gated)."""
+    sources.py:880-932). Uses ``paho-mqtt`` when installed; otherwise
+    the built-in MQTT 3.1.1 QoS-0 fallback (streaming/mqtt.py) — live
+    either way. Messages land in a filelog partition keyed by topic,
+    upgrading the reference's fire-and-forget delivery to replayable
+    offsets."""
     try:
         import paho.mqtt.client as mqtt  # noqa: F401
-    except ImportError as exc:  # pragma: no cover
-        raise ImportError(
-            "from_mqtt requires the 'paho-mqtt' package; in this "
-            "container use from_filelog instead"
-        ) from exc
 
-    def on_message(client, userdata, msg):  # pragma: no cover - needs broker
-        filelog_append(log_dir, [(msg.topic, msg.payload.decode())])
+        def on_message(client, userdata, msg):  # pragma: no cover - needs paho
+            filelog_append(log_dir, [(msg.topic, msg.payload.decode())])
 
-    client = mqtt.Client()  # pragma: no cover
-    client.on_message = on_message  # pragma: no cover
-    client.connect(host, port)  # pragma: no cover
-    client.subscribe(topic)  # pragma: no cover
-    client.loop_start()  # pragma: no cover
-    return from_filelog(spark, log_dir)  # pragma: no cover
+        client = mqtt.Client()  # pragma: no cover
+        client.on_message = on_message  # pragma: no cover
+        client.connect(host, port)  # pragma: no cover
+        client.subscribe(topic)  # pragma: no cover
+        client.loop_start()  # pragma: no cover
+    except ImportError:
+        from streamz_spark.streaming.mqtt import MQTTClient
+
+        client = MQTTClient(host, port)
+        client.subscribe(
+            topic, lambda t, payload: filelog_append(log_dir, [(t, payload)])
+        )
+    return from_filelog(spark, log_dir)

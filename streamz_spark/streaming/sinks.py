@@ -155,20 +155,27 @@ def to_websocket(df: DataFrame, uri: str, value_col: str | None = None,
 def to_mqtt(df: DataFrame, host: str, port: int, topic: str,
             value_col: str | None = None, keepalive: int = 60, timeout: int = 300):
     """Publish one column's values to an MQTT topic — reference to_mqtt
-    (sinks.py:236-273). Requires ``paho-mqtt`` (absent here — gated)."""
+    (sinks.py:236-273). Uses ``paho-mqtt`` when installed, else the
+    built-in MQTT 3.1.1 QoS-0 client (streaming/mqtt.py) — live either
+    way. One connection per micro-batch, at-least-once."""
     try:
         import paho.mqtt.client as mqtt
-    except ImportError as exc:
-        raise ImportError(
-            "to_mqtt requires the 'paho-mqtt' package; in this "
-            "container use sink_to_directory/filelog_append instead"
-        ) from exc
 
-    def send(batch_df, batch_id):  # pragma: no cover - needs broker
-        client = mqtt.Client()
-        client.connect(host, port, keepalive)
-        for payload in _rows_as_payloads(batch_df, value_col):
-            client.publish(topic, payload)
-        client.disconnect()
+        def send(batch_df, batch_id):  # pragma: no cover - needs paho
+            client = mqtt.Client()
+            client.connect(host, port, keepalive)
+            for payload in _rows_as_payloads(batch_df, value_col):
+                client.publish(topic, payload)
+            client.disconnect()
+    except ImportError:
+        from streamz_spark.streaming.mqtt import MQTTClient
+
+        def send(batch_df, batch_id):
+            client = MQTTClient(host, port, keepalive=keepalive)
+            try:
+                for payload in _rows_as_payloads(batch_df, value_col):
+                    client.publish(topic, payload)
+            finally:
+                client.disconnect()
 
     return sink_foreach_batch(df, send, timeout=timeout)

@@ -209,17 +209,41 @@ def test_websocket_source_live(spark, tmp_path):
     assert vals == ["alpha", "beta", "gamma"]
 
 
-def test_mqtt_gated(spark, tmp_path):
-    from streamz_spark.streaming import datasources as d
+def test_mqtt_source_live(spark, tmp_path):
+    # reference from_mqtt (sources.py:880-932): subscribe to a topic on
+    # a live broker; published messages become stream rows. Runs on the
+    # built-in MQTT 3.1.1 QoS-0 broker/client when paho is absent.
+    import os
+    import time
 
-    has_mqtt = True
+    from streamz_spark.streaming import datasources as d
+    from streamz_spark.streaming.mqtt import MQTTBroker, MQTTClient
+
+    broker = MQTTBroker().start()
     try:
-        import paho.mqtt.client  # noqa: F401
-    except ImportError:
-        has_mqtt = False
-    if not has_mqtt:
-        with pytest.raises(ImportError, match="paho-mqtt"):
-            d.from_mqtt(spark, "localhost", 1883, "t", str(tmp_path / "mq"))
+        log_dir = str(tmp_path / "mq")
+        df = d.from_mqtt(spark, "127.0.0.1", broker.port, "sensors/+/temp", log_dir)
+        pub = MQTTClient("127.0.0.1", broker.port, client_id="pub")
+        pub.publish("sensors/a/temp", "11.5")
+        pub.publish("sensors/b/temp", "12.5")
+        pub.publish("other/topic", "ignored")  # filter must exclude
+        pub.disconnect()
+        deadline = time.time() + 20
+        def n_logged():
+            pdir = os.path.join(log_dir, "p=0")
+            if not os.path.isdir(pdir):
+                return 0
+            return sum(
+                1 for f in os.listdir(pdir) if not f.startswith(".")
+                for _ in open(os.path.join(pdir, f))
+            )
+        while time.time() < deadline and n_logged() < 2:
+            time.sleep(0.2)
+        out = sink_to_list(df)
+        rows = sorted((k, v) for b in out for k, v in zip(b["key"], b["value"]))
+        assert rows == [("sensors/a/temp", "11.5"), ("sensors/b/temp", "12.5")]
+    finally:
+        broker.stop()
 
 
 def test_to_filelog_roundtrip(spark, tmp_path):
@@ -292,12 +316,27 @@ def test_websocket_sink_live(spark, tmp_path):
     assert sorted(received) == ["one", "three", "two"]
 
 
-def test_mqtt_sink_gated(spark):
-    from streamz_spark.streaming import sinks as s
+def test_mqtt_sink_live(spark, tmp_path):
+    # reference to_mqtt (sinks.py:236-273): stream rows published to a
+    # topic on a live broker, one connection per micro-batch.
+    import time
 
-    df = spark.range(1).selectExpr("cast(id as string) as value")
+    from streamz_spark.streaming import sinks as s
+    from streamz_spark.streaming.mqtt import MQTTBroker, MQTTClient
+
+    received: list = []
+    broker = MQTTBroker().start()
     try:
-        import paho.mqtt.client  # noqa: F401
-    except ImportError:
-        with pytest.raises(ImportError, match="paho-mqtt"):
-            s.to_mqtt(df, "localhost", 1883, "t")
+        sub = MQTTClient("127.0.0.1", broker.port, client_id="sub")
+        sub.subscribe("out/#", lambda t, p: received.append(p))
+        src_log = str(tmp_path / "src")
+        filelog_append(src_log, ["one", "two", "three"])
+        df = from_filelog(spark, src_log)
+        s.to_mqtt(df, "127.0.0.1", broker.port, "out/data", value_col="value")
+        deadline = time.time() + 20
+        while time.time() < deadline and len(received) < 3:
+            time.sleep(0.2)
+        sub.disconnect()
+    finally:
+        broker.stop()
+    assert sorted(received) == ["one", "three", "two"]
