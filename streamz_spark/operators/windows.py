@@ -27,6 +27,7 @@ __all__ = [
     "ewm_mean",
     "sliding_window_list",
     "tumbling_window",
+    "session_window_agg",
 ]
 
 _AGG_FNS = {
@@ -368,3 +369,45 @@ def tumbling_window(
     return out.withColumn("window_start", F.col("win.start")).withColumn(
         "window_end", F.col("win.end")
     ).drop("win")
+
+
+def session_window_agg(
+    df: DataFrame,
+    ts_col: str,
+    gap: str,
+    aggs: dict[str, Column],
+    keys: list[str] | None = None,
+    watermark: str | None = None,
+) -> DataFrame:
+    """Gap-based sessionization on the built-in ``F.session_window`` —
+    the engine-native counterpart of the batch lag-gap-cumsum
+    sessionize (queries/windows.py): a session extends while the next
+    event arrives within ``gap`` of the previous one.
+
+    Works on batch AND streaming frames; streaming append mode
+    requires a ``watermark`` so sessions can close (Spark merges
+    session state in the state store, evicted once the watermark
+    passes the session end — the built-in handles merge-on-late-event,
+    which the cumsum formulation cannot).
+
+    Scale: one shuffle on (key) with session merge in the agg — no
+    per-key ordered window scan, so no skewed-key sort bottleneck;
+    this is the plan to prefer at 100 TB when session bounds (not
+    per-event session ids) are the output.
+    """
+    out = df
+    if watermark is not None:
+        out = out.withWatermark(ts_col, watermark)
+    gb = [F.session_window(F.col(ts_col), gap).alias("session")] + [
+        F.col(k) for k in (keys or [])
+    ]
+    return (
+        out.groupBy(*gb)
+        .agg(*[c.alias(n) for n, c in aggs.items()])
+        .select(
+            *[F.col(k) for k in (keys or [])],
+            F.col("session.start").alias("session_start"),
+            F.col("session.end").alias("session_end"),
+            *[F.col(n) for n in aggs],
+        )
+    )

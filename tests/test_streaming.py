@@ -306,3 +306,66 @@ def test_online_linear_fit_converges(spark):
     assert abs(final["w"] - 2.0) < 0.2, final.to_dict()
     assert abs(final["b"] - 1.0) < 0.2, final.to_dict()
     assert final["mse"] < 0.05
+
+def test_session_window_agg_matches_lag_gap_cumsum_batch(spark):
+    """session_window_agg (built-in F.session_window) must carve the
+    same sessions as the batch lag-gap-cumsum sessionize query: per
+    user, the multiset of (n_events, session_value) agrees."""
+    from streamz_spark.catalog import load_all
+    from streamz_spark.operators.windows import session_window_agg
+
+    ev = load_table(spark, SF_DIR, "events").withColumn(
+        "ts", F.col("ts").cast("timestamp")
+    )
+    got = session_window_agg(
+        ev, "ts", "30 minutes",
+        aggs={"n_events": F.count(F.lit(1)),
+              "session_value": F.round(F.sum("value"), 4)},
+        keys=["user_id"],
+    ).toPandas()
+    want = load_all()["sessionize"].fn(spark, SF_DIR).toPandas()
+    cols = ["user_id", "n_events", "session_value"]
+    g = got[cols].sort_values(cols, ignore_index=True)
+    w = want[cols].sort_values(cols, ignore_index=True)
+    pd.testing.assert_frame_equal(g, w)
+
+
+def test_session_window_agg_streaming_append(spark):
+    """Streaming sessionization end-to-end: watermarked session_window
+    in append mode emits closed sessions that match the batch result."""
+    from streamz_spark.operators.windows import session_window_agg
+
+    # chunks must arrive in event-time order: replaying by event_id % 3
+    # interleaves hours of artificial lateness and the watermark rightly
+    # drops those fragments — that would test the harness, not the op
+    import numpy as np
+
+    ev_pdf = (
+        load_table(spark, SF_DIR, "events")
+        .select("user_id", F.col("ts").cast("timestamp").alias("ts"), "value")
+        .toPandas()
+        .sort_values("ts", ignore_index=True)
+    )
+    chunks = np.array_split(ev_pdf, 3)
+    src = from_iterable(spark, chunks, "user_id long, ts timestamp, value double")
+    out = session_window_agg(
+        src, "ts", "30 minutes",
+        aggs={"n_events": F.count(F.lit(1))},
+        keys=["user_id"],
+        watermark="1 hour",
+    )
+    batches = sink_to_list(out, output_mode="append")
+    got = pd.concat(batches, ignore_index=True) if batches else pd.DataFrame()
+    assert len(got) > 0, "no sessions closed under the watermark"
+    ev = load_table(spark, SF_DIR, "events").withColumn(
+        "ts", F.col("ts").cast("timestamp")
+    )
+    want = session_window_agg(
+        ev, "ts", "30 minutes",
+        aggs={"n_events": F.count(F.lit(1))}, keys=["user_id"],
+    ).toPandas()
+    # append mode can only emit sessions the watermark has passed —
+    # every emitted session must appear verbatim in the batch result
+    key = ["user_id", "session_start", "session_end", "n_events"]
+    merged = got[key].merge(want[key], on=key, how="left", indicator=True)
+    assert (merged["_merge"] == "both").all(), merged[merged["_merge"] != "both"]
