@@ -34,8 +34,10 @@ HEADLINE = [
     "tpch_q10_returned_items",
     "tpch_q13_customer_distribution",
     "tpch_q14_promo_effect",
+    "tpch_q15_top_supplier",
     "tpch_q17_small_quantity",
     "tpch_q18_large_volume",
+    "tpch_q22_quiet_customers",
     "rolling_windows",
     "cumulative_expanding",
     "sessionize",

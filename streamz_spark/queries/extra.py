@@ -395,6 +395,102 @@ def tpch_q17_small_quantity(spark, sf_dir):
 
 
 # --------------------------------------------------------------------------
+# TPC-H q15 — top supplier by quarterly revenue
+# --------------------------------------------------------------------------
+
+@register_extra(
+    "tpch_q15_top_supplier",
+    oracle="""
+        WITH rev AS (
+            SELECT l_suppkey AS supplier_no,
+                   ROUND(SUM(l_extendedprice * (1 - l_discount)), 4) AS total_revenue
+            FROM lineitem
+            WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+              AND l_shipdate <  TIMESTAMP '1996-04-01 00:00:00'
+            GROUP BY l_suppkey
+        )
+        SELECT s.s_suppkey, s.s_name, r.total_revenue
+        FROM supplier s JOIN rev r ON s.s_suppkey = r.supplier_no
+        WHERE r.total_revenue = (SELECT MAX(total_revenue) FROM rev)
+    """,
+    doc="TPC-H Q15: the revenue view computes once and feeds both the "
+        "MAX scalar and the equality filter (persisted subtree — no "
+        "double scan); supplier join left to AQE",
+)
+def tpch_q15_top_supplier(spark, sf_dir):
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp_ntz"))
+        & (F.col("l_shipdate") < F.lit("1996-04-01").cast("timestamp_ntz"))
+    )
+    rev = (
+        li.groupBy(F.col("l_suppkey").alias("supplier_no"))
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4
+            ).alias("total_revenue")
+        )
+        .persist()
+    )
+    max_rev = rev.agg(F.max("total_revenue").alias("m"))
+    supplier = load_table(spark, sf_dir, "supplier")
+    return (
+        rev.join(F.broadcast(max_rev), rev.total_revenue == F.col("m"))
+        .join(supplier, F.col("supplier_no") == supplier.s_suppkey)
+        .select("s_suppkey", "s_name", "total_revenue")
+    )
+
+
+# --------------------------------------------------------------------------
+# TPC-H q22 (adapted) — high-balance customers gone quiet, by nation
+# --------------------------------------------------------------------------
+
+@register_extra(
+    "tpch_q22_quiet_customers",
+    oracle="""
+        WITH avg_bal AS (
+            SELECT AVG(c_acctbal) AS a FROM customer WHERE c_acctbal > 0
+        )
+        SELECT n.n_name, COUNT(*) AS n_custs,
+               ROUND(SUM(c.c_acctbal), 4) AS total_bal
+        FROM customer c
+        JOIN nation n ON c.c_nationkey = n.n_nationkey
+        WHERE c.c_acctbal > (SELECT a FROM avg_bal)
+          AND NOT EXISTS (
+              SELECT 1 FROM orders o
+              WHERE o.o_custkey = c.c_custkey
+                AND o.o_orderdate >= TIMESTAMP '2000-01-01 00:00:00'
+          )
+        GROUP BY n.n_name
+    """,
+    doc="TPC-H Q22 adapted (no c_phone in testdata — nation stands in "
+        "for country code): above-average-balance customers with no "
+        "recent orders. The AVG scalar broadcasts; NOT EXISTS compiles "
+        "to a left-anti join against the filtered orders scan",
+)
+def tpch_q22_quiet_customers(spark, sf_dir):
+    customer = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    orders = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") >= F.lit("2000-01-01").cast("timestamp_ntz")
+    )
+    avg_bal = (
+        customer.filter(F.col("c_acctbal") > 0)
+        .agg(F.avg("c_acctbal").alias("a"))
+    )
+    return (
+        customer.join(F.broadcast(avg_bal))
+        .filter(F.col("c_acctbal") > F.col("a"))
+        .join(orders, customer.c_custkey == orders.o_custkey, "left_anti")
+        .join(F.broadcast(nation), F.col("c_nationkey") == nation.n_nationkey)
+        .groupBy("n_name")
+        .agg(
+            F.count(F.lit(1)).alias("n_custs"),
+            F.round(F.sum("c_acctbal"), 4).alias("total_bal"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
 # TPC-H q18 — large-volume customers
 # --------------------------------------------------------------------------
 

@@ -104,9 +104,12 @@ def test_no_broadcast_hint_on_sf_scaled_tables(spark):
         "tpch_q14_promo_effect": 0,       # part scales with sf
         "tpch_q17_small_quantity": 0,
         "tpch_q18_large_volume": 0,
+        "tpch_q15_top_supplier": 1,   # 1-row MAX aggregate
+        "tpch_q22_quiet_customers": 2,  # 1-row AVG aggregate + nation
     }
-    # relation identifiers that may legitimately sit under a hint
-    scale_invariant = ("nation", "region")
+    # what may legitimately sit under a hint: fixed-size dims, or a
+    # scalar/grouped aggregate collapsed to O(1) rows
+    scale_invariant = ("nation", "region", "aggregate")
     for name, n_expected in expected.items():
         df = q(name, spark)
         logical = df._jdf.queryExecution().analyzed().toString()
