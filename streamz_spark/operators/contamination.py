@@ -124,33 +124,40 @@ def contamination_check(
     Arrow-batched pandas UDF (vectorized double-hashing — the standard
     Kirsch-Mitzenmacher construction).
     """
-    sh = docs.select(
-        F.col(id_col), word_shingles(text_col, k).alias("sh")
+    # ONE shingling pass: shingles are distinct per doc, so n_shingles
+    # is the posting-list row count per id (a partial-agg shuffle of
+    # (id) pairs — cheap), and the zero-shingle fallback needs only the
+    # doc-id list, which costs no shingling. A totals branch computed
+    # from a second word_shingles scan would double the dominant cost.
+    posting = docs.select(
+        F.col(id_col), F.explode(word_shingles(text_col, k)).alias("shingle")
     )
-    posting = sh.select(id_col, F.explode("sh").alias("shingle"))
     bench = (
         benchmark.select(
             F.explode(word_shingles(bench_text_col or text_col, k)).alias("shingle")
         )
         .distinct()
     )
-    if bloom_prefilter:
-        posting = _bloom_prune(
-            posting, bench, "shingle", bloom_expected_items, bloom_fpp
-        )
+    totals = posting.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_shingles"))
+    hit_side = (
+        _bloom_prune(posting, bench, "shingle", bloom_expected_items, bloom_fpp)
+        if bloom_prefilter
+        else posting
+    )
     hits = (
-        posting.join(bench, "shingle")
+        hit_side.join(bench, "shingle")
         .groupBy(id_col)
         .agg(F.count(F.lit(1)).alias("n_hits"))
     )
-    totals = sh.select(id_col, F.size("sh").alias("n_shingles"))
     overlap = F.when(
         F.col("n_shingles") > 0,
         F.col("n_hits") / F.col("n_shingles"),
     ).otherwise(F.lit(0.0))
     return (
-        totals.join(hits, id_col, "left")
-        .fillna(0, subset=["n_hits"])
+        docs.select(id_col)
+        .join(totals, id_col, "left")
+        .join(hits, id_col, "left")
+        .fillna(0, subset=["n_shingles", "n_hits"])
         .select(
             id_col,
             "n_shingles",
