@@ -156,9 +156,12 @@ def tfidf_top_terms(
     from pyspark.sql import Window as W
 
     toks = df.select(F.col(id_col).alias("id"), F.explode(tokenize(text_col)).alias("term"))
-    tf = toks.groupBy("id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    # tf is the small aggregated (doc, term) relation and feeds three
+    # consumers (df-count, doc-count, scoring) — persist it so the
+    # corpus tokenization+explode runs exactly once
+    tf = toks.groupBy("id", "term").agg(F.count(F.lit(1)).alias("tf")).persist()
     dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df_count"))
-    n_docs = toks.select("id").distinct().agg(F.count(F.lit(1)).alias("n_docs"))
+    n_docs = tf.select("id").distinct().agg(F.count(F.lit(1)).alias("n_docs"))
     scored = (
         tf.join(dfreq, "term")
         .crossJoin(F.broadcast(n_docs))
