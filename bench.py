@@ -41,6 +41,7 @@ HEADLINE = [
     "rolling_windows",
     "cumulative_expanding",
     "sessionize",
+    "session_windows",
     "asof_join_enrich",
     "join_star_schema",
     "topk",

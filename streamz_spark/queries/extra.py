@@ -395,6 +395,58 @@ def tpch_q17_small_quantity(spark, sf_dir):
 
 
 # --------------------------------------------------------------------------
+# Native session windows (F.session_window) with a lag-gap-cumsum oracle
+# --------------------------------------------------------------------------
+
+@register_extra(
+    "session_windows",
+    # the oracle derives the same sessions by the cumsum construction
+    # (proven equivalent in tests/test_streaming.py differential):
+    # start = min(ts), end = max(ts) + gap (session_window's close rule)
+    oracle="""
+        WITH gaps AS (
+            SELECT user_id, ts, value,
+                   CASE WHEN epoch_us(ts) - epoch_us(LAG(ts) OVER
+                             (PARTITION BY user_id ORDER BY ts, event_id))
+                             > 1800 * 1000000
+                          OR LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+                        THEN 1 ELSE 0 END AS new_session
+            FROM events
+        ), sess AS (
+            SELECT user_id, ts, value,
+                   SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+            FROM gaps
+        )
+        SELECT user_id,
+               MIN(ts) AS session_start,
+               MAX(ts) + INTERVAL 30 MINUTE AS session_end,
+               COUNT(*) AS n_events,
+               ROUND(SUM(value), 4) AS session_value
+        FROM sess GROUP BY user_id, session_id
+    """,
+    doc="gap-based sessionization on the built-in F.session_window — "
+        "one shuffle with session-merge in the agg, no per-key ordered "
+        "window scan; oracle reconstructs identical sessions via "
+        "lag-gap-cumsum",
+)
+def session_windows(spark, sf_dir):
+    from streamz_spark.operators.windows import session_window_agg
+
+    ev = load_table(spark, sf_dir, "events").withColumn(
+        "ts", F.col("ts").cast("timestamp")
+    )
+    return session_window_agg(
+        ev, "ts", "30 minutes",
+        aggs={
+            "n_events": F.count(F.lit(1)),
+            "session_value": F.round(F.sum("value"), 4),
+        },
+        keys=["user_id"],
+    )
+
+
+# --------------------------------------------------------------------------
 # TPC-H q15 — top supplier by quarterly revenue
 # --------------------------------------------------------------------------
 

@@ -47,6 +47,9 @@ def test_extra_query_matches_oracle(name, spark, duck):
     assert cols == sorted(odf.columns), f"{name}: schema {cols} vs {sorted(odf.columns)}"
     s = spdf.reindex(cols, axis=1).sort_values(cols, ignore_index=True)
     o = odf.reindex(cols, axis=1).sort_values(cols, ignore_index=True)
+    # align representation dtypes (e.g. datetime64[ns] vs [us]) — the
+    # driver compares value hashes, not physical dtypes
+    o = o.astype(s.dtypes.to_dict())
     if not s.equals(o):
         diff = (s != o) & ~(s.isna() & o.isna())
         raise AssertionError(f"{name}: value mismatch\n{s[diff.any(axis=1)].head()}\n"
