@@ -42,6 +42,7 @@ HEADLINE = [
     "cumulative_expanding",
     "sessionize",
     "session_windows",
+    "hopping_window",
     "asof_join_enrich",
     "join_star_schema",
     "topk",

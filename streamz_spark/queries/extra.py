@@ -395,6 +395,51 @@ def tpch_q17_small_quantity(spark, sf_dir):
 
 
 # --------------------------------------------------------------------------
+# Hopping (sliding) time windows — capability the reference's
+# timed_window lacks (no slide); F.window(width, slide)
+# --------------------------------------------------------------------------
+
+@register_extra(
+    "hopping_window",
+    # each event lands in width/slide = 2 windows; the oracle expands
+    # the assignment explicitly: start ∈ {bucket30(ts), bucket30(ts)-30m}
+    oracle="""
+        WITH hop AS (
+            SELECT event_type, value,
+                   time_bucket(INTERVAL 30 MINUTE, ts)
+                       - INTERVAL (o.off) MINUTE AS win_start
+            FROM events, (VALUES (0), (30)) o(off)
+        )
+        SELECT event_type, win_start, COUNT(*) AS n_events,
+               ROUND(SUM(value), 4) AS total_value
+        FROM hop
+        GROUP BY event_type, win_start
+    """,
+    doc="hopping windows: 1-hour width sliding every 30 minutes via "
+        "F.window(ts, width, slide) — Spark expands each row into its "
+        "width/slide window assignments before the one aggregation "
+        "shuffle (shuffle volume = rows x overlap, the inherent cost)",
+)
+def hopping_window(spark, sf_dir):
+    ev = load_table(spark, sf_dir, "events").withColumn(
+        "ts", F.col("ts").cast("timestamp")
+    )
+    return (
+        ev.groupBy(
+            F.window("ts", "1 hour", "30 minutes").alias("win"), "event_type"
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 4).alias("total_value"),
+        )
+        .select(
+            "event_type", F.col("win.start").alias("win_start"),
+            "n_events", "total_value",
+        )
+    )
+
+
+# --------------------------------------------------------------------------
 # Native session windows (F.session_window) with a lag-gap-cumsum oracle
 # --------------------------------------------------------------------------
 
