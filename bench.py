@@ -43,6 +43,8 @@ HEADLINE = [
     "sessionize",
     "session_windows",
     "hopping_window",
+    "salted_agg_skew",
+    "salted_join_skew",
     "asof_join_enrich",
     "join_star_schema",
     "topk",

@@ -395,6 +395,76 @@ def tpch_q17_small_quantity(spark, sf_dir):
 
 
 # --------------------------------------------------------------------------
+# Skew handling — salted two-phase agg and salt-replicate join produce
+# results identical to the plain forms (the salt never escapes)
+# --------------------------------------------------------------------------
+
+@register_extra(
+    "salted_agg_skew",
+    oracle="""
+        SELECT event_type,
+               COUNT(*) AS n,
+               ROUND(SUM(value), 4) AS total,
+               ROUND(MAX(value), 4) AS max_value
+        FROM events
+        GROUP BY event_type
+    """,
+    doc="two-phase skew-safe aggregation (operators/skew.salted_agg): "
+        "phase 1 aggregates on (key, salt) spreading each hot key over "
+        "16 reducers, phase 2 re-aggregates the 16 partials per key — "
+        "result identical to the plain groupBy, which is the oracle",
+)
+def salted_agg_skew(spark, sf_dir):
+    from streamz_spark.operators.skew import salted_agg
+
+    ev = load_table(spark, sf_dir, "events")
+    out = salted_agg(
+        ev, "event_type",
+        {"n": ("value", "count"), "total_raw": ("value", "sum"),
+         "max_raw": ("value", "max")},
+    )
+    return out.select(
+        "event_type", "n",
+        F.round("total_raw", 4).alias("total"),
+        F.round("max_raw", 4).alias("max_value"),
+    )
+
+
+@register_extra(
+    "salted_join_skew",
+    oracle="""
+        SELECT p.p_brand,
+               COUNT(*) AS n_items,
+               ROUND(SUM(l.l_extendedprice), 4) AS total_price
+        FROM lineitem l
+        JOIN part p ON l.l_partkey = p.p_partkey
+        GROUP BY p.p_brand
+    """,
+    doc="skew-safe equi-join (operators/skew.salted_join): the big side "
+        "salts, the small side replicates once per bucket, the join "
+        "key becomes (key, salt) so one hot key spreads over 16 tasks "
+        "— result identical to the plain join, which is the oracle",
+)
+def salted_join_skew(spark, sf_dir):
+    from streamz_spark.operators.skew import salted_join
+
+    li = load_table(spark, sf_dir, "lineitem").withColumnRenamed(
+        "l_partkey", "partkey"
+    )
+    part = load_table(spark, sf_dir, "part").withColumnRenamed(
+        "p_partkey", "partkey"
+    )
+    return (
+        salted_join(li, part, "partkey", salt_buckets=16)
+        .groupBy("p_brand")
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            F.round(F.sum("l_extendedprice"), 4).alias("total_price"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
 # Hopping (sliding) time windows — capability the reference's
 # timed_window lacks (no slide); F.window(width, slide)
 # --------------------------------------------------------------------------
