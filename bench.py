@@ -45,6 +45,7 @@ HEADLINE = [
     "hopping_window",
     "salted_agg_skew",
     "salted_join_skew",
+    "melt_unpivot",
     "asof_join_enrich",
     "join_star_schema",
     "topk",

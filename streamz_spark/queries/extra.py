@@ -395,6 +395,36 @@ def tpch_q17_small_quantity(spark, sf_dir):
 
 
 # --------------------------------------------------------------------------
+# melt / unpivot — the inverse of the catalog's pivot_wide
+# --------------------------------------------------------------------------
+
+@register_extra(
+    "melt_unpivot",
+    oracle="""
+        SELECT p_partkey, metric, ROUND(value, 4) AS value
+        FROM (
+            SELECT p_partkey, p_retailprice,
+                   CAST(p_size AS DOUBLE) AS p_size
+            FROM part
+        )
+        UNPIVOT (value FOR metric IN (p_retailprice, p_size))
+    """,
+    doc="wide->long unpivot (df.unpivot / melt): narrow row-expansion, "
+        "no shuffle — output rows = input x n_value_columns",
+)
+def melt_unpivot(spark, sf_dir):
+    part = load_table(spark, sf_dir, "part").select(
+        "p_partkey", "p_retailprice", F.col("p_size").cast("double").alias("p_size")
+    )
+    return part.unpivot(
+        ids=["p_partkey"],
+        values=["p_retailprice", "p_size"],
+        variableColumnName="metric",
+        valueColumnName="value_raw",
+    ).select("p_partkey", "metric", F.round("value_raw", 4).alias("value"))
+
+
+# --------------------------------------------------------------------------
 # Skew handling — salted two-phase agg and salt-replicate join produce
 # results identical to the plain forms (the salt never escapes)
 # --------------------------------------------------------------------------

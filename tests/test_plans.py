@@ -126,6 +126,27 @@ def test_no_broadcast_hint_on_sf_scaled_tables(spark):
                 )
 
 
+def test_extra_tpch_no_cartesian_or_nested_loop(spark):
+    # the multi-join extras must never degrade to a cartesian product
+    # or nested-loop join — at 100 TB either is a cluster-melter
+    from streamz_spark.plans import explain_string
+
+    for name in (
+        "tpch_q7_volume_shipping", "tpch_q8_market_share",
+        "tpch_q10_returned_items", "tpch_q13_customer_distribution",
+        "tpch_q17_small_quantity", "tpch_q18_large_volume",
+    ):
+        plan = explain_string(q(name, spark))
+        assert "CartesianProduct" not in plan, name
+        assert "BroadcastNestedLoopJoin" not in plan, name
+    # q22 is exempt from the nested-loop check: its condition-less join
+    # against the broadcast 1-row AVG aggregate plans as
+    # BroadcastNestedLoopJoin — the standard physical form of a scalar
+    # subquery, O(rows x 1), scale-safe. A cartesian would still be a bug.
+    plan = explain_string(q("tpch_q22_quiet_customers", spark))
+    assert "CartesianProduct" not in plan
+
+
 def test_groupby_has_partial_aggregation(spark):
     from streamz_spark.plans import explain_string
 
