@@ -140,3 +140,93 @@ def test_paired_cosine_bit_exact_vs_expression(spark, data):
         .select("id", "cosine").toPandas().set_index("id")["cosine"].sort_index()
     # bit-exact: no tolerance
     assert expr_out.tolist() == arrow_out.tolist()
+
+
+@st.composite
+def event_frame(draw):
+    """Random keyed event-time data: timestamps cluster so sessions of
+    every shape (singleton, chains, exact-boundary-adjacent) appear."""
+    n = draw(st.integers(min_value=1, max_value=40))
+    keys = draw(st.lists(st.integers(min_value=0, max_value=3), min_size=n, max_size=n))
+    # offsets in seconds; gaps straddle the 600s session gap used below
+    offs = draw(st.lists(st.integers(min_value=0, max_value=5000), min_size=n, max_size=n))
+    vals = draw(st.lists(finite, min_size=n, max_size=n))
+    return pd.DataFrame({
+        "event_id": range(n),
+        "user_id": keys,
+        "ts": pd.to_datetime(1_700_000_000 + np.array(offs), unit="s"),
+        "value": vals,
+    })
+
+
+@given(pdf=event_frame())
+@settings(max_examples=10, deadline=None)
+def test_session_window_equals_cumsum_on_random_events(spark, pdf):
+    """The F.session_window aggregation and the lag-gap-cumsum
+    construction must carve identical sessions on ARBITRARY event data
+    (per-user multisets of (n_events, session_value) agree)."""
+    from pyspark.sql import Window as W, functions as F
+
+    from streamz_spark.operators.windows import session_window_agg
+
+    gap_s = 600
+    df = spark.createDataFrame(pdf, "event_id long, user_id long, ts timestamp, value double")
+
+    got = session_window_agg(
+        df, "ts", f"{gap_s} seconds",
+        aggs={"n_events": F.count(F.lit(1)),
+              "session_value": F.round(F.sum("value"), 4)},
+        keys=["user_id"],
+    ).toPandas()
+
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.unix_micros(F.col("ts")) - F.unix_micros(F.lag("ts").over(w))
+    new_sess = F.when(gap.isNull() | (gap > gap_s * 1_000_000), 1).otherwise(0)
+    wc = W.partitionBy("user_id").orderBy("ts", "event_id").rowsBetween(W.unboundedPreceding, 0)
+    want = (
+        df.withColumn("session_id", F.sum(new_sess).over(wc))
+        .groupBy("user_id", "session_id")
+        .agg(F.count(F.lit(1)).alias("n_events"),
+             F.round(F.sum("value"), 4).alias("session_value"))
+        .toPandas()
+    )
+    cols = ["user_id", "n_events", "session_value"]
+    g = got[cols].sort_values(cols, ignore_index=True)
+    x = want[cols].sort_values(cols, ignore_index=True)
+    pd.testing.assert_frame_equal(g, x)
+
+
+@st.composite
+def corpus_and_bench(draw):
+    words = st.sampled_from(["alpha", "beta", "gamma", "delta", "epsilon", "zeta"])
+    n = draw(st.integers(min_value=1, max_value=20))
+    docs = [
+        " ".join(draw(st.lists(words, min_size=0, max_size=12))) for _ in range(n)
+    ]
+    bench_ids = draw(st.lists(st.integers(min_value=0, max_value=n - 1),
+                              min_size=0, max_size=max(1, n // 2), unique=True))
+    return docs, bench_ids
+
+
+@given(data=corpus_and_bench())
+@settings(max_examples=8, deadline=None)
+def test_bloom_contamination_equals_exact_on_random_corpora(spark, data):
+    """bloom_prefilter=True must return EXACTLY the exact path's output
+    on arbitrary corpora/benchmarks (no false negatives by construction;
+    false positives eliminated by the verify join)."""
+    from streamz_spark.operators.contamination import contamination_check
+
+    docs_txt, bench_ids = data
+    pdf = pd.DataFrame({"doc_id": range(len(docs_txt)), "text": docs_txt})
+    docs = spark.createDataFrame(pdf, "doc_id long, text string")
+    bench = docs.filter(docs.doc_id.isin([int(i) for i in bench_ids]) if bench_ids else "false")
+
+    kw = dict(k=2, threshold=0.5)
+    exact = contamination_check(docs, bench, **kw).toPandas()
+    bloom = contamination_check(
+        docs, bench, bloom_prefilter=True, bloom_expected_items=1000, **kw
+    ).toPandas()
+    cols = sorted(exact.columns)
+    e = exact.reindex(cols, axis=1).sort_values(cols, ignore_index=True)
+    b = bloom.reindex(cols, axis=1).sort_values(cols, ignore_index=True)
+    pd.testing.assert_frame_equal(e, b)
