@@ -46,6 +46,8 @@ HEADLINE = [
     "salted_agg_skew",
     "salted_join_skew",
     "melt_unpivot",
+    "window_ranking_functions",
+    "string_agg_by_group",
     "asof_join_enrich",
     "join_star_schema",
     "topk",

@@ -395,6 +395,78 @@ def tpch_q17_small_quantity(spark, sf_dir):
 
 
 # --------------------------------------------------------------------------
+# Ranking window functions — rank/dense_rank/ntile/lag/percent_rank
+# --------------------------------------------------------------------------
+
+@register_extra(
+    "window_ranking_functions",
+    oracle="""
+        SELECT o_custkey, o_orderkey,
+               RANK() OVER w AS rnk,
+               DENSE_RANK() OVER w AS drnk,
+               NTILE(4) OVER w AS quartile,
+               ROUND(COALESCE(LAG(o_totalprice) OVER w, 0), 4) AS prev_price,
+               ROUND(PERCENT_RANK() OVER w, 6) AS pct_rank
+        FROM orders
+        WINDOW w AS (PARTITION BY o_custkey
+                     ORDER BY o_totalprice DESC, o_orderkey)
+    """,
+    doc="the ranking-function family over one shared per-customer "
+        "window spec — one shuffle on o_custkey covers all five "
+        "functions (shared WindowExec), deterministic via the "
+        "(price, orderkey) tiebreak",
+)
+def window_ranking_functions(spark, sf_dir):
+    from pyspark.sql import Window as W
+
+    orders = load_table(spark, sf_dir, "orders")
+    w = W.partitionBy("o_custkey").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey").asc()
+    )
+    return orders.select(
+        "o_custkey", "o_orderkey",
+        F.rank().over(w).alias("rnk"),
+        F.dense_rank().over(w).alias("drnk"),
+        F.ntile(4).over(w).alias("quartile"),
+        F.round(F.coalesce(F.lag("o_totalprice").over(w), F.lit(0.0)), 4).alias("prev_price"),
+        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Ordered string aggregation (listagg) — deterministic via array_sort
+# --------------------------------------------------------------------------
+
+@register_extra(
+    "string_agg_by_group",
+    oracle="""
+        SELECT n.n_name,
+               string_agg(c.c_mktsegment, ',' ORDER BY c.c_mktsegment) AS segments
+        FROM (SELECT DISTINCT c_nationkey, c_mktsegment FROM customer) c
+        JOIN nation n ON c.c_nationkey = n.n_nationkey
+        GROUP BY n.n_name
+    """,
+    doc="ordered listagg: collect_list is partition-order-dependent in "
+        "Spark, so array_sort before array_join makes the result "
+        "deterministic and engine-portable (= string_agg ... ORDER BY)",
+)
+def string_agg_by_group(spark, sf_dir):
+    customer = load_table(spark, sf_dir, "customer").select(
+        "c_nationkey", "c_mktsegment"
+    ).distinct()
+    nation = load_table(spark, sf_dir, "nation")
+    return (
+        customer.join(F.broadcast(nation), customer.c_nationkey == nation.n_nationkey)
+        .groupBy("n_name")
+        .agg(
+            F.array_join(F.array_sort(F.collect_list("c_mktsegment")), ",").alias(
+                "segments"
+            )
+        )
+    )
+
+
+# --------------------------------------------------------------------------
 # melt / unpivot — the inverse of the catalog's pivot_wide
 # --------------------------------------------------------------------------
 
