@@ -47,6 +47,7 @@ HEADLINE = [
     "salted_join_skew",
     "melt_unpivot",
     "window_ranking_functions",
+    "window_value_functions",
     "string_agg_by_group",
     "asof_join_enrich",
     "join_star_schema",

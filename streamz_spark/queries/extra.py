@@ -434,6 +434,48 @@ def window_ranking_functions(spark, sf_dir):
 
 
 # --------------------------------------------------------------------------
+# Value window functions — first/last/nth over an explicit full frame
+# --------------------------------------------------------------------------
+
+@register_extra(
+    "window_value_functions",
+    oracle="""
+        SELECT o_custkey, o_orderkey,
+               ROUND(FIRST_VALUE(o_totalprice) OVER w, 4) AS biggest,
+               ROUND(LAST_VALUE(o_totalprice) OVER w, 4) AS smallest,
+               ROUND(COALESCE(NTH_VALUE(o_totalprice, 2) OVER w, 0), 4)
+                   AS second_biggest
+        FROM orders
+        WINDOW w AS (PARTITION BY o_custkey
+                     ORDER BY o_totalprice DESC, o_orderkey
+                     ROWS BETWEEN UNBOUNDED PRECEDING
+                              AND UNBOUNDED FOLLOWING)
+    """,
+    doc="first_value/last_value/nth_value over an EXPLICIT unbounded "
+        "frame — the default running frame makes last_value the current "
+        "row, the classic silent-wrong-answer; the explicit frame is "
+        "both correct and engine-portable",
+)
+def window_value_functions(spark, sf_dir):
+    from pyspark.sql import Window as W
+
+    orders = load_table(spark, sf_dir, "orders")
+    w = (
+        W.partitionBy("o_custkey")
+        .orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey").asc())
+        .rowsBetween(W.unboundedPreceding, W.unboundedFollowing)
+    )
+    return orders.select(
+        "o_custkey", "o_orderkey",
+        F.round(F.first("o_totalprice").over(w), 4).alias("biggest"),
+        F.round(F.last("o_totalprice").over(w), 4).alias("smallest"),
+        F.round(
+            F.coalesce(F.nth_value("o_totalprice", 2).over(w), F.lit(0.0)), 4
+        ).alias("second_biggest"),
+    )
+
+
+# --------------------------------------------------------------------------
 # Ordered string aggregation (listagg) — deterministic via array_sort
 # --------------------------------------------------------------------------
 
