@@ -3,10 +3,11 @@
 Prints ONE JSON line:
   {"metric": ..., "value": N, "unit": "sec", "queries": {...}, "sf": ...}
 
-Each query is planned lazily and forced with a cheap action
-(write to noop sink semantics via count on the final plan) so the
-measured time is scan+compute, not result materialization to the
-driver.
+Each query is planned lazily and forced with a ``noop``-format write
+(``df.write.format("noop").mode("overwrite").save()``): every output
+expression is fully evaluated (unlike ``count()``, which lets Catalyst
+prune final-projection expressions that don't affect row count), but
+nothing is materialized to the driver or disk.
 """
 
 from __future__ import annotations
@@ -53,6 +54,7 @@ HEADLINE = [
     "join_star_schema",
     "topk",
     "ewm_mean_per_user",
+    "ewm_mean_vectorized",
     "ngram_jaccard_pairs",
     "minhash_near_duplicates",
     "dedup_clusters",
@@ -78,8 +80,12 @@ def main() -> None:
     registry.update(EXTRA_REGISTRY)
     names = [n for n in HEADLINE if n in registry] or list(registry)
 
+    def force(df) -> None:
+        # noop-sink write: full expression evaluation, zero driver/disk IO
+        df.write.format("noop").mode("overwrite").save()
+
     # warm the JVM + parquet footers once (not counted per-query)
-    registry[names[0]].fn(spark, sf_dir).count()
+    force(registry[names[0]].fn(spark, sf_dir))
 
     timings: dict[str, float] = {}
     total = 0.0
@@ -93,7 +99,7 @@ def main() -> None:
             for _ in range(runs):
                 t0 = time.perf_counter()
                 df = registry[name].fn(spark, sf_dir)
-                df.count()  # force full plan execution
+                force(df)
                 dt = time.perf_counter() - t0
                 best = dt if best < 0 else min(best, dt)
         except Exception as exc:  # one bad query must not kill the bench line

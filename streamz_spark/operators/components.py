@@ -31,22 +31,30 @@ from pyspark.sql import DataFrame, functions as F
 __all__ = ["connected_components", "dedup_clusters"]
 
 
-def _canonical(edges: DataFrame) -> DataFrame:
+def _canonical(edges: DataFrame, dedupe: bool = True) -> DataFrame:
     """Undirected edge set as canonical (u < v) pairs, no self-loops."""
     u, v = F.col("u"), F.col("v")
-    return (
+    out = (
         edges.select(F.least(u, v).alias("u"), F.greatest(u, v).alias("v"))
         .filter(F.col("u") != F.col("v"))
-        .distinct()
     )
+    return out.distinct() if dedupe else out
 
 
-def _star_round(edges: DataFrame, large: bool) -> DataFrame:
+def _star_round(edges: DataFrame, large: bool, dedupe: bool = True) -> DataFrame:
     """One large-star (connect strictly-greater neighbors to the min)
     or small-star (connect not-greater neighbors to the min) round.
 
     Neighborhoods are formed over the symmetric edge list; `m` is the
-    min of each center's neighborhood including itself.
+    min of each center's neighborhood including itself. Both consumers
+    of `sym` (the min-aggregate and the neighbor join) hash-partition
+    it on `u`, so Spark's ReuseExchange evaluates that shuffle once.
+
+    ``dedupe=False`` skips the output `distinct()` — one shuffle saved
+    per call. The large-star half of a round runs with dedupe off
+    (duplicate edges don't change any neighborhood min and are at most
+    ~2x inflation for one half-round); the small-star half dedupes, so
+    the materialized per-round edge set stays canonical.
     """
     sym = edges.union(edges.select(F.col("v").alias("u"), F.col("u").alias("v")))
     m = (
@@ -58,7 +66,7 @@ def _star_round(edges: DataFrame, large: bool) -> DataFrame:
     out = nbrs.filter(cond).select(F.col("v").alias("u"), F.col("m").alias("v"))
     # the center keeps its own link to m so singleton stars survive
     out = out.union(m.select("u", F.col("m").alias("v")))
-    return _canonical(out)
+    return _canonical(out, dedupe=dedupe)
 
 
 def connected_components(
@@ -110,20 +118,28 @@ def connected_components(
             labels, "id long, component long"
         )
 
-    prev_sig = None
+    prev_n, prev_h = None, None
     for _ in range(max_iter):
-        e = _star_round(e, large=True)
+        # large-star half skips its distinct (duplicate-tolerant);
+        # small-star half dedupes, so `e` is canonical per round
+        e = _star_round(e, large=True, dedupe=False)
         e = _star_round(e, large=False)
         e = e.localCheckpoint(eager=True)  # constant-size plan per round
-        sig = e.agg(
-            F.count(F.lit(1)).alias("n"),
-            # decimal accumulator: a long sum of 64-bit hashes overflows
-            # under ANSI mode
-            F.sum(F.xxhash64("u", "v").cast("decimal(38,0)")).alias("h"),
-        ).first()
-        if (sig["n"], sig["h"]) == prev_sig:
+        # convergence probe: count first (free from the checkpoint);
+        # only when the edge count is static is the order-independent
+        # hash worth computing — early rounds skip the hash pass
+        n = e.count()
+        if n != prev_n:
+            prev_n, prev_h = n, None
+            continue
+        # decimal accumulator: a long sum of 64-bit hashes overflows
+        # under ANSI mode
+        h = e.agg(
+            F.sum(F.xxhash64("u", "v").cast("decimal(38,0)")).alias("h")
+        ).first()["h"]
+        if h == prev_h:
             break
-        prev_sig = (sig["n"], sig["h"])
+        prev_h = h
 
     # at convergence every edge points a vertex at its component min;
     # vertices that ended as centers label themselves

@@ -157,9 +157,12 @@ def tfidf_top_terms(
 
     toks = df.select(F.col(id_col).alias("id"), F.explode(tokenize(text_col)).alias("term"))
     # tf is the small aggregated (doc, term) relation and feeds three
-    # consumers (df-count, doc-count, scoring) — persist it so the
-    # corpus tokenization+explode runs exactly once
-    tf = toks.groupBy("id", "term").agg(F.count(F.lit(1)).alias("tf")).persist()
+    # consumers (df-count, doc-count, scoring) — localCheckpoint (not
+    # persist: cache entries outlive the caller and accumulate across
+    # repeated invocations in a long-lived session; checkpoint blocks
+    # are released by the ContextCleaner once the result is dropped)
+    # so the corpus tokenization+explode runs exactly once
+    tf = toks.groupBy("id", "term").agg(F.count(F.lit(1)).alias("tf")).localCheckpoint(eager=True)
     dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df_count"))
     n_docs = tf.select("id").distinct().agg(F.count(F.lit(1)).alias("n_docs"))
     scored = (

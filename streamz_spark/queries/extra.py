@@ -740,7 +740,10 @@ def tpch_q15_top_supplier(spark, sf_dir):
                 F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4
             ).alias("total_revenue")
         )
-        .persist()
+        # localCheckpoint, not persist: cache entries leak across
+        # repeated calls in a long session; checkpoint blocks are
+        # GC-released with the result
+        .localCheckpoint(eager=True)
     )
     max_rev = rev.agg(F.max("total_revenue").alias("m"))
     supplier = load_table(spark, sf_dir, "supplier")
@@ -852,3 +855,44 @@ def tpch_q18_large_volume(spark, sf_dir):
         .orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey").asc())
         .limit(100)
     )
+
+
+@register_extra(
+    "ewm_mean_vectorized",
+    # same recursive-CTE recurrence as the main ewm_mean_per_user oracle,
+    # but rounded to 4 dp on both sides: the blocked-numpy fast path
+    # (bit_exact=False) matches the scalar loop to ~1e-13 relative, which
+    # is bit-identical after ROUND(, 4) at this value scale
+    oracle="""
+        WITH RECURSIVE t AS (
+            SELECT user_id, event_id, value,
+                   ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY event_id) AS rn
+            FROM events
+        ), r AS (
+            SELECT user_id, event_id, rn,
+                   value + 0.7::DOUBLE * 0.0::DOUBLE AS num,
+                   1.0::DOUBLE + 0.7::DOUBLE * 0.0::DOUBLE AS den
+            FROM t WHERE rn = 1
+            UNION ALL
+            SELECT t.user_id, t.event_id, t.rn,
+                   t.value + 0.7::DOUBLE * r.num,
+                   1.0::DOUBLE + 0.7::DOUBLE * r.den
+            FROM t JOIN r ON t.user_id = r.user_id AND t.rn = r.rn + 1
+        )
+        SELECT event_id, user_id, ROUND(num / den, 4) AS ewm FROM r
+    """,
+    doc="ewm_mean fast path (bit_exact=False): blocked numpy num/den "
+        "recurrence with per-block rescaling — no per-row Python in the "
+        "hot loop; differential-tested against the scalar path in "
+        "tests/test_windows.py",
+)
+def ewm_mean_vectorized(spark, sf_dir):
+    from streamz_spark.operators.windows import ewm_mean
+
+    ev = load_table(spark, sf_dir, "events")
+    out = ewm_mean(
+        ev.select("event_id", "user_id", "value"),
+        "event_id", "value", "ewm",
+        alpha=0.3, partition_by=["user_id"], bit_exact=False,
+    )
+    return out.select("event_id", "user_id", F.round("ewm", 4).alias("ewm"))

@@ -444,10 +444,16 @@ def to_filelog(
     and for any shared filesystem.
 
     ``num_partitions`` with a ``key_col`` gives Kafka's keyed routing:
-    records go to ``hash(key) % num_partitions``, preserving per-key
-    ordering across partitions. Without it, all records land in the
-    fixed ``partition``.
+    records go to ``crc32(key) % num_partitions``. When routing is
+    active the batch is repartitioned on the computed target first, so
+    exactly ONE task owns each target partition per micro-batch — one
+    segment per (batch, target), making per-key order within a batch
+    well-defined (the owning task's row order) as well as across
+    batches. Without routing, all records land in the fixed
+    ``partition``.
     """
+    from pyspark.sql import functions as F
+
     from streamz_spark.streaming.sinks import sink_foreach_batch
 
     log_path, vcol_opt, kcol, fixed_part, n_parts = (
@@ -458,17 +464,31 @@ def to_filelog(
         vcol = vcol_opt or next(c for c in batch_df.columns if c != kcol)
         cols = [kcol, vcol] if kcol else [vcol]
         sel = batch_df.select(*cols)
+        routed = bool(kcol and n_parts)
+        if routed:
+            # JVM-side mirror of _stable_hash (crc32 of the utf-8 key,
+            # sign bit cleared): repartitioning on the TARGET id — not
+            # the raw key — guarantees one task per target partition
+            target_expr = (
+                F.crc32(F.col(kcol).cast("string").cast("binary"))
+                .bitwiseAND(F.lit(0x7FFFFFFF)) % F.lit(n_parts)
+            ).cast("int")
+            sel = sel.withColumn("__target", target_expr).repartition(
+                n_parts, "__target"
+            )
 
         def append_partition(rows):
             # runs on the executor; one filelog segment per (task, target)
             by_target: dict[int, list] = {}
             for r in rows:
-                if kcol:
-                    key = r[kcol]
-                    target = (
-                        _stable_hash(key) % n_parts if n_parts else fixed_part
+                if routed:
+                    by_target.setdefault(r["__target"], []).append(
+                        (r[kcol], str(r[vcol]))
                     )
-                    by_target.setdefault(target, []).append((key, str(r[vcol])))
+                elif kcol:
+                    by_target.setdefault(fixed_part, []).append(
+                        (r[kcol], str(r[vcol]))
+                    )
                 else:
                     by_target.setdefault(fixed_part, []).append(str(r[vcol]))
             for target, records in by_target.items():

@@ -37,13 +37,16 @@ def _encode_varint(n: int) -> bytes:
 
 
 def _read_varint(conn: socket.socket) -> int:
+    # MQTT 3.1.1 §2.2.3: remaining-length is at most 4 bytes — bound the
+    # loop so a peer streaming 0x80 continuation bytes can't spin us
     mult, value = 1, 0
-    while True:
+    for _ in range(4):
         (b,) = _recv_exact(conn, 1)
         value += (b & 0x7F) * mult
         if not b & 0x80:
             return value
         mult *= 128
+    raise ConnectionError("mqtt malformed remaining-length (>4 bytes)")
 
 
 def _recv_exact(conn: socket.socket, n: int) -> bytes:
@@ -93,6 +96,10 @@ class MQTTBroker:
         self.port = self.sock.getsockname()[1]
         self._subs: list[tuple[socket.socket, str]] = []
         self._lock = threading.Lock()
+        # per-subscriber write lock: PUBLISH fan-out runs on each
+        # publisher's serve thread, so two concurrent publishers would
+        # otherwise interleave frame bytes on one subscriber socket
+        self._wlocks: dict[socket.socket, threading.Lock] = {}
         self._stopped = False
 
     def start(self) -> "MQTTBroker":
@@ -108,6 +115,8 @@ class MQTTBroker:
             threading.Thread(target=self._serve, args=(conn,), daemon=True).start()
 
     def _serve(self, conn: socket.socket) -> None:
+        with self._lock:
+            self._wlocks[conn] = threading.Lock()
         try:
             while True:
                 ptype, _flags, body = _read_packet(conn)
@@ -129,11 +138,19 @@ class MQTTBroker:
                     topic = body[2 : 2 + tlen].decode()
                     payload = body[2 + tlen :]  # QoS 0: no packet id
                     with self._lock:
-                        targets = [c for c, f in self._subs if topic_matches(f, topic)]
+                        targets = [
+                            (c, self._wlocks.get(c))
+                            for c, f in self._subs
+                            if topic_matches(f, topic)
+                        ]
                     pkt = _packet(PUBLISH, 0, _mqtt_str(topic) + payload)
-                    for c in targets:
+                    for c, wlock in targets:
                         try:
-                            c.sendall(pkt)
+                            if wlock is None:
+                                c.sendall(pkt)
+                            else:
+                                with wlock:
+                                    c.sendall(pkt)
                         except OSError:
                             pass
                 elif ptype == PINGREQ:
@@ -145,6 +162,7 @@ class MQTTBroker:
         finally:
             with self._lock:
                 self._subs = [(c, f) for c, f in self._subs if c is not conn]
+                self._wlocks.pop(conn, None)
             conn.close()
 
     def stop(self) -> None:

@@ -369,13 +369,18 @@ def streaming_minhash_neardup(
             # bucket idle a full TTL: every member is expired — drop it
             state.remove()
             return
+        now = _time.time()
         if state.exists:
             loaded = json.loads(state.get[0])
             ids, sigs, times = loaded if len(loaded) == 3 else (*loaded, [])
-            times = times or [0.0] * len(ids)
+            # legacy two-element payloads (pre-TTL checkpoints) carry no
+            # seen-times: backfill with NOW, not 0.0 — zero would expire
+            # every pre-upgrade member on first touch (silent loss of
+            # all prior dedup history); stamping now retains them for
+            # one full TTL window and ages them out normally
+            times = times or [now] * len(ids)
         else:
             ids, sigs, times = [], [], []
-        now = _time.time()
         if ttl is not None:
             keep = [j for j, t in enumerate(times) if now - t < ttl]
             if len(keep) < len(ids):

@@ -33,7 +33,29 @@ def _accept_key(key: str) -> str:
     return base64.b64encode(hashlib.sha1((key + _GUID).encode()).digest()).decode()
 
 
-def _recv_exact(conn: socket.socket, n: int) -> bytes:
+class _BufferedConn:
+    """Socket wrapper that serves leftover handshake bytes first — a
+    pipelining client may send its first frames in the same segment as
+    the upgrade request; those bytes must not be discarded."""
+
+    def __init__(self, conn: socket.socket, initial: bytes = b""):
+        self._conn = conn
+        self._buf = initial
+
+    def recv(self, n: int) -> bytes:
+        if self._buf:
+            out, self._buf = self._buf[:n], self._buf[n:]
+            return out
+        return self._conn.recv(n)
+
+    def sendall(self, data: bytes) -> None:
+        self._conn.sendall(data)
+
+    def close(self) -> None:
+        self._conn.close()
+
+
+def _recv_exact(conn, n: int) -> bytes:
     buf = b""
     while len(buf) < n:
         chunk = conn.recv(n - len(buf))
@@ -110,8 +132,9 @@ class WSServer:
                 if not chunk:
                     return
                 req += chunk
+            head, _, leftover = req.partition(b"\r\n\r\n")
             key = ""
-            for line in req.decode("latin-1").split("\r\n"):
+            for line in head.decode("latin-1").split("\r\n"):
                 if line.lower().startswith("sec-websocket-key:"):
                     key = line.split(":", 1)[1].strip()
             conn.sendall(
@@ -121,6 +144,9 @@ class WSServer:
                     f"Sec-WebSocket-Accept: {_accept_key(key)}\r\n\r\n"
                 ).encode()
             )
+            # frame bytes pipelined behind the handshake are the start
+            # of the frame stream, not garbage
+            conn = _BufferedConn(conn, leftover)
             fragments: list[bytes] = []
             while True:
                 opcode, fin, payload = _read_frame(conn)
@@ -168,9 +194,18 @@ class WSClient:
         status = resp.split(b"\r\n", 1)[0].decode("latin-1")
         if "101" not in status:
             raise ConnectionError(f"websocket handshake rejected: {status}")
+        # header NAME compares case-insensitively; the accept VALUE is
+        # base64 and must match case-sensitively (RFC 6455 §4.1)
         want = _accept_key(key)
-        if f"sec-websocket-accept: {want.lower()}" not in resp.decode("latin-1").lower():
-            raise ConnectionError("websocket handshake: bad Sec-WebSocket-Accept")
+        got = None
+        for line in resp.split(b"\r\n\r\n", 1)[0].decode("latin-1").split("\r\n"):
+            name, _, value = line.partition(":")
+            if name.strip().lower() == "sec-websocket-accept":
+                got = value.strip()
+        if got != want:
+            raise ConnectionError(
+                f"websocket handshake: bad Sec-WebSocket-Accept {got!r}"
+            )
 
     def send(self, text: str) -> None:
         _write_frame(self.conn, text.encode(), opcode=0x1, mask=True)

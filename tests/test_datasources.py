@@ -283,14 +283,23 @@ def test_to_filelog_keyed_routing(spark, tmp_path):
     assert len(pdirs) > 1, "keyed routing produced a single partition"
     # a key never straddles partitions
     key_parts: dict = {}
+    seg_counts: dict = {}
     for pd_ in pdirs:
         import json as _json
 
-        for seg in os.listdir(os.path.join(dst_log, pd_)):
+        segs = os.listdir(os.path.join(dst_log, pd_))
+        seg_counts[pd_] = len(segs)
+        for seg in segs:
             for line in open(os.path.join(dst_log, pd_, seg)):
                 k = _json.loads(line)["key"]
                 key_parts.setdefault(k, set()).add(pd_)
     assert all(len(ps) == 1 for ps in key_parts.values()), key_parts
+    # the batch is repartitioned on the computed target before the
+    # foreachPartition append, so exactly one task owns each target →
+    # one segment per (micro-batch, partition). The source feeds a
+    # single micro-batch here, so each partition dir has one segment —
+    # this is what makes within-batch per-key order well-defined.
+    assert all(n == 1 for n in seg_counts.values()), seg_counts
 
 
 def test_websocket_sink_live(spark, tmp_path):
