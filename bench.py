@@ -65,6 +65,7 @@ HEADLINE = [
     "ann_brute_force_topk",
     "text_quality_profile",
     "tfidf_top_terms",
+    "media_decode_stats",
 ]
 
 

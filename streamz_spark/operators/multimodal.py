@@ -4,9 +4,11 @@ Media rides as an opaque ``binary`` column plus a typed metadata
 struct — the layout a 100 TB training-data lake uses (parquet binary
 chunks, partition-pruned by metadata, lazily decoded). The Spark-side
 plumbing (schemas, mapInPandas batch iteration, Arrow transfer,
-partition sizing) is real and tested; the actual codec calls are
-stubbed behind ``decode=`` hooks because no image/audio libraries ship
-in this container — swap in PIL/torchaudio/decord in production.
+partition sizing) is real and tested. Decode is real too for the
+formats stdlib can parse — WAV/PPM/BMP via ``operators.codecs``
+(sniffed by magic bytes); compressed codecs (JPEG/PNG/MP3) still go
+through the ``decode=`` hooks (swap in PIL/torchaudio/decord in
+production — none ship in this container).
 
 Batch-shape contract for the decode path: mapInPandas yields one
 pandas frame per Arrow batch; keep ``spark.sql.execution.arrow.
@@ -25,6 +27,7 @@ __all__ = [
     "media_stats",
     "extract_features",
     "decode_image",
+    "decode_audio",
     "sample_frames",
 ]
 
@@ -80,27 +83,67 @@ def extract_features(df: DataFrame, id_col: str = "doc_id", dim: int = 8) -> Dat
 
 
 def decode_image(df: DataFrame, id_col: str = "doc_id", decode=None) -> DataFrame:
-    """Image decode → (height, width, n_channels). ``decode`` is the
-    codec hook (e.g. PIL.Image.open); absent a real codec this raises
-    NotImplementedError at execution time — the plumbing (schema,
-    batching, null passthrough) is what this engine owns."""
-    schema = f"{id_col} long, height int, width int, n_channels int"
+    """Image decode → (height, width, n_channels, mean_pixel).
+
+    ``decode=None`` uses the built-in pure-stdlib codecs
+    (``operators.codecs.sniff_image``: P6 PPM and 24-bit BMP by magic
+    bytes); other formats raise NotImplementedError naming the magic.
+    Pass a hook (e.g. a PIL adapter returning ``(h, w, c)`` or a dict
+    with those keys) for compressed codecs in production."""
+    schema = f"{id_col} long, height int, width int, n_channels int, mean_pixel double"
 
     def gen(batches):
         import pandas as pd
 
+        from streamz_spark.operators.codecs import sniff_image
+
+        codec = decode or sniff_image
         for pdf in batches:
-            if decode is None:
-                raise NotImplementedError(
-                    "no image codec in this environment; pass decode=PIL.Image.open-like hook"
-                )
-            out = [decode(bytes(b)) for b in pdf["media"]]
+            out = []
+            for b in pdf["media"]:
+                d = codec(bytes(b))
+                if not isinstance(d, dict):  # (h, w, c) tuple hooks
+                    d = {"height": d[0], "width": d[1], "n_channels": d[2]}
+                out.append(d)
             yield pd.DataFrame(
                 {
                     id_col: pdf[id_col],
-                    "height": [o[0] for o in out],
-                    "width": [o[1] for o in out],
-                    "n_channels": [o[2] for o in out],
+                    "height": [o["height"] for o in out],
+                    "width": [o["width"] for o in out],
+                    "n_channels": [o["n_channels"] for o in out],
+                    "mean_pixel": [o.get("mean_pixel") for o in out],
+                }
+            )
+
+    return df.select(id_col, "media").mapInPandas(gen, schema=schema)
+
+
+def decode_audio(df: DataFrame, id_col: str = "doc_id", decode=None) -> DataFrame:
+    """Audio decode → (n_channels, sample_rate, n_frames, duration_s,
+    mean_abs_amplitude). Built-in codec handles RIFF/WAVE PCM
+    (``operators.codecs.decode_wav``); pass ``decode=`` for compressed
+    formats."""
+    schema = (
+        f"{id_col} long, n_channels int, sample_rate int, n_frames long, "
+        "duration_s double, mean_abs_amplitude double"
+    )
+
+    def gen(batches):
+        import pandas as pd
+
+        from streamz_spark.operators.codecs import sniff_audio
+
+        codec = decode or sniff_audio
+        for pdf in batches:
+            out = [codec(bytes(b)) for b in pdf["media"]]
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col],
+                    "n_channels": [o["n_channels"] for o in out],
+                    "sample_rate": [o["sample_rate"] for o in out],
+                    "n_frames": [o["n_frames"] for o in out],
+                    "duration_s": [o["duration_s"] for o in out],
+                    "mean_abs_amplitude": [o["mean_abs_amplitude"] for o in out],
                 }
             )
 

@@ -896,3 +896,58 @@ def ewm_mean_vectorized(spark, sf_dir):
         alpha=0.3, partition_by=["user_id"], bit_exact=False,
     )
     return out.select("event_id", "user_id", F.round("ewm", 4).alias("ewm"))
+
+
+@register_extra(
+    "media_decode_stats",
+    # the Spark side builds REAL container bytes (P6 ppm via
+    # operators.codecs.encode_ppm, RIFF/WAVE via stdlib wave) from
+    # doc_id arithmetic, ships them through Arrow binary columns, and
+    # decodes them back with the built-in pure-stdlib codecs — the
+    # oracle predicts every decoded stat analytically, so any header,
+    # stride, padding, or sample-width bug breaks the hash
+    oracle="""
+        SELECT doc_id,
+               (1 + doc_id % 5)::INT AS height,
+               (1 + doc_id % 7)::INT AS width,
+               3 AS n_channels,
+               ((doc_id * 37) % 256)::DOUBLE AS mean_pixel,
+               (100 + doc_id % 50)::BIGINT AS n_frames,
+               (100 + doc_id % 50) / 8000.0 AS duration_s,
+               (doc_id % 100)::DOUBLE AS mean_abs_amplitude
+        FROM documents
+    """,
+    doc="real multimodal decode: per-doc P6 PPM (w=1+id%7, h=1+id%5, "
+        "constant pixel (id*37)%256) and PCM16 WAV (100+id%50 frames at "
+        "8 kHz, constant amplitude id%100) are encoded executor-side, "
+        "then decoded by decode_image/decode_audio's built-in stdlib "
+        "codecs; dims, mean pixel, frame count, duration and amplitude "
+        "must all match the closed-form oracle",
+)
+def media_decode_stats(spark, sf_dir):
+    from streamz_spark.operators import multimodal as mm
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+
+    def make_media(batches):
+        import pandas as pd
+
+        from streamz_spark.operators.codecs import encode_ppm, encode_wav
+
+        for pdf in batches:
+            imgs, wavs = [], []
+            for i in pdf["doc_id"]:
+                i = int(i)
+                w, h, p = 1 + i % 7, 1 + i % 5, (i * 37) % 256
+                imgs.append(encode_ppm(w, h, bytes([p]) * (w * h * 3)))
+                wavs.append(encode_wav([i % 100] * (100 + i % 50), sample_rate=8000))
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "img": imgs, "wav": wavs})
+
+    media = docs.mapInPandas(
+        make_media, schema="doc_id long, img binary, wav binary"
+    )
+    img_stats = mm.decode_image(media.withColumnRenamed("img", "media"))
+    wav_stats = mm.decode_audio(
+        media.withColumnRenamed("wav", "media")
+    ).select("doc_id", "n_frames", "duration_s", "mean_abs_amplitude")
+    return img_stats.join(wav_stats, "doc_id")

@@ -1,0 +1,373 @@
+"""Streaming↔batch differential matrix (the reference's dominant test
+pattern, streamz/dataframe/tests/test_dataframes.py:97-111: run the
+same computation on a static frame and on the frame replayed as a
+stream, and require identical results).
+
+Every cell replays an sf0.001 table through the file-stream source
+(availableNow, one micro-batch per chunk) and compares the streaming
+result against the same operator applied to the batch table:
+
+- stateless ops (filter/map/explode) → append-mode union of batches
+- updating aggregates (global/groupby/frequencies/tumbling window) →
+  complete-mode final batch
+- custom stateful ops (running_sum/ewm/count-window/partition/
+  dedup-first) → last emit per key vs the batch analogue
+
+Comparison: exact on non-float columns, 1e-9 relative on floats
+(incremental per-batch accumulation legitimately reorders float
+addition vs the batch plan; anything beyond fp-reassociation noise
+fails).
+
+Order-sensitive cells replay with CONTIGUOUS range chunks (not the
+``id % n`` interleave of ``replay_table``) so per-key arrival order
+equals the batch order column.
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+
+import numpy as np
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from streamz_spark.io import load_table
+from streamz_spark.streaming.sinks import sink_to_list
+from streamz_spark.streaming.sources import from_directory
+
+from .conftest import SF_DIR
+
+
+def _replay_ordered(spark, table: str, order_col: str, n_chunks: int = 4):
+    """Replay a table as n_chunks micro-batches of CONTIGUOUS order_col
+    ranges — chunk i holds the i-th quantile of rows, so arrival order
+    (chunk asc, then order_col within the batch) equals batch order."""
+    df = load_table(spark, SF_DIR, table)
+    lo, hi = df.agg(F.min(order_col), F.max(order_col)).first()
+    span = (int(hi) - int(lo) + 1 + n_chunks - 1) // n_chunks
+    tmp = tempfile.mkdtemp(prefix=f"matrix_{table}_")
+    for i in range(n_chunks):
+        df.filter(
+            (F.col(order_col) >= int(lo) + i * span)
+            & (F.col(order_col) < int(lo) + (i + 1) * span)
+        ).coalesce(1).write.mode("overwrite").parquet(
+            os.path.join(tmp, f"chunk={i:05d}")
+        )
+    return from_directory(
+        spark, os.path.join(tmp, "chunk=*"), df.schema,
+        one_file_per_trigger=True, pathGlobFilter="*.parquet",
+    )
+
+
+def _assert_frames_match(got: pd.DataFrame, want: pd.DataFrame, cell: str):
+    cols = sorted(want.columns)
+    assert sorted(got.columns) == cols, f"{cell}: schema {sorted(got.columns)} vs {cols}"
+    g = got.reindex(cols, axis=1).sort_values(cols, ignore_index=True)
+    w = want.reindex(cols, axis=1).sort_values(cols, ignore_index=True)
+    assert len(g) == len(w), f"{cell}: rows {len(g)} vs {len(w)}"
+    for c in cols:
+        if np.issubdtype(w[c].dtype, np.floating):
+            np.testing.assert_allclose(
+                g[c].to_numpy(dtype="float64"), w[c].to_numpy(dtype="float64"),
+                rtol=1e-9, err_msg=f"{cell}: column {c}",
+            )
+        else:
+            assert g[c].astype(str).tolist() == w[c].astype(str).tolist(), (
+                f"{cell}: column {c} differs"
+            )
+
+
+def _last_emit_per_key(batches: list[pd.DataFrame], key: str) -> pd.DataFrame:
+    """For update-mode stateful ops emitting one row per key per batch:
+    the final state is the LAST emit for each key across batches."""
+    allb = pd.concat(
+        [b.assign(__b=i) for i, b in enumerate(batches) if len(b)],
+        ignore_index=True,
+    )
+    return (
+        allb.sort_values("__b")
+        .groupby(key, as_index=False)
+        .last()
+        .drop(columns="__b")
+    )
+
+
+# ----------------------------------------------------------------- cells
+# each cell: (name, stream_fn(spark) -> pdf, batch_fn(spark) -> pdf)
+
+def _cell_filter_project_lineitem(spark):
+    from streamz_spark.streaming.sources import replay_table
+
+    proj = lambda df: df.filter(F.col("l_quantity") > 25).select(
+        "l_orderkey", "l_linenumber", "l_quantity", "l_returnflag"
+    )
+    got = pd.concat(
+        sink_to_list(proj(replay_table(spark, SF_DIR, "lineitem", chunk_col="l_orderkey"))),
+        ignore_index=True,
+    )
+    want = proj(load_table(spark, SF_DIR, "lineitem")).toPandas()
+    return got, want
+
+
+def _cell_map_assign_events(spark):
+    from streamz_spark.streaming.sources import replay_table
+
+    proj = lambda df: df.select(
+        "event_id", (F.col("value") * 2 + 1).alias("v2"),
+        F.upper("event_type").alias("etype"),
+    )
+    got = pd.concat(
+        sink_to_list(proj(replay_table(spark, SF_DIR, "events", chunk_col="event_id"))),
+        ignore_index=True,
+    )
+    want = proj(load_table(spark, SF_DIR, "events")).toPandas()
+    return got, want
+
+
+def _cell_explode_documents(spark):
+    from streamz_spark.streaming.sources import replay_table
+
+    proj = lambda df: df.select(
+        "doc_id", F.explode(F.split(F.lower("text"), r"\s+")).alias("tok")
+    ).filter(F.length("tok") > 3)
+    got = pd.concat(
+        sink_to_list(proj(replay_table(spark, SF_DIR, "documents", chunk_col="doc_id"))),
+        ignore_index=True,
+    )
+    want = proj(load_table(spark, SF_DIR, "documents")).toPandas()
+    return got, want
+
+
+def _cell_distinct_orders(spark):
+    from streamz_spark.streaming.sources import replay_table
+
+    got = pd.concat(
+        sink_to_list(
+            replay_table(spark, SF_DIR, "orders", chunk_col="o_orderkey")
+            .select("o_orderpriority", "o_orderstatus")
+            .dropDuplicates()
+        ),
+        ignore_index=True,
+    )
+    want = (
+        load_table(spark, SF_DIR, "orders")
+        .select("o_orderpriority", "o_orderstatus")
+        .distinct()
+        .toPandas()
+    )
+    return got, want
+
+
+def _cell_global_agg_events(spark):
+    from streamz_spark.streaming.sources import replay_table
+
+    agg = lambda df: df.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("value").alias("total"),
+        F.min("value").alias("vmin"),
+        F.max("value").alias("vmax"),
+    )
+    got = sink_to_list(
+        agg(replay_table(spark, SF_DIR, "events", chunk_col="event_id")),
+        output_mode="complete",
+    )[-1]
+    want = agg(load_table(spark, SF_DIR, "events")).toPandas()
+    return got, want
+
+
+def _cell_groupby_agg_events(spark):
+    from streamz_spark.streaming.sources import replay_table
+
+    agg = lambda df: df.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n"), F.sum("value").alias("total")
+    )
+    got = sink_to_list(
+        agg(replay_table(spark, SF_DIR, "events", chunk_col="event_id")),
+        output_mode="complete",
+    )[-1]
+    want = agg(load_table(spark, SF_DIR, "events")).toPandas()
+    return got, want
+
+
+def _cell_frequencies_orders(spark):
+    from streamz_spark.streaming.sources import replay_table
+
+    freq = lambda df: df.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("count")
+    )
+    got = sink_to_list(
+        freq(replay_table(spark, SF_DIR, "orders", chunk_col="o_orderkey")),
+        output_mode="complete",
+    )[-1]
+    want = freq(load_table(spark, SF_DIR, "orders")).toPandas()
+    return got, want
+
+
+def _cell_tumbling_window_events(spark):
+    from streamz_spark.streaming.sources import replay_table
+
+    win = lambda df: df.groupBy(F.window("ts", "1 hour").alias("w")).agg(
+        F.count(F.lit(1)).alias("n"), F.sum("value").alias("total")
+    ).select(F.col("w.start").alias("wstart"), "n", "total")
+    got = sink_to_list(
+        win(replay_table(spark, SF_DIR, "events", chunk_col="event_id")),
+        output_mode="complete",
+    )[-1]
+    want = win(load_table(spark, SF_DIR, "events")).toPandas()
+    return got, want
+
+
+def _cell_running_sum_events(spark):
+    from streamz_spark.streaming.stateful import running_sum
+
+    got = _last_emit_per_key(
+        sink_to_list(
+            running_sum(
+                _replay_ordered(spark, "events", "event_id"), "user_id"
+            ),
+            output_mode="update",
+        ),
+        "user_id",
+    )
+    want = (
+        load_table(spark, SF_DIR, "events")
+        .groupBy("user_id")
+        .agg(F.sum("value").alias("running_sum"))
+        .toPandas()
+    )
+    return got, want
+
+
+def _cell_ewm_stream_events(spark):
+    from streamz_spark.operators.windows import ewm_mean
+    from streamz_spark.streaming.stateful import ewm_mean_stream
+
+    got = _last_emit_per_key(
+        sink_to_list(
+            ewm_mean_stream(
+                _replay_ordered(spark, "events", "event_id"),
+                "user_id", alpha=0.3, order_col="event_id",
+            ),
+            output_mode="update",
+        ),
+        "user_id",
+    )
+    # batch analogue: per-key EWM over event_id order, keep last row
+    full = ewm_mean(
+        load_table(spark, SF_DIR, "events").select("event_id", "user_id", "value"),
+        "event_id", "value", "ewm", alpha=0.3, partition_by=["user_id"],
+    ).toPandas()
+    want = (
+        full.sort_values("event_id")
+        .groupby("user_id", as_index=False)
+        .last()[["user_id", "ewm"]]
+    )
+    return got, want[["user_id", "ewm"]]
+
+
+def _cell_count_window_events(spark):
+    from pyspark.sql import Window as W
+
+    from streamz_spark.streaming.stateful import count_window_sum
+
+    n = 7
+    got = _last_emit_per_key(
+        sink_to_list(
+            count_window_sum(
+                _replay_ordered(spark, "events", "event_id"), "user_id", n=n
+            ),
+            output_mode="update",
+        ),
+        "user_id",
+    )
+    w = W.partitionBy("user_id").orderBy(F.col("event_id").desc())
+    want = (
+        load_table(spark, SF_DIR, "events")
+        .withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= n)
+        .groupBy("user_id")
+        .agg(
+            F.sum("value").alias("window_sum"),
+            F.count(F.lit(1)).cast("int").alias("window_len"),
+        )
+        .toPandas()
+    )
+    return got, want
+
+
+def _cell_partition_batches_events(spark):
+    from streamz_spark.streaming.stateful import partition_batches
+
+    n = 5
+    batches = sink_to_list(
+        partition_batches(
+            _replay_ordered(spark, "events", "event_id"), "user_id", n=n
+        )
+    )
+    allb = pd.concat([b for b in batches if len(b)], ignore_index=True)
+    got = pd.DataFrame(
+        {
+            "key": allb["key"],
+            "batch": [",".join(f"{v:.6f}" for v in b) for b in allb["batch"]],
+        }
+    )
+    # batch analogue: per-key contiguous groups of n in event order,
+    # full groups only (streaming keeps the trailing partial in state)
+    pdf = (
+        load_table(spark, SF_DIR, "events")
+        .select("user_id", "event_id", "value")
+        .toPandas()
+        .sort_values(["user_id", "event_id"])
+    )
+    keys, vals = [], []
+    for uid, g in pdf.groupby("user_id"):
+        v = g["value"].tolist()
+        for i in range(0, len(v) - n + 1, n):
+            keys.append(uid)
+            vals.append(",".join(f"{x:.6f}" for x in v[i : i + n]))
+    want = pd.DataFrame({"key": keys, "batch": vals})
+    return got, want
+
+
+def _cell_dedup_first_documents(spark):
+    # streaming exact-dedup: dropDuplicates on a derived key keeps the
+    # first arrival; the surviving KEY SET must equal the batch distinct
+    from streamz_spark.streaming.sources import replay_table
+
+    keyed = lambda df: df.select(
+        F.md5(F.lower(F.trim("text"))).alias("k")
+    )
+    got = pd.concat(
+        sink_to_list(
+            keyed(replay_table(spark, SF_DIR, "documents", chunk_col="doc_id"))
+            .dropDuplicates(["k"])
+        ),
+        ignore_index=True,
+    )
+    want = keyed(load_table(spark, SF_DIR, "documents")).distinct().toPandas()
+    return got, want
+
+
+CELLS = {
+    "filter_project/lineitem": _cell_filter_project_lineitem,
+    "map_assign/events": _cell_map_assign_events,
+    "explode/documents": _cell_explode_documents,
+    "distinct/orders": _cell_distinct_orders,
+    "global_agg/events": _cell_global_agg_events,
+    "groupby_agg/events": _cell_groupby_agg_events,
+    "frequencies/orders": _cell_frequencies_orders,
+    "tumbling_window/events": _cell_tumbling_window_events,
+    "running_sum/events": _cell_running_sum_events,
+    "ewm/events": _cell_ewm_stream_events,
+    "count_window/events": _cell_count_window_events,
+    "partition/events": _cell_partition_batches_events,
+    "dedup_first/documents": _cell_dedup_first_documents,
+}
+
+
+@pytest.mark.parametrize("cell", sorted(CELLS))
+def test_stream_batch_cell(cell, spark):
+    got, want = CELLS[cell](spark)
+    _assert_frames_match(got, want, cell)
