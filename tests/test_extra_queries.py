@@ -54,3 +54,17 @@ def test_extra_query_matches_oracle(name, spark, duck):
         diff = (s != o) & ~(s.isna() & o.isna())
         raise AssertionError(f"{name}: value mismatch\n{s[diff.any(axis=1)].head()}\n"
                              f"{o[diff.any(axis=1)].head()}")
+
+
+def test_extra_catalog_count_matches_readme():
+    # README drifted from the registry once (said 15 when 19 existed);
+    # pin the documented count to the code
+    import pathlib
+    import re
+
+    readme = pathlib.Path(__file__).parent.parent / "README.md"
+    m = re.search(r"second oracle-checked catalog — (\d+) entries", readme.read_text())
+    assert m, "README no longer documents the extra-catalog count"
+    assert int(m.group(1)) == len(EXTRA_REGISTRY), (
+        f"README says {m.group(1)} extra entries, registry has {len(EXTRA_REGISTRY)}"
+    )
