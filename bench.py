@@ -94,10 +94,19 @@ def main() -> None:
     # shuffle-file-allocation noise (single-run jitter at sub-second
     # scale was ±30% on local[32])
     runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "2"))
+    import gc
+
     for name in names:
         best = -1.0
         try:
             for _ in range(runs):
+                # clean slate per run: operators that persist query-
+                # internal relations (dedup posting lists, LSH buckets)
+                # otherwise accumulate storage-memory blocks across the
+                # 41-query session and degrade later queries by up to
+                # 5x (measured); every timed run pays its own full cost
+                spark.catalog.clearCache()
+                gc.collect()  # release localCheckpoint RDDs via ContextCleaner
                 t0 = time.perf_counter()
                 df = registry[name].fn(spark, sf_dir)
                 force(df)

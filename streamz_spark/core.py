@@ -152,11 +152,27 @@ class Stream:
             out = out.unionByName(o.df)
         return self._with(out, *others)
 
-    def unique(self, key: str = "value") -> "Stream":
+    def unique(
+        self, key: str = "value", ts_col: str | None = None,
+        watermark: str | None = None,
+    ) -> "Stream":
         """Drop previously-seen elements (reference unique,
         core.py:1776-1839): batch = keep first occurrence by seq;
-        streaming = dropDuplicates (state-backed)."""
+        streaming = dropDuplicates (state-backed).
+
+        The reference's ``maxsize=`` LRU bound (core.py:1776: cap
+        memory by evicting old keys) maps to ``ts_col`` + ``watermark``:
+        ``dropDuplicatesWithinWatermark`` evicts dedup state once the
+        watermark passes — bounded state under unbounded ingest, the
+        only deployable form of streaming unique at the 100 TB target
+        (an unwatermarked global unique grows state with history and is
+        documented as such in SCALE.md)."""
         if self.df.isStreaming:
+            if ts_col is not None and watermark is not None:
+                return self._with(
+                    self.df.withWatermark(ts_col, watermark)
+                    .dropDuplicatesWithinWatermark([key])
+                )
             return self._with(self.df.dropDuplicates([key]))
         w = W.partitionBy(key).orderBy(self.seq_col)
         return self._with(

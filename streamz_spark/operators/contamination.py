@@ -124,45 +124,69 @@ def contamination_check(
     Arrow-batched pandas UDF (vectorized double-hashing — the standard
     Kirsch-Mitzenmacher construction).
     """
-    # ONE shingling pass: shingles are distinct per doc, so n_shingles
-    # is the posting-list row count per id (a partial-agg shuffle of
-    # (id) pairs — cheap), and the zero-shingle fallback needs only the
-    # doc-id list, which costs no shingling. A totals branch computed
-    # from a second word_shingles scan would double the dominant cost.
-    posting = docs.select(
-        F.col(id_col), F.explode(word_shingles(text_col, k)).alias("shingle")
-    )
     bench = (
         benchmark.select(
             F.explode(word_shingles(bench_text_col or text_col, k)).alias("shingle")
         )
         .distinct()
     )
-    totals = posting.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_shingles"))
-    hit_side = (
-        _bloom_prune(posting, bench, "shingle", bloom_expected_items, bloom_fpp)
-        if bloom_prefilter
-        else posting
-    )
-    hits = (
-        hit_side.join(bench, "shingle")
-        .groupBy(id_col)
-        .agg(F.count(F.lit(1)).alias("n_hits"))
-    )
     overlap = F.when(
         F.col("n_shingles") > 0,
         F.col("n_hits") / F.col("n_shingles"),
     ).otherwise(F.lit(0.0))
-    return (
-        docs.select(id_col)
-        .join(totals, id_col, "left")
-        .join(hits, id_col, "left")
-        .fillna(0, subset=["n_shingles", "n_hits"])
-        .select(
-            id_col,
-            "n_shingles",
-            "n_hits",
-            overlap.alias("overlap"),
-            (overlap >= threshold).alias("contaminated"),
+    final_cols = [
+        id_col,
+        "n_shingles",
+        "n_hits",
+        overlap.alias("overlap"),
+        (overlap >= threshold).alias("contaminated"),
+    ]
+
+    if bloom_prefilter:
+        # bloom path (bench too big to broadcast): per-doc totals come
+        # from a cheap partial-agg branch; only probable-hit posting
+        # rows (true hits + ~fpp) survive to the shuffle join
+        posting = docs.select(
+            F.col(id_col), F.explode(word_shingles(text_col, k)).alias("shingle")
         )
+        totals = posting.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_shingles"))
+        hits = (
+            _bloom_prune(posting, bench, "shingle", bloom_expected_items, bloom_fpp)
+            .join(bench, "shingle")
+            .groupBy(id_col)
+            .agg(F.count(F.lit(1)).alias("n_hits"))
+        )
+        return (
+            docs.select(id_col)
+            .join(totals, id_col, "left")
+            .join(hits, id_col, "left")
+            .fillna(0, subset=["n_shingles", "n_hits"])
+            .select(*final_cols)
+        )
+
+    # exact path: ONE shingling pass. explode_outer carries n_shingles
+    # on every posting row (zero-shingle docs keep one null-shingle
+    # row), the hit join is a left join against the benchmark shingle
+    # set (broadcast by AQE when it fits — benchmarks are MBs against
+    # TBs of corpus), and a single groupBy(id) recovers totals + hit
+    # counts. The previous two-branch shape evaluated word_shingles —
+    # the dominant cost — twice per corpus row.
+    shingled = docs.select(
+        F.col(id_col), word_shingles(text_col, k).alias("__sh")
+    )
+    posting = shingled.select(
+        id_col,
+        F.size("__sh").alias("__n"),
+        F.explode_outer("__sh").alias("shingle"),
+    )
+    marked = posting.join(
+        bench.withColumn("__hit", F.lit(1)), "shingle", "left"
+    )
+    return (
+        marked.groupBy(id_col)
+        .agg(
+            F.max("__n").alias("n_shingles"),
+            F.coalesce(F.sum("__hit"), F.lit(0)).alias("n_hits"),
+        )
+        .select(*final_cols)
     )

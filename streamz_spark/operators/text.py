@@ -51,10 +51,18 @@ def quality_features(df: DataFrame, text_col: str = "text") -> DataFrame:
     t = F.col(text_col)
     n = F.length(t).cast("double")
     nonempty = n > 0
-    punct = F.length(F.regexp_replace(t, r"[^.,;:!?'\"()\[\]{}-]", "")).cast("double")
-    digits = F.length(F.regexp_replace(t, r"[^0-9]", "")).cast("double")
-    spaces = F.length(F.regexp_replace(t, r"[^ \t\n]", "")).cast("double")
-    upper = F.length(F.regexp_replace(t, r"[^A-Z]", "")).cast("double")
+
+    def _char_count(chars: str) -> Column:
+        # occurrences of any char in `chars`: length delta after
+        # translate-delete — a per-char table lookup, ~10x cheaper than
+        # the equivalent regexp_replace('[^chars]') length (same value;
+        # the DuckDB oracles keep the regex formulation)
+        return (F.length(t) - F.length(F.translate(t, chars, ""))).cast("double")
+
+    punct = _char_count(".,;:!?'\"()[]{}-")
+    digits = _char_count("0123456789")
+    spaces = _char_count(" \t\n")
+    upper = _char_count("ABCDEFGHIJKLMNOPQRSTUVWXYZ")
     ntok = token_count(t)
     mean_word_len = F.when(ntok > 0, (n - spaces) / ntok).otherwise(F.lit(0.0))
 

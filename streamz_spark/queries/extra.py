@@ -951,3 +951,55 @@ def media_decode_stats(spark, sf_dir):
         media.withColumnRenamed("wav", "media")
     ).select("doc_id", "n_frames", "duration_s", "mean_abs_amplitude")
     return img_stats.join(wav_stats, "doc_id")
+
+
+@register_extra(
+    "join_full_outer",
+    # full-outer completes the join-type matrix (inner/left/semi/anti/
+    # as-of/range are driver entries): customers with orders in H1-1997
+    # FULL JOIN customers with high balance — unmatched sides surface
+    # with NULLs on both shapes
+    oracle="""
+        WITH active AS (
+            SELECT o_custkey AS custkey, COUNT(*) AS n_orders
+            FROM orders
+            WHERE o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+              AND o_orderdate <  TIMESTAMP '1997-07-01 00:00:00'
+            GROUP BY o_custkey
+        ), rich AS (
+            SELECT c_custkey AS custkey, ROUND(c_acctbal, 4) AS acctbal
+            FROM customer WHERE c_acctbal > 7000
+        )
+        SELECT COALESCE(a.custkey, r.custkey) AS custkey,
+               a.n_orders, r.acctbal,
+               (a.custkey IS NOT NULL AND r.custkey IS NOT NULL) AS both_sides
+        FROM active a FULL OUTER JOIN rich r ON a.custkey = r.custkey
+    """,
+    doc="full-outer equi-join: both unmatched sides surface with NULLs; "
+        "single shuffle on the join key (AQE decides SMJ vs SHJ), "
+        "null-safe COALESCE key projection",
+)
+def join_full_outer(spark, sf_dir):
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    active = (
+        orders.filter(
+            (F.col("o_orderdate") >= F.lit("1997-01-01").cast("timestamp_ntz"))
+            & (F.col("o_orderdate") < F.lit("1997-07-01").cast("timestamp_ntz"))
+        )
+        .groupBy(F.col("o_custkey").alias("a_custkey"))
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+    )
+    rich = customer.filter(F.col("c_acctbal") > 7000).select(
+        F.col("c_custkey").alias("r_custkey"),
+        F.round("c_acctbal", 4).alias("acctbal"),
+    )
+    return (
+        active.join(rich, active.a_custkey == rich.r_custkey, "full_outer")
+        .select(
+            F.coalesce("a_custkey", "r_custkey").alias("custkey"),
+            "n_orders",
+            "acctbal",
+            (F.col("a_custkey").isNotNull() & F.col("r_custkey").isNotNull()).alias("both_sides"),
+        )
+    )

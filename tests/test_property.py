@@ -230,3 +230,58 @@ def test_bloom_contamination_equals_exact_on_random_corpora(spark, data):
     e = exact.reindex(cols, axis=1).sort_values(cols, ignore_index=True)
     b = bloom.reindex(cols, axis=1).sort_values(cols, ignore_index=True)
     pd.testing.assert_frame_equal(e, b)
+
+
+# ---------------------------------------------------------------- codecs
+# pure-Python roundtrips (no Spark): any (dims, payload) the encoder
+# accepts must decode back to exact dims and exact mean — stride
+# padding, header grammar, and sample packing can't drift
+
+@given(
+    w=st.integers(min_value=1, max_value=40),
+    h=st.integers(min_value=1, max_value=40),
+    data=st.data(),
+)
+@settings(max_examples=50, deadline=None)
+def test_ppm_bmp_roundtrip_random(w, h, data):
+    from streamz_spark.operators.codecs import (
+        decode_bmp,
+        decode_ppm,
+        encode_bmp,
+        encode_ppm,
+    )
+
+    pixels = bytes(
+        data.draw(
+            st.lists(
+                st.integers(min_value=0, max_value=255),
+                min_size=w * h * 3, max_size=w * h * 3,
+            )
+        )
+    )
+    want_mean = sum(pixels) / len(pixels)
+    for enc, dec in ((encode_ppm, decode_ppm), (encode_bmp, decode_bmp)):
+        meta = dec(enc(w, h, pixels))
+        assert (meta["height"], meta["width"], meta["n_channels"]) == (h, w, 3)
+        assert meta["mean_pixel"] == want_mean
+
+
+@given(
+    samples=st.lists(
+        st.integers(min_value=-32768, max_value=32767), min_size=1, max_size=500
+    ),
+    rate=st.sampled_from([8000, 16000, 44100]),
+    channels=st.integers(min_value=1, max_value=2),
+)
+@settings(max_examples=50, deadline=None)
+def test_wav_roundtrip_random(samples, rate, channels):
+    from streamz_spark.operators.codecs import decode_wav, encode_wav
+
+    if channels == 2 and len(samples) % 2:
+        samples = samples + [0]  # interleaved stereo needs even count
+    meta = decode_wav(encode_wav(samples, sample_rate=rate, n_channels=channels))
+    assert meta["n_channels"] == channels
+    assert meta["sample_rate"] == rate
+    assert meta["n_frames"] == len(samples) // channels
+    assert meta["duration_s"] == (len(samples) // channels) / rate
+    assert meta["mean_abs_amplitude"] == sum(abs(s) for s in samples) / len(samples)

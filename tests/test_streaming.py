@@ -369,3 +369,41 @@ def test_session_window_agg_streaming_append(spark):
     key = ["user_id", "session_start", "session_end", "n_events"]
     merged = got[key].merge(want[key], on=key, how="left", indicator=True)
     assert (merged["_merge"] == "both").all(), merged[merged["_merge"] != "both"]
+
+
+def test_unique_within_watermark_bounded_state(spark):
+    """Stream.unique(ts_col=, watermark=): dropDuplicatesWithinWatermark
+    — dedup state is evicted once the watermark passes (the reference's
+    unique(maxsize=) memory bound re-expressed as a time bound; the
+    only deployable streaming unique at scale).
+
+    Dups inside the watermark window are dropped; the same value
+    re-arriving with a much later event time (after the watermark
+    passed its first occurrence) is emitted again — exactly the
+    documented within-watermark contract."""
+    from streamz_spark.core import Stream
+
+    chunks = [
+        # batch 1: v=1 twice (dup within window), v=2 once
+        [(0, "2024-01-01 00:00:00", 1.0), (1, "2024-01-01 00:00:05", 1.0),
+         (2, "2024-01-01 00:00:10", 2.0)],
+        # batches 2-3: day-later events ADVANCE the watermark (state
+        # eviction runs at the END of a batch with the watermark
+        # computed from the batch before, so the re-arrival needs two
+        # batches of separation from the advance)
+        [(3, "2024-01-02 00:00:00", 3.0)],
+        [(4, "2024-01-02 00:10:00", 4.0)],
+        # batch 4: v=1 re-arrives long after its state was evicted
+        [(5, "2024-01-02 00:30:00", 1.0)],
+    ]
+    src = from_iterable(
+        spark, chunks, "seq long, ts_s string, value double"
+    ).withColumn("ts", F.col("ts_s").cast("timestamp"))
+    out = Stream(src).unique("value", ts_col="ts", watermark="10 minutes")
+    batches = sink_to_list(out.to_frame().select("seq", "value"))
+    got = pd.concat([b for b in batches if len(b)], ignore_index=True)
+    # first occurrences of 1.0/2.0/3.0/4.0 survive; the day-later 1.0
+    # in the final batch is re-admitted because its first occurrence's
+    # state was evicted once the watermark passed it
+    assert sorted(got["value"].tolist()) == [1.0, 1.0, 2.0, 3.0, 4.0]
+    assert set(got["seq"]) == {0, 2, 3, 4, 5}
