@@ -176,7 +176,8 @@ def contamination_check(
     )
     posting = shingled.select(
         id_col,
-        F.size("__sh").alias("__n"),
+        # long, matching the bloom path's count() totals dtype
+        F.size("__sh").cast("long").alias("__n"),
         F.explode_outer("__sh").alias("shingle"),
     )
     marked = posting.join(

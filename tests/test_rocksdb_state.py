@@ -176,3 +176,103 @@ def test_rocksdb_million_row_keyed_state(rocksdb, tmp_path):
         f"\nrocksdb 1M-row ingest: {dt:.2f}s wall, {n_keys} state rows, "
         f"{n_chunks} micro-batches"
     )
+
+
+_TWS_AVAILABLE = __import__("streamz_spark.streaming.tws", fromlist=["tws_runtime_available"]).tws_runtime_available()
+tws_gate = pytest.mark.skipif(
+    not _TWS_AVAILABLE,
+    reason="transformWithState needs the protobuf package (absent in this container; "
+    "probed by streamz_spark.streaming.tws.tws_runtime_available)",
+)
+
+
+@tws_gate
+def test_tws_running_sum_matches_classic(rocksdb, tmp_path):
+    # transformWithStateInPandas (Spark 4 typed-state API) differential
+    # vs the applyInPandasWithState implementation on the same replay
+    import pandas as pd
+
+    from streamz_spark.streaming.sinks import sink_to_list
+    from streamz_spark.streaming.sources import from_iterable
+    from streamz_spark.streaming.stateful import running_sum
+    from streamz_spark.streaming.tws import running_sum_tws
+
+    chunks = [
+        pd.DataFrame({"user_id": [1, 2, 1], "value": [1.0, 2.0, 3.0]}),
+        pd.DataFrame({"user_id": [2, 2, 3], "value": [5.0, 7.0, 11.0]}),
+    ]
+
+    def last_per_key(batches):
+        allb = pd.concat(
+            [b.assign(__b=i) for i, b in enumerate(batches) if len(b)],
+            ignore_index=True,
+        )
+        return (
+            allb.sort_values("__b").groupby("user_id", as_index=False).last()
+            .drop(columns="__b").sort_values("user_id", ignore_index=True)
+        )
+
+    got_tws = last_per_key(
+        sink_to_list(
+            running_sum_tws(
+                from_iterable(rocksdb, chunks, "user_id long, value double"),
+                "user_id",
+            ),
+            output_mode="update",
+        )
+    )
+    got_classic = last_per_key(
+        sink_to_list(
+            running_sum(
+                from_iterable(rocksdb, chunks, "user_id long, value double"),
+                "user_id",
+            ),
+            output_mode="update",
+        )
+    )
+    pd.testing.assert_frame_equal(got_tws, got_classic)
+    assert got_tws["running_sum"].tolist() == [4.0, 14.0, 11.0]
+
+
+@tws_gate
+def test_tws_count_window_matches_classic(rocksdb):
+    import pandas as pd
+
+    from streamz_spark.streaming.sinks import sink_to_list
+    from streamz_spark.streaming.sources import from_iterable
+    from streamz_spark.streaming.stateful import count_window_sum
+    from streamz_spark.streaming.tws import count_window_sum_tws
+
+    chunks = [
+        pd.DataFrame({"user_id": [1] * 4, "value": [1.0, 2.0, 3.0, 4.0]}),
+        pd.DataFrame({"user_id": [1] * 2, "value": [5.0, 6.0]}),
+    ]
+    mk = lambda: from_iterable(rocksdb, chunks, "user_id long, value double")
+    tws = pd.concat(
+        [b for b in sink_to_list(count_window_sum_tws(mk(), "user_id", n=3),
+                                 output_mode="update") if len(b)],
+        ignore_index=True,
+    )
+    classic = pd.concat(
+        [b for b in sink_to_list(count_window_sum(mk(), "user_id", n=3),
+                                 output_mode="update") if len(b)],
+        ignore_index=True,
+    )
+    # per-batch emits: after batch1 tail=[2,3,4] sum 9; after batch2
+    # tail=[4,5,6] sum 15
+    assert tws["window_sum"].tolist() == classic["window_sum"].tolist() == [9.0, 15.0]
+    assert tws["window_len"].tolist() == [3, 3]
+
+
+def test_tws_requires_rocksdb(spark):
+    import pandas as pd
+    import pytest
+
+    from streamz_spark.streaming.sources import from_iterable
+    from streamz_spark.streaming.tws import running_sum_tws
+
+    # default (HDFS-backed) provider: actionable error, not a Py4J dump
+    chunks = [pd.DataFrame({"user_id": [1], "value": [1.0]})]
+    src = from_iterable(spark, chunks, "user_id long, value double")
+    with pytest.raises(RuntimeError, match="RocksDB state store|protobuf"):
+        running_sum_tws(src, "user_id")
