@@ -63,6 +63,8 @@ HEADLINE = [
     "train_val_split",
     "embedding_near_dups",
     "ann_brute_force_topk",
+    "ann_lsh_topk",
+    "ann_ivf_topk",
     "text_quality_profile",
     "tfidf_top_terms",
     "media_decode_stats",

@@ -167,8 +167,15 @@ class Stream:
         only deployable form of streaming unique at the 100 TB target
         (an unwatermarked global unique grows state with history and is
         documented as such in SCALE.md)."""
+        if (ts_col is None) != (watermark is None):
+            # half-specified bounds must not silently fall back to the
+            # unbounded-state form the caller was trying to avoid
+            raise ValueError(
+                "unique: ts_col and watermark must be passed together "
+                f"(got ts_col={ts_col!r}, watermark={watermark!r})"
+            )
         if self.df.isStreaming:
-            if ts_col is not None and watermark is not None:
+            if ts_col is not None:
                 return self._with(
                     self.df.withWatermark(ts_col, watermark)
                     .dropDuplicatesWithinWatermark([key])

@@ -118,28 +118,27 @@ def connected_components(
             labels, "id long, component long"
         )
 
-    prev_n, prev_h = None, None
+    prev_sig = None
     for _ in range(max_iter):
         # large-star half skips its distinct (duplicate-tolerant);
         # small-star half dedupes, so `e` is canonical per round
         e = _star_round(e, large=True, dedupe=False)
         e = _star_round(e, large=False)
         e = e.localCheckpoint(eager=True)  # constant-size plan per round
-        # convergence probe: count first (free from the checkpoint);
-        # only when the edge count is static is the order-independent
-        # hash worth computing — early rounds skip the hash pass
-        n = e.count()
-        if n != prev_n:
-            prev_n, prev_h = n, None
-            continue
-        # decimal accumulator: a long sum of 64-bit hashes overflows
-        # under ANSI mode
-        h = e.agg(
-            F.sum(F.xxhash64("u", "v").cast("decimal(38,0)")).alias("h")
-        ).first()["h"]
-        if h == prev_h:
+        # convergence probe: count + order-independent hash in ONE
+        # cheap scan of the checkpointed edges (splitting count-first/
+        # hash-later skips some hash scans but detects the fixpoint a
+        # round late when the count stabilizes at convergence — a full
+        # star round costs far more than the hash)
+        sig = e.agg(
+            F.count(F.lit(1)).alias("n"),
+            # decimal accumulator: a long sum of 64-bit hashes
+            # overflows under ANSI mode
+            F.sum(F.xxhash64("u", "v").cast("decimal(38,0)")).alias("h"),
+        ).first()
+        if (sig["n"], sig["h"]) == prev_sig:
             break
-        prev_h = h
+        prev_sig = (sig["n"], sig["h"])
 
     # at convergence every edge points a vertex at its component min;
     # vertices that ended as centers label themselves

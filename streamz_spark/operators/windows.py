@@ -235,12 +235,15 @@ def ewm_mean(
     streamz/dataframe/aggregations.py:151-170 — keeps (result, old_wt)
     state; here: one Arrow-batched sequential scan per key).
 
-    ``bit_exact=True`` (default) runs the num/den recurrence op-for-op
-    like a SQL recursive CTE so a DuckDB oracle reproduces it
-    bit-exactly. ``bit_exact=False`` uses a blocked numpy recurrence
-    (~50x less Python overhead per key; matches the loop to ~1e-13
-    relative) with per-block rescaling so ``(1-a)**n`` never
-    under/overflows regardless of series length.
+    ``bit_exact`` applies to the ``adjust=True`` scan only (the default
+    and the reference's semantics): ``True`` runs the num/den
+    recurrence op-for-op like a SQL recursive CTE so a DuckDB oracle
+    reproduces it bit-exactly; ``False`` uses a blocked numpy
+    recurrence (~50x less Python overhead per key; matches the loop to
+    ~1e-13 relative) with per-block rescaling so ``(1-a)**n`` never
+    under/overflows regardless of series length. ``adjust=False``
+    already evaluates through pandas' C kernel — there is no Python
+    loop for the flag to bypass, so it is ignored there.
     """
     if alpha is None:
         if com is not None:

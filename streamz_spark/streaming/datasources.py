@@ -466,11 +466,17 @@ def to_filelog(
         sel = batch_df.select(*cols)
         routed = bool(kcol and n_parts)
         if routed:
-            # JVM-side mirror of _stable_hash (crc32 of the utf-8 key,
-            # sign bit cleared): repartitioning on the TARGET id — not
-            # the raw key — guarantees one task per target partition
+            # target = crc32(utf-8 key) & 0x7FFFFFFF % n (sign bit
+            # cleared); null keys route like the string "None" (Python
+            # str() semantics — crc32(NULL) would otherwise yield a
+            # NULL target and a poisonous "p=None" partition dir).
+            # Repartitioning on the TARGET id — not the raw key —
+            # guarantees one task per target partition.
             target_expr = (
-                F.crc32(F.col(kcol).cast("string").cast("binary"))
+                F.crc32(
+                    F.coalesce(F.col(kcol).cast("string"), F.lit("None"))
+                    .cast("binary")
+                )
                 .bitwiseAND(F.lit(0x7FFFFFFF)) % F.lit(n_parts)
             ).cast("int")
             sel = sel.withColumn("__target", target_expr).repartition(
@@ -497,14 +503,6 @@ def to_filelog(
         sel.foreachPartition(append_partition)
 
     return sink_foreach_batch(df, send, timeout=timeout)
-
-
-def _stable_hash(key) -> int:
-    """Process-independent key hash for producer partition routing
-    (Python's hash() is salted per process — useless across executors)."""
-    import zlib
-
-    return zlib.crc32(str(key).encode()) & 0x7FFFFFFF
 
 
 def from_q(

@@ -115,13 +115,23 @@ class MQTTBroker:
             threading.Thread(target=self._serve, args=(conn,), daemon=True).start()
 
     def _serve(self, conn: socket.socket) -> None:
+        wlock = threading.Lock()
         with self._lock:
-            self._wlocks[conn] = threading.Lock()
+            self._wlocks[conn] = wlock
+
+        def reply(pkt: bytes) -> None:
+            # the serve thread's own control replies (CONNACK/SUBACK/
+            # PINGRESP) take the same per-socket lock as PUBLISH
+            # fan-out from publisher threads — otherwise a PINGRESP
+            # can interleave bytes with an in-flight PUBLISH
+            with wlock:
+                conn.sendall(pkt)
+
         try:
             while True:
                 ptype, _flags, body = _read_packet(conn)
                 if ptype == CONNECT:
-                    conn.sendall(_packet(CONNACK, 0, b"\x00\x00"))
+                    reply(_packet(CONNACK, 0, b"\x00\x00"))
                 elif ptype == SUBSCRIBE:
                     pid = body[:2]
                     i, grants = 2, b""
@@ -132,7 +142,7 @@ class MQTTBroker:
                         with self._lock:
                             self._subs.append((conn, flt))
                         grants += b"\x00"
-                    conn.sendall(_packet(SUBACK, 0, pid + grants))
+                    reply(_packet(SUBACK, 0, pid + grants))
                 elif ptype == PUBLISH:
                     (tlen,) = struct.unpack(">H", body[:2])
                     topic = body[2 : 2 + tlen].decode()
@@ -154,7 +164,7 @@ class MQTTBroker:
                         except OSError:
                             pass
                 elif ptype == PINGREQ:
-                    conn.sendall(_packet(PINGRESP, 0, b""))
+                    reply(_packet(PINGRESP, 0, b""))
                 elif ptype == DISCONNECT:
                     return
         except (ConnectionError, OSError):

@@ -394,3 +394,15 @@ def test_stream_zip_dense_fast_path(spark):
     rows = sorted((r.s0_value, r.s1_value) for r in z.df.collect())
     assert rows == [(1, 10), (2, 20), (3, 30)]
     assert "row_number" not in explain_string(z.df).lower()
+
+
+def test_unique_half_specified_watermark_raises(spark):
+    import pytest
+
+    from streamz_spark.core import Stream
+
+    s = Stream.from_iterable(spark, [1.0, 2.0])
+    with pytest.raises(ValueError, match="ts_col and watermark"):
+        s.unique("value", ts_col="ts")
+    with pytest.raises(ValueError, match="ts_col and watermark"):
+        s.unique("value", watermark="10 minutes")

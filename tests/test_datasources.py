@@ -349,3 +349,23 @@ def test_mqtt_sink_live(spark, tmp_path):
     finally:
         broker.stop()
     assert sorted(received) == ["one", "three", "two"]
+
+
+def test_to_filelog_null_key_routes_valid_partition(spark, tmp_path):
+    # a null key must route to a real partition (crc32 of the string
+    # "None" — Python str() semantics), never to a "p=None" dir that
+    # would poison every subsequent from_filelog offset scan
+    import os
+
+    src_log, dst_log = str(tmp_path / "src"), str(tmp_path / "dst")
+    filelog_append(src_log, [("k1", "a"), (None, "b"), ("k2", "c")])
+    from streamz_spark.streaming.datasources import to_filelog
+
+    to_filelog(df := from_filelog(spark, src_log), dst_log,
+               value_col="value", key_col="key", num_partitions=4)
+    pdirs = sorted(d for d in os.listdir(dst_log) if d.startswith("p="))
+    assert all(d.split("=", 1)[1].isdigit() for d in pdirs), pdirs
+    # and the log is still readable end-to-end
+    out = sink_to_list(from_filelog(spark, dst_log))
+    vals = sorted(v for b in out for v in b["value"])
+    assert vals == ["a", "b", "c"]
