@@ -68,6 +68,7 @@ HEADLINE = [
     "text_quality_profile",
     "tfidf_top_terms",
     "media_decode_stats",
+    "boilerplate_common_shingles",
 ]
 
 

@@ -250,3 +250,57 @@ def pii_scrub(
     for name in ordered:
         t = F.regexp_replace(t, PII_PATTERNS[name], f"<{name.upper()}>")
     return df.withColumn(out_col or text_col, t)
+
+
+def common_shingle_stats(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 5,
+    min_docs: int = 3,
+) -> DataFrame:
+    """Cross-document boilerplate signal: the fraction of a document's
+    distinct k-word shingles that also occur in >= ``min_docs`` OTHER
+    documents' shingle sets (CCNet/RefinedWeb-style boilerplate
+    detection, generalized from lines to n-grams — this corpus has no
+    line structure, and n-grams also catch templated prose).
+
+    Returns one row per input doc: ``(id, n_shingles, n_common,
+    common_frac)``. Scale shape: the posting list is shingled ONCE
+    (localCheckpoint — it feeds both the document-frequency aggregate
+    and the per-doc rollup), the df-aggregate is a balanced shuffle on
+    the shingle key, and the join back is against only the shingles
+    that cleared ``min_docs`` — boilerplate is by definition high-df,
+    so that set is small and broadcasts at any corpus size.
+    """
+    from streamz_spark.operators.text import word_shingles
+
+    posting = (
+        df.select(
+            F.col(id_col),
+            F.size(word_shingles(text_col, k)).cast("long").alias("__n"),
+            F.explode_outer(word_shingles(text_col, k)).alias("shingle"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    common = (
+        posting.filter(F.col("shingle").isNotNull())
+        .groupBy("shingle")
+        .agg(F.count_distinct(F.col(id_col)).alias("nd"))
+        .filter(F.col("nd") >= min_docs)
+        .select("shingle", F.lit(1).alias("__c"))
+    )
+    out = (
+        posting.join(F.broadcast(common), "shingle", "left")
+        .groupBy(id_col)
+        .agg(
+            F.max("__n").alias("n_shingles"),
+            F.coalesce(F.sum("__c"), F.lit(0)).cast("long").alias("n_common"),
+        )
+    )
+    frac = F.when(
+        F.col("n_shingles") > 0, F.col("n_common") / F.col("n_shingles")
+    ).otherwise(F.lit(0.0))
+    return out.select(
+        id_col, "n_shingles", "n_common", frac.alias("common_frac")
+    )

@@ -1003,3 +1003,56 @@ def join_full_outer(spark, sf_dir):
             (F.col("a_custkey").isNotNull() & F.col("r_custkey").isNotNull()).alias("both_sides"),
         )
     )
+
+
+@register_extra(
+    "boilerplate_common_shingles",
+    # mirrors operators/quality.common_shingle_stats: per-doc distinct
+    # 5-gram shingles, document frequency per shingle, fraction in
+    # >= 3 docs; the same tokenize/shingle grammar as the dedup oracles
+    oracle="""
+        WITH sh AS (
+            SELECT doc_id AS id,
+                   list_distinct(list_transform(
+                       generate_series(1, greatest(len(w) - 4, 0)),
+                       i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2] || ' ' || w[i+3] || ' ' || w[i+4]
+                   )) AS sh
+            FROM (
+                SELECT doc_id,
+                       CASE WHEN length(trim(lower(text))) = 0 THEN []::VARCHAR[]
+                            ELSE regexp_split_to_array(trim(lower(text)), '\\s+')
+                       END AS w
+                FROM documents
+            )
+        ),
+        posting AS (SELECT id, unnest(sh) AS shingle FROM sh),
+        common AS (
+            SELECT shingle FROM posting GROUP BY shingle
+            HAVING COUNT(DISTINCT id) >= 3
+        ),
+        per AS (
+            SELECT p.id,
+                   COUNT(*) AS n_shingles,
+                   CAST(SUM(CASE WHEN c.shingle IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_common
+            FROM posting p LEFT JOIN common c ON p.shingle = c.shingle
+            GROUP BY p.id
+        )
+        SELECT s.id AS doc_id,
+               CAST(COALESCE(p.n_shingles, 0) AS BIGINT) AS n_shingles,
+               COALESCE(p.n_common, 0) AS n_common,
+               CASE WHEN COALESCE(p.n_shingles, 0) > 0
+                    THEN p.n_common / CAST(p.n_shingles AS DOUBLE)
+                    ELSE 0.0 END AS common_frac
+        FROM sh s LEFT JOIN per p ON s.id = p.id
+    """,
+    doc="cross-doc boilerplate: fraction of a doc's distinct 5-gram "
+        "shingles occurring in >= 3 documents (CCNet/RefinedWeb "
+        "boilerplate removal generalized to n-grams); one shingling "
+        "pass, df-aggregate on the shingle key, broadcast join against "
+        "only the high-df shingle set",
+)
+def boilerplate_common_shingles(spark, sf_dir):
+    from streamz_spark.operators.quality import common_shingle_stats
+
+    docs = load_table(spark, sf_dir, "documents")
+    return common_shingle_stats(docs, k=5, min_docs=3)
