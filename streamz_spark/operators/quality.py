@@ -275,13 +275,17 @@ def common_shingle_stats(
     """
     from streamz_spark.operators.text import word_shingles
 
-    posting = (
-        df.select(
-            F.col(id_col),
-            F.size(word_shingles(text_col, k)).cast("long").alias("__n"),
-            F.explode_outer(word_shingles(text_col, k)).alias("shingle"),
-        )
-        .localCheckpoint(eager=True)
+    # shingles are distinct per doc, so per-doc totals are just the
+    # posting row count (COUNT(col) skips the explode_outer null row
+    # for shingle-less docs) — no second shingle expression, and no
+    # materialization barrier: the posting is recomputed for the two
+    # consumers (df-aggregate, rollup), which is 2x a codegen'd narrow
+    # scan. (A localCheckpoint here measured ~15x SLOWER than the
+    # recompute: checkpoint materialization runs the expression tree
+    # outside whole-stage codegen.)
+    posting = df.select(
+        F.col(id_col),
+        F.explode_outer(word_shingles(text_col, k)).alias("shingle"),
     )
     common = (
         posting.filter(F.col("shingle").isNotNull())
@@ -294,7 +298,7 @@ def common_shingle_stats(
         posting.join(F.broadcast(common), "shingle", "left")
         .groupBy(id_col)
         .agg(
-            F.max("__n").alias("n_shingles"),
+            F.count("shingle").cast("long").alias("n_shingles"),
             F.coalesce(F.sum("__c"), F.lit(0)).cast("long").alias("n_common"),
         )
     )
