@@ -110,6 +110,12 @@ def main() -> None:
                 # 5x (measured); every timed run pays its own full cost
                 spark.catalog.clearCache()
                 gc.collect()  # release localCheckpoint RDDs via ContextCleaner
+                # JVM-side GC: broadcast blocks and codegen classes from
+                # 40+ prior queries otherwise accumulate until a long
+                # stop-the-world pause lands INSIDE a timed run (observed
+                # 2-10x inflation on late entries); collecting between
+                # runs keeps pauses out of the measurement
+                spark._jvm.System.gc()
                 t0 = time.perf_counter()
                 df = registry[name].fn(spark, sf_dir)
                 force(df)
