@@ -285,3 +285,47 @@ def test_wav_roundtrip_random(samples, rate, channels):
     assert meta["n_frames"] == len(samples) // channels
     assert meta["duration_s"] == (len(samples) // channels) / rate
     assert meta["mean_abs_amplitude"] == sum(abs(s) for s in samples) / len(samples)
+
+
+# ------------------------------------------------- boilerplate shingles
+@st.composite
+def boiler_corpus(draw):
+    # small vocabulary forces genuine cross-doc shingle collisions
+    vocab = ["aa", "bb", "cc", "dd"]
+    n_docs = draw(st.integers(min_value=1, max_value=8))
+    docs = []
+    for i in range(n_docs):
+        n_words = draw(st.integers(min_value=0, max_value=12))
+        docs.append((i, " ".join(draw(st.sampled_from(vocab)) for _ in range(n_words))))
+    return docs
+
+
+@given(docs=boiler_corpus(), k=st.integers(min_value=2, max_value=3),
+       min_docs=st.integers(min_value=2, max_value=3))
+@settings(max_examples=15, deadline=None)
+def test_common_shingle_stats_matches_python(spark, docs, k, min_docs):
+    from streamz_spark.operators.quality import common_shingle_stats
+
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = (
+        common_shingle_stats(df, k=k, min_docs=min_docs)
+        .toPandas().sort_values("doc_id", ignore_index=True)
+    )
+    # pure-Python reference
+    shingles = {}
+    for i, text in docs:
+        toks = text.lower().split()
+        shingles[i] = {
+            " ".join(toks[j : j + k]) for j in range(len(toks) - k + 1)
+        }
+    from collections import Counter
+
+    df_count = Counter(s for ss in shingles.values() for s in ss)
+    for _, r in got.iterrows():
+        ss = shingles[r.doc_id]
+        n_common = sum(1 for s in ss if df_count[s] >= min_docs)
+        assert r.n_shingles == len(ss), (r.doc_id, r.n_shingles, len(ss))
+        assert r.n_common == n_common
+        want_frac = n_common / len(ss) if ss else 0.0
+        assert r.common_frac == want_frac
+    assert len(got) == len(docs)
