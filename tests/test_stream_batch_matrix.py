@@ -367,6 +367,52 @@ CELLS = {
 }
 
 
+
+
+def _cell_union_events(spark):
+    # two streams (disjoint event_type slices of the same table) unioned
+    # — the multi-stream merge op — must equal the batch union
+    from streamz_spark.streaming.sources import replay_table
+
+    s1 = replay_table(spark, SF_DIR, "events", chunk_col="event_id").filter(
+        F.col("event_type") < "m"
+    )
+    s2 = replay_table(spark, SF_DIR, "events", chunk_col="event_id").filter(
+        F.col("event_type") >= "m"
+    )
+    got = pd.concat(
+        sink_to_list(s1.unionByName(s2).select("event_id", "event_type", "value")),
+        ignore_index=True,
+    )
+    want = load_table(spark, SF_DIR, "events").select(
+        "event_id", "event_type", "value"
+    ).toPandas()
+    return got, want
+
+
+def _cell_agg_then_filter_orders(spark):
+    # HAVING-shaped: complete-mode groupby aggregate with a post-agg
+    # filter — the updating-result composition path
+    from streamz_spark.streaming.sources import replay_table
+
+    shape = lambda df: (
+        df.groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("o_totalprice").alias("total"))
+        .filter(F.col("n") > 100)
+    )
+    got = sink_to_list(
+        shape(replay_table(spark, SF_DIR, "orders", chunk_col="o_orderkey")),
+        output_mode="complete",
+    )[-1]
+    want = shape(load_table(spark, SF_DIR, "orders")).toPandas()
+    return got, want
+
+
+CELLS["union/events"] = _cell_union_events
+CELLS["agg_then_filter/orders"] = _cell_agg_then_filter_orders
+
+
+# parametrized LAST so late-registered cells are included
 @pytest.mark.parametrize("cell", sorted(CELLS))
 def test_stream_batch_cell(cell, spark):
     got, want = CELLS[cell](spark)
