@@ -27,17 +27,26 @@ from streamz_spark.session import get_spark
 HEADLINE = [
     "groupby_multi_agg",
     "tpch_q1_pricing_summary",
+    "tpch_q2_min_cost_supplier",
     "tpch_q3_shipping_priority",
+    "tpch_q4_order_priority",
     "tpch_q5_local_supplier_volume",
     "tpch_q6_forecast_revenue",
     "tpch_q7_volume_shipping",
     "tpch_q8_market_share",
+    "tpch_q9_product_profit",
     "tpch_q10_returned_items",
+    "tpch_q11_important_parts",
+    "tpch_q12_late_priority",
     "tpch_q13_customer_distribution",
     "tpch_q14_promo_effect",
     "tpch_q15_top_supplier",
+    "tpch_q16_supplier_counts",
     "tpch_q17_small_quantity",
     "tpch_q18_large_volume",
+    "tpch_q19_disjunctive_revenue",
+    "tpch_q20_promotion_suppliers",
+    "tpch_q21_waiting_suppliers",
     "tpch_q22_quiet_customers",
     "rolling_windows",
     "cumulative_expanding",

@@ -233,7 +233,7 @@ def ivf_ann(
     k: int = 5,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
-    n_cells: int = 16,
+    n_cells: int | None = None,
     n_probe: int = 3,
     seed: int = 42,
     centroids: str = "kmeans",
@@ -251,9 +251,19 @@ def ivf_ann(
     coarser cells, but the whole pipeline becomes reproducible in plain
     SQL (the oracle-checkable variant; FAISS's random-seed init without
     the Lloyd iterations).
+
+    ``n_cells=None`` (default) picks ``ceil(sqrt(n))``, the standard
+    IVF sizing: candidate work per query scales with the cell size
+    n/n_cells, so a fixed cell count degrades quadratically as the
+    corpus grows (measured: 8 cells on a 25k corpus = ~230M candidate
+    dot products; sqrt-sizing keeps it at ~n^1.5 total).
     """
+    import math
+
     spark = corpus.sparkSession
     v = with_norm(corpus.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v")), "v", "norm")
+    if n_cells is None:
+        n_cells = max(4, math.ceil(math.sqrt(v.count())))
 
     if centroids == "seed":
         seed_rows = v.orderBy("id").limit(n_cells).select("id", "v").collect()
@@ -276,24 +286,45 @@ def ivf_ann(
         cent_rows = [
             (ci, [float(x) for x in c]) for ci, c in enumerate(model.clusterCenters())
         ]
-    cent = F.broadcast(
-        spark.createDataFrame(cent_rows, "cell int, cvec array<double>")
+    # probe cells per vector WITHOUT a shuffle: all centroids ride in
+    # ONE broadcast row (array<struct<cell,cvec>>), every cell distance
+    # is scored inside a single projection, and the n_probe nearest
+    # fall out of array_sort on (d2, cell) structs. The previous
+    # row_number-window formulation shuffled corpus_size x n_cells rows
+    # EACH carrying the full vector (~800 MB at 25k x 64d), which
+    # dominated the query; this path is narrow end-to-end and the only
+    # shuffle left in ivf_ann is the candidate join on cell id.
+    cent_packed = F.broadcast(
+        spark.createDataFrame(
+            [(cent_rows,)], "cents array<struct<cell:int,cvec:array<double>>>"
+        )
     )
-
-    # rank cells per vector by centroid distance; keep the n_probe nearest
-    scored = v.crossJoin(cent).select(
-        "id", "v", "norm", "cell",
-        F.aggregate(
-            F.zip_with(F.col("v"), F.col("cvec"), lambda x, y: (x - y) * (x - y)),
-            F.lit(0.0), lambda acc, x: acc + x,
-        ).alias("d2"),
+    scored_cells = F.array_sort(
+        F.transform(
+            F.col("cents"),
+            lambda c: F.struct(
+                F.aggregate(
+                    F.zip_with(F.col("v"), c["cvec"], lambda x, y: (x - y) * (x - y)),
+                    F.lit(0.0),
+                    lambda acc, x: acc + x,
+                ).alias("d2"),
+                c["cell"].alias("cell"),
+            ),
+        )
     )
-    w = W.partitionBy("id").orderBy(F.col("d2").asc(), F.col("cell").asc())
     # persist: both candidate sides (probed queries, primary-cell corpus)
     # read this subtree; without it the centroid scoring runs twice
     probes = (
-        scored.withColumn("rnk", F.row_number().over(w))
-        .filter(F.col("rnk") <= n_probe)
+        v.crossJoin(cent_packed)
+        .select(
+            "id", "v", "norm",
+            F.posexplode(F.slice(scored_cells, 1, n_probe)).alias("pos", "sc"),
+        )
+        .select(
+            "id", "v", "norm",
+            F.col("sc.cell").alias("cell"),
+            (F.col("pos") + 1).alias("rnk"),
+        )
         .persist()
     )
 

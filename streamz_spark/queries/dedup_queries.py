@@ -337,7 +337,9 @@ def ann_lsh_topk(spark, sf_dir):
     # the L2 cell assignment, n_probe probing, and exact-cosine rank are
     # plain arithmetic — fully reproducible in SQL. The KMeans-trained
     # variant (centroids="kmeans") is the production default and is
-    # recall-tested in tests/test_dedup.py. n_cells=8, n_probe=3, k=5.
+    # recall-tested in tests/test_dedup.py. n_cells=64, n_probe=3, k=5
+    # (64 ~ sqrt-sizing for the sf0.1 corpus: a fixed-8 cell count made
+    # the candidate join quadratic — ~230M dot products at 25k vectors).
     oracle="""
         WITH v AS (
             SELECT vec_id AS id,
@@ -347,7 +349,7 @@ def ann_lsh_topk(spark, sf_dir):
             SELECT id, v, sqrt(list_dot_product(v, v)) AS norm FROM v
         ), cent AS (
             SELECT CAST(ROW_NUMBER() OVER (ORDER BY id) - 1 AS INT) AS cell, v AS cvec
-            FROM (SELECT * FROM n ORDER BY id LIMIT 8)
+            FROM (SELECT * FROM n ORDER BY id LIMIT 64)
         ), scored AS (
             SELECT n.id, n.v, n.norm, c.cell,
                    list_sum(list_transform(range(1, len(n.v) + 1),
@@ -380,5 +382,5 @@ def ann_lsh_topk(spark, sf_dir):
 )
 def ann_ivf_topk(spark, sf_dir):
     emb = load_table(spark, sf_dir, "embeddings")
-    out = sim.ivf_ann(emb, k=5, n_cells=8, n_probe=3, centroids="seed")
+    out = sim.ivf_ann(emb, k=5, n_cells=64, n_probe=3, centroids="seed")
     return out.withColumn("rank", F.col("rank").cast("long"))

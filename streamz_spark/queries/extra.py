@@ -1499,3 +1499,113 @@ def tpch_q21_waiting_suppliers(spark, sf_dir):
         .groupBy("s_name")
         .agg(F.count("*").alias("numwait"))
     )
+
+
+# --------------------------------------------------------------------------
+# Higher-order array functions — transform/filter/aggregate/exists/
+# forall/slice as one family over the embedding column
+# --------------------------------------------------------------------------
+
+@register_extra(
+    "array_higher_order_functions",
+    oracle="""
+        SELECT vec_id,
+               CAST(len(embedding) AS INT) AS n_dims,
+               CAST(len(list_filter(embedding, x -> x > 0)) AS INT) AS n_pos,
+               ROUND(sqrt(list_sum(list_transform(
+                   embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)
+               ))), 4) AS l2_norm,
+               list_bool_or(list_transform(embedding, x -> abs(x) > 0.2))
+                   AS has_big,
+               list_aggregate(list_transform(embedding, x -> abs(x) < 100),
+                              'bool_and') AS all_small,
+               ROUND(list_sum(list_transform(
+                   embedding[1:3], x -> CAST(x AS DOUBLE)
+               )), 4) AS first3_sum
+        FROM embeddings
+    """,
+    doc="the higher-order array-function family (reference: streamz "
+        "map/filter over element streams, here expressed on array "
+        "columns): transform / filter / aggregate / exists / forall / "
+        "slice all evaluate JVM-side inside whole-stage codegen — no "
+        "Python UDF, no explode-regroup shuffle; elements are cast to "
+        "double INSIDE the lambda so both engines fold with identical "
+        "IEEE arithmetic",
+)
+def array_higher_order_functions(spark, sf_dir):
+    emb = load_table(spark, sf_dir, "embeddings")
+    x2d = lambda x: x.cast("double")  # noqa: E731
+    return emb.select(
+        "vec_id",
+        F.size("embedding").alias("n_dims"),
+        F.size(F.filter("embedding", lambda x: x > 0)).alias("n_pos"),
+        F.round(
+            F.sqrt(
+                F.aggregate(
+                    "embedding",
+                    F.lit(0.0),
+                    lambda acc, x: acc + x2d(x) * x2d(x),
+                )
+            ),
+            4,
+        ).alias("l2_norm"),
+        F.exists("embedding", lambda x: F.abs(x) > 0.2).alias("has_big"),
+        F.forall("embedding", lambda x: F.abs(x) < 100).alias("all_small"),
+        F.round(
+            F.aggregate(
+                F.slice("embedding", 1, 3), F.lit(0.0), lambda acc, x: acc + x2d(x)
+            ),
+            4,
+        ).alias("first3_sum"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Statistical aggregate family — corr/covar/stddev/skewness/kurtosis/
+# median per group
+# --------------------------------------------------------------------------
+
+@register_extra(
+    "stats_aggregate_family",
+    oracle="""
+        WITH base AS (
+            SELECT event_type, value, epoch(ts) AS tsec FROM events
+        ),
+        mu AS (SELECT event_type, AVG(value) AS m FROM base GROUP BY 1)
+        SELECT b.event_type,
+               ROUND(CORR(b.value, b.tsec), 6) AS corr_vt,
+               ROUND(COVAR_SAMP(b.value, b.tsec), 2) AS covar_vt,
+               ROUND(STDDEV_SAMP(b.value), 6) AS sd_value,
+               ROUND(AVG(POWER(b.value - mu.m, 3))
+                     / POWER(AVG(POWER(b.value - mu.m, 2)), 1.5), 6)
+                   AS skew_value,
+               ROUND(AVG(POWER(b.value - mu.m, 4))
+                     / POWER(AVG(POWER(b.value - mu.m, 2)), 2) - 3, 6)
+                   AS kurt_value,
+               ROUND(MEDIAN(b.value), 6) AS median_value
+        FROM base b JOIN mu ON b.event_type = mu.event_type
+        GROUP BY 1
+    """,
+    doc="per-group statistical aggregates: corr / covar_samp / "
+        "stddev_samp / skewness / kurtosis / exact median in ONE "
+        "groupBy pass (shared shuffle on event_type, partial aggregation "
+        "map-side); the oracle derives skew/kurtosis from explicit "
+        "central moments because Spark's definitions are the population "
+        "g1 / excess-g2 forms while DuckDB's built-ins are "
+        "sample-corrected",
+)
+def stats_aggregate_family(spark, sf_dir):
+    # ts loads as TIMESTAMP_NTZ; the session timezone is pinned to UTC
+    # (session.py) so the NTZ->LTZ hop is value-preserving and the
+    # double cast yields the same epoch seconds as DuckDB's epoch(ts)
+    ev = load_table(spark, sf_dir, "events").withColumn(
+        "tsec", F.col("ts").cast("timestamp_ltz").cast("double")
+    )
+    return ev.groupBy("event_type").agg(
+        F.round(F.corr("value", "tsec"), 6).alias("corr_vt"),
+        F.round(F.covar_samp("value", "tsec"), 2).alias("covar_vt"),
+        F.round(F.stddev_samp("value"), 6).alias("sd_value"),
+        F.round(F.skewness("value"), 6).alias("skew_value"),
+        F.round(F.kurtosis("value"), 6).alias("kurt_value"),
+        F.round(F.median("value"), 6).alias("median_value"),
+    )
