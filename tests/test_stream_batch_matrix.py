@@ -408,8 +408,53 @@ def _cell_agg_then_filter_orders(spark):
     return got, want
 
 
+def _cell_stream_static_join_events(spark):
+    # stream-static broadcast join: the streaming fact side enriched
+    # against a batch-computed dimension (per-type mean) must equal the
+    # same join on the static table — the enrich-at-ingest path
+    from streamz_spark.streaming.sources import replay_table
+
+    dim = (
+        load_table(spark, SF_DIR, "events")
+        .groupBy("event_type")
+        .agg(F.avg("value").alias("type_mean"))
+    )
+    shape = lambda df: (
+        df.join(F.broadcast(dim), "event_type")
+        .select("event_id", "event_type", (F.col("value") - F.col("type_mean")).alias("dev"))
+    )
+    got = pd.concat(
+        sink_to_list(shape(replay_table(spark, SF_DIR, "events", chunk_col="event_id"))),
+        ignore_index=True,
+    )
+    want = shape(load_table(spark, SF_DIR, "events")).toPandas()
+    return got, want
+
+
+def _cell_minhash_signatures_documents(spark):
+    # minhash signatures are per-doc stateless: computing them on the
+    # replayed stream must give bit-identical arrays to the batch pass
+    # (guards the two-stage hash against any batch-only rewrite —
+    # e.g. a persist barrier would break the streaming side outright).
+    # Arrays compare as a per-row hash so the frame compare stays scalar.
+    from streamz_spark.operators import dedup as dd
+    from streamz_spark.streaming.sources import replay_table
+
+    shape = lambda df: dd.minhash_signatures(
+        df.select("doc_id", "text"), "doc_id", "text", num_perm=16, k=3
+    ).select("id", F.hash("signature").alias("sig_hash"))
+    got = pd.concat(
+        sink_to_list(shape(replay_table(spark, SF_DIR, "documents", chunk_col="doc_id"))),
+        ignore_index=True,
+    )
+    want = shape(load_table(spark, SF_DIR, "documents")).toPandas()
+    return got, want
+
+
 CELLS["union/events"] = _cell_union_events
 CELLS["agg_then_filter/orders"] = _cell_agg_then_filter_orders
+CELLS["stream_static_join/events"] = _cell_stream_static_join_events
+CELLS["minhash_signatures/documents"] = _cell_minhash_signatures_documents
 
 
 # parametrized LAST so late-registered cells are included
