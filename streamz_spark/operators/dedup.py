@@ -66,28 +66,46 @@ def ngram_jaccard_pairs(
 ) -> DataFrame:
     """Exact n-gram Jaccard similarity pairs via shingle posting lists.
 
-    explode(shingles) → self-join on shingle (equi-join, shuffles on the
-    shingle key) → |A∩B| per pair → Jaccard from per-doc shingle counts.
-    ``max_df`` drops ultra-common shingles (posting-list cutoff) so no
-    single shingle key can blow up the pair fan-out at scale.
+    explode(shingles) → ONE groupBy(shingle) into per-shingle posting
+    ARRAYS → pairs expanded narrowly from each sorted array
+    (transform/slice/flatten) → |A∩B| per pair → Jaccard from per-doc
+    shingle counts. ``max_df`` drops ultra-common shingles so no single
+    shingle key can blow up the pair fan-out at scale — with posting
+    arrays it is a free ``size(ids) <= max_df`` filter.
+
+    The previous formulation self-joined the posting list on the
+    shingle STRING: the same rows shuffled twice (once per join side)
+    carrying full shingle text, plus a separate count-aggregate +
+    anti-join pair of shuffles for the max_df cutoff — four wide
+    stages where this shape needs one. Per-shingle docs are distinct
+    (word_shingles emits array_distinct), so sorted-array expansion
+    reproduces the a.id < b.id join exactly.
     """
-    # persist: the shingle set feeds three subtrees (sizes, both join
-    # sides) — without it Catalyst re-tokenizes the corpus per branch
+    # persist: the shingle set feeds three subtrees (sizes, posting,
+    # callers' verify joins) — without it Catalyst re-tokenizes per branch
     sh = df.select(F.col(id_col).alias("id"), word_shingles(text_col, k).alias("sh")).persist()
     sizes = sh.select("id", F.size("sh").alias("n_sh")).filter(F.col("n_sh") > 0)
     posting = sh.select("id", F.explode("sh").alias("shingle"))
+    plist = (
+        posting.groupBy("shingle")
+        .agg(F.collect_list("id").alias("ids"))
+        .filter(F.size("ids") >= 2)
+    )
     if max_df is not None:
-        hot = posting.groupBy("shingle").count().filter(F.col("count") > max_df).select("shingle")
-        posting = posting.join(hot, "shingle", "left_anti")
-
-    # persist: both sides of the self-join consume the posting list;
-    # without it the explode (and the max_df agg + anti-join) run twice
-    posting = posting.persist()
-    a = posting.alias("a")
-    b = posting.alias("b")
+        plist = plist.filter(F.size("ids") <= max_df)
+    plist = plist.select(F.array_sort("ids").alias("ids"))
+    pair_arr = F.flatten(
+        F.transform(
+            F.col("ids"),
+            lambda x, i: F.transform(
+                F.slice(F.col("ids"), i + 2, F.size(F.col("ids"))),
+                lambda y: F.struct(x.alias("id_a"), y.alias("id_b")),
+            ),
+        )
+    )
     inter = (
-        a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.id") < F.col("b.id")))
-        .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        plist.select(F.explode(pair_arr).alias("p"))
+        .groupBy(F.col("p.id_a").alias("id_a"), F.col("p.id_b").alias("id_b"))
         .agg(F.count(F.lit(1)).alias("n_common"))
     )
     sz_a = sizes.select(F.col("id").alias("id_a"), F.col("n_sh").alias("n_a"))
