@@ -64,6 +64,7 @@ HEADLINE = [
     "topk",
     "ewm_mean_per_user",
     "ewm_mean_vectorized",
+    "fuzzy_levenshtein_pairs",
     "ngram_jaccard_pairs",
     "minhash_near_duplicates",
     "dedup_clusters",

@@ -1609,3 +1609,47 @@ def stats_aggregate_family(spark, sf_dir):
         F.round(F.kurtosis("value"), 6).alias("kurt_value"),
         F.round(F.median("value"), 6).alias("median_value"),
     )
+
+
+# --------------------------------------------------------------------------
+# Blocked edit-distance fuzzy matching — levenshtein near-dup pairs
+# --------------------------------------------------------------------------
+
+@register_extra(
+    "fuzzy_levenshtein_pairs",
+    oracle="""
+        WITH p AS (
+            SELECT p_partkey, p_name, split_part(p_name, ' ', 2) AS noun
+            FROM part
+        )
+        SELECT a.p_partkey AS id_a, b.p_partkey AS id_b,
+               a.p_name AS name_a, b.p_name AS name_b,
+               CAST(levenshtein(a.p_name, b.p_name) AS INT) AS dist
+        FROM p a
+        JOIN p b ON a.noun = b.noun AND a.p_partkey < b.p_partkey
+        WHERE levenshtein(a.p_name, b.p_name) <= 2
+    """,
+    doc="blocked edit-distance near-dup (fuzzy record matching): "
+        "candidate pairs come from an equi-join on a cheap blocking key "
+        "(the head noun), levenshtein verifies only within blocks — the "
+        "standard O(sum of block^2) shape instead of the O(n^2) "
+        "all-pairs edit-distance, and the block key is the shuffle key",
+)
+def fuzzy_levenshtein_pairs(spark, sf_dir):
+    p = load_table(spark, sf_dir, "part").select(
+        "p_partkey", "p_name", F.split("p_name", " ").getItem(1).alias("noun")
+    )
+    a = p.select(
+        F.col("p_partkey").alias("id_a"), F.col("p_name").alias("name_a"),
+        F.col("noun").alias("noun_a"),
+    )
+    b = p.select(
+        F.col("p_partkey").alias("id_b"), F.col("p_name").alias("name_b"),
+        F.col("noun").alias("noun_b"),
+    )
+    return (
+        a.join(b, (F.col("noun_a") == F.col("noun_b")) & (F.col("id_a") < F.col("id_b")))
+        .withColumn("dist", F.levenshtein("name_a", "name_b"))
+        .filter(F.col("dist") <= 2)
+        .select("id_a", "id_b", "name_a", "name_b", "dist")
+    )

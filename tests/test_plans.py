@@ -132,19 +132,25 @@ def test_extra_tpch_no_cartesian_or_nested_loop(spark):
     from streamz_spark.plans import explain_string
 
     for name in (
+        "tpch_q2_min_cost_supplier", "tpch_q4_order_priority",
         "tpch_q7_volume_shipping", "tpch_q8_market_share",
-        "tpch_q10_returned_items", "tpch_q13_customer_distribution",
-        "tpch_q17_small_quantity", "tpch_q18_large_volume",
+        "tpch_q9_product_profit", "tpch_q10_returned_items",
+        "tpch_q12_late_priority", "tpch_q13_customer_distribution",
+        "tpch_q16_supplier_counts", "tpch_q17_small_quantity",
+        "tpch_q18_large_volume", "tpch_q19_disjunctive_revenue",
+        "tpch_q20_promotion_suppliers", "tpch_q21_waiting_suppliers",
     ):
         plan = explain_string(q(name, spark))
         assert "CartesianProduct" not in plan, name
         assert "BroadcastNestedLoopJoin" not in plan, name
-    # q22 is exempt from the nested-loop check: its condition-less join
-    # against the broadcast 1-row AVG aggregate plans as
+    # q22 and q11 are exempt from the nested-loop check: their
+    # condition-less joins against the broadcast 1-row scalar aggregate
+    # (AVG acctbal / 0.1%-of-total threshold) plan as
     # BroadcastNestedLoopJoin — the standard physical form of a scalar
     # subquery, O(rows x 1), scale-safe. A cartesian would still be a bug.
-    plan = explain_string(q("tpch_q22_quiet_customers", spark))
-    assert "CartesianProduct" not in plan
+    for name in ("tpch_q22_quiet_customers", "tpch_q11_important_parts"):
+        plan = explain_string(q(name, spark))
+        assert "CartesianProduct" not in plan, name
 
 
 def test_groupby_has_partial_aggregation(spark):

@@ -329,3 +329,67 @@ def test_common_shingle_stats_matches_python(spark, docs, k, min_docs):
         want_frac = n_common / len(ss) if ss else 0.0
         assert r.common_frac == want_frac
     assert len(got) == len(docs)
+
+
+# --------------------------------------------------------------------------
+# ngram_jaccard_pairs differential: the posting-array pair expansion
+# (operators/dedup.py) vs a brute-force pure-Python Jaccard over every
+# pair — guards the transform/slice/flatten rewrite on random corpora,
+# including the max_df cutoff semantics.
+# --------------------------------------------------------------------------
+
+@st.composite
+def random_corpus(draw):
+    words = ["alpha", "beta", "gamma", "delta", "eps", "zeta", "eta", "theta"]
+    n_docs = draw(st.integers(min_value=2, max_value=10))
+    docs = []
+    for i in range(n_docs):
+        n_words = draw(st.integers(min_value=0, max_value=12))
+        docs.append(
+            (i, " ".join(draw(st.lists(st.sampled_from(words), min_size=n_words,
+                                       max_size=n_words))))
+        )
+    max_df = draw(st.one_of(st.none(), st.integers(min_value=2, max_value=6)))
+    return docs, max_df
+
+
+@given(data=random_corpus())
+@settings(max_examples=10, deadline=None)
+def test_ngram_jaccard_pairs_match_bruteforce(spark, data):
+    from streamz_spark.operators import dedup as dd
+
+    docs, max_df = data
+    k = 2
+
+    def shingles(text):
+        toks = text.split()
+        return {" ".join(toks[i:i + k]) for i in range(len(toks) - k + 1)}
+
+    sets = {i: shingles(t) for i, t in docs}
+    if max_df is not None:
+        from collections import Counter
+
+        df_count = Counter(s for sh in sets.values() for s in sh)
+        sets = {i: {s for s in sh if df_count[s] <= max_df} for i, sh in sets.items()}
+        # per-doc sizes in the operator are PRE-cutoff (full shingle set)
+        full_sets = {i: shingles(t) for i, t in docs}
+    else:
+        full_sets = sets
+    want = set()
+    ids = sorted(sets)
+    for ai in range(len(ids)):
+        for bi in range(ai + 1, len(ids)):
+            a, b = ids[ai], ids[bi]
+            inter = len(sets[a] & sets[b])
+            union = len(full_sets[a]) + len(full_sets[b]) - inter
+            if inter > 0 and union > 0 and inter / union >= 0.3:
+                want.add((a, b, inter))
+
+    sdf = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {
+        (r.id_a, r.id_b, r.n_common)
+        for r in dd.ngram_jaccard_pairs(
+            sdf, k=k, threshold=0.3, max_df=max_df
+        ).collect()
+    }
+    assert got == want
