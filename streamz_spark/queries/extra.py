@@ -1633,23 +1633,33 @@ def stats_aggregate_family(spark, sf_dir):
         "candidate pairs come from an equi-join on a cheap blocking key "
         "(the head noun), levenshtein verifies only within blocks — the "
         "standard O(sum of block^2) shape instead of the O(n^2) "
-        "all-pairs edit-distance, and the block key is the shuffle key",
+        "all-pairs edit-distance. Implementation detail that matters "
+        "at every scale: edit distance is computed once per DISTINCT "
+        "name pair (the name domain is tiny next to the row count), "
+        "then expanded to id pairs through broadcast joins — the naive "
+        "row-level blocked join repeats levenshtein per row pair AND "
+        "serializes on ~10 block keys (measured 47 s at sf0.1 vs ~1 s "
+        "this way). At a corpus where the id side outgrows broadcast, "
+        "the expansion joins shuffle on the name key with salting.",
 )
 def fuzzy_levenshtein_pairs(spark, sf_dir):
     p = load_table(spark, sf_dir, "part").select(
         "p_partkey", "p_name", F.split("p_name", " ").getItem(1).alias("noun")
     )
-    a = p.select(
-        F.col("p_partkey").alias("id_a"), F.col("p_name").alias("name_a"),
-        F.col("noun").alias("noun_a"),
-    )
-    b = p.select(
-        F.col("p_partkey").alias("id_b"), F.col("p_name").alias("name_b"),
-        F.col("noun").alias("noun_b"),
-    )
-    return (
-        a.join(b, (F.col("noun_a") == F.col("noun_b")) & (F.col("id_a") < F.col("id_b")))
+    names = p.select("p_name", "noun").distinct()
+    na = names.select(F.col("p_name").alias("name_a"), F.col("noun").alias("noun_a"))
+    nb = names.select(F.col("p_name").alias("name_b"), F.col("noun").alias("noun_b"))
+    npairs = (
+        na.join(nb, F.col("noun_a") == F.col("noun_b"))
         .withColumn("dist", F.levenshtein("name_a", "name_b"))
         .filter(F.col("dist") <= 2)
+        .select("name_a", "name_b", "dist")
+    )
+    a = p.select(F.col("p_partkey").alias("id_a"), F.col("p_name").alias("name_a"))
+    b = p.select(F.col("p_partkey").alias("id_b"), F.col("p_name").alias("name_b"))
+    return (
+        a.join(F.broadcast(npairs), "name_a")
+        .join(F.broadcast(b), "name_b")
+        .filter(F.col("id_a") < F.col("id_b"))
         .select("id_a", "id_b", "name_a", "name_b", "dist")
     )
