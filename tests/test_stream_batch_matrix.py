@@ -451,10 +451,62 @@ def _cell_minhash_signatures_documents(spark):
     return got, want
 
 
+def _cell_tpch_q1_lineitem(spark):
+    # TPC-H q1 as a streaming maintenance query: the full pricing
+    # summary (filter + 8-aggregate groupBy) maintained incrementally
+    # over the replayed lineitem must equal the batch result — the
+    # "any analytic aggregation runs as a live view" claim, proved on
+    # a real reference query rather than a toy aggregate
+    from streamz_spark.streaming.sources import replay_table
+
+    shape = lambda df: (
+        df.filter(F.col("l_shipdate") <= "1998-09-02")
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum("l_quantity").alias("sum_qty"),
+            F.sum("l_extendedprice").alias("sum_base_price"),
+            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("sum_disc_price"),
+            F.avg("l_quantity").alias("avg_qty"),
+            F.avg("l_discount").alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+    got = sink_to_list(
+        shape(replay_table(spark, SF_DIR, "lineitem", chunk_col="l_orderkey")),
+        output_mode="complete",
+    )[-1]
+    want = shape(load_table(spark, SF_DIR, "lineitem")).toPandas()
+    return got, want
+
+
+def _cell_tpch_q6_lineitem(spark):
+    # TPC-H q6 (selective global revenue aggregate) as a streaming
+    # maintenance query — filters prune each micro-batch before the
+    # running aggregate state, same as the batch scan pushdown
+    from streamz_spark.streaming.sources import replay_table
+
+    shape = lambda df: (
+        df.filter(
+            (F.col("l_shipdate") >= "1996-01-01")
+            & (F.col("l_shipdate") < "1997-01-01")
+            & (F.col("l_discount").between(0.03, 0.07))
+            & (F.col("l_quantity") < 24)
+        ).agg(F.sum(F.col("l_extendedprice") * F.col("l_discount")).alias("revenue"))
+    )
+    got = sink_to_list(
+        shape(replay_table(spark, SF_DIR, "lineitem", chunk_col="l_orderkey")),
+        output_mode="complete",
+    )[-1]
+    want = shape(load_table(spark, SF_DIR, "lineitem")).toPandas()
+    return got, want
+
+
 CELLS["union/events"] = _cell_union_events
 CELLS["agg_then_filter/orders"] = _cell_agg_then_filter_orders
 CELLS["stream_static_join/events"] = _cell_stream_static_join_events
 CELLS["minhash_signatures/documents"] = _cell_minhash_signatures_documents
+CELLS["tpch_q1/lineitem"] = _cell_tpch_q1_lineitem
+CELLS["tpch_q6/lineitem"] = _cell_tpch_q6_lineitem
 
 
 # parametrized LAST so late-registered cells are included
