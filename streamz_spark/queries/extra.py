@@ -1122,10 +1122,18 @@ def tpch_q2_min_cost_supplier(spark, sf_dir):
         .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
         .select("s_suppkey", "s_name", "s_acctbal", "n_name")
     )
+    # localCheckpoint: cand feeds both the per-part MIN and the final
+    # equality join; without the barrier each consumer re-runs the full
+    # supply groupBy over lineitem (no ReusedExchange — the rename
+    # breaks exchange identity; 20 scans in the physical plan). Local
+    # timing is flat (in-memory re-scans are cheap on local[32]); the
+    # barrier is for the fact-scan count at scale, and cand is tiny
+    # (filtered parts x suppliers) so the materialization is free
     cand = (
         supply.join(F.broadcast(part), supply.l_partkey == part.p_partkey)
         .join(F.broadcast(eur), supply.l_suppkey == eur.s_suppkey)
         .select("p_partkey", "p_name", "s_name", "s_acctbal", "n_name", "cost")
+        .localCheckpoint()
     )
     mn = cand.groupBy("p_partkey").agg(F.min("cost").alias("min_cost")).withColumnRenamed(
         "p_partkey", "m_partkey"
@@ -1413,7 +1421,16 @@ def tpch_q20_promotion_suppliers(spark, sf_dir):
     li = load_table(spark, sf_dir, "lineitem")
     part = load_table(spark, sf_dir, "part").filter(F.col("p_name").like("blue%"))
     supplier = load_table(spark, sf_dir, "supplier")
-    supply = li.groupBy("l_suppkey", "l_partkey").agg(F.sum("l_quantity").alias("qty"))
+    # localCheckpoint: supply feeds both the per-part limit aggregate
+    # and the qualifying join — one lineitem groupBy instead of two
+    # (|supply| = distinct supplier x part pairs << |lineitem|, so the
+    # barrier write is cheaper than the second fact shuffle at scale;
+    # locally flat)
+    supply = (
+        li.groupBy("l_suppkey", "l_partkey")
+        .agg(F.sum("l_quantity").alias("qty"))
+        .localCheckpoint()
+    )
     lim = supply.groupBy("l_partkey").agg((0.5 * F.avg("qty")).alias("qlim")).withColumnRenamed(
         "l_partkey", "lp"
     )
@@ -1474,6 +1491,11 @@ def tpch_q21_waiting_suppliers(spark, sf_dir):
         .filter(F.col("l_shipdate") > F.date_add(F.col("o_orderdate"), 90))
         .select("l_orderkey", "l_suppkey")
         .distinct()
+        # localCheckpoint: late feeds the solo-late aggregate AND the
+        # final semi-joined count — without it the orders join +
+        # distinct over lineitem runs twice (locally flat; halves the
+        # fact scans at scale, and the late pair set is small)
+        .localCheckpoint()
     )
     multi = (
         li.groupBy("l_orderkey")
