@@ -95,6 +95,13 @@ def _asof_fill_global(unioned: DataFrame, on: str, fill_cols: list[str], directi
 
     backward = direction == "backward"
     side_order = F.col("__side").asc() if backward else F.col("__side").desc()
+    # parted feeds BOTH the per-partition summary aggregate and the
+    # carry-join output, so its subtree evaluates twice. Measured
+    # trade-off: a localCheckpoint barrier here is ~25% SLOWER at sf0.1
+    # (materialization costs more than re-running a codegen'd scan +
+    # one range shuffle), so the single-level duplication stays. The
+    # multiplicative case — chained as-of joins nesting this subtree
+    # per level — is bounded in combine_latest instead.
     parted = range_parted(unioned, [F.col(on).asc(), side_order])
 
     if backward:
@@ -192,10 +199,21 @@ def combine_latest(dfs: list[DataFrame], on: str, emit_on: int = 0) -> DataFrame
     stream — chained as-of backward joins keyed by event time.
     """
     base = dfs[emit_on]
+    joined = 0
     for i, other in enumerate(dfs):
         if i == emit_on:
             continue
         base = asof_join(base, other, on=on, suffix=f"_s{i}")
+        joined += 1
+        # bound the multiplicative re-evaluation: each as-of level
+        # consumes its input twice (summary + carry join), so an
+        # unbarriered K-stream chain re-runs the base subtree 2^(K-1)
+        # times (measured: 36 file scans for 3 streams). Checkpointing
+        # between levels (batch-only operator — windows inside) caps it
+        # at one evaluation per level; skipped after the final level
+        # where the caller consumes the result once.
+        if joined < len(dfs) - 1:
+            base = base.localCheckpoint()
     return base
 
 
