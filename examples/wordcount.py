@@ -27,11 +27,14 @@ def main():
     port = server.getsockname()[1]
     server.listen(1)
 
+    lines = ["the quick brown fox", "jumps over the lazy dog", "the end"]
+    n_distinct = len({w for ln in lines for w in ln.split()})
+
     def feed():
         conn, _ = server.accept()
-        for line in ["the quick brown fox", "jumps over the lazy dog", "the end"]:
+        for line in lines:
             conn.sendall((line + "\n").encode())
-        time.sleep(8)
+        time.sleep(30)
         conn.close()
 
     threading.Thread(target=feed, daemon=True).start()
@@ -43,9 +46,15 @@ def main():
     )
     q = (counts.writeStream.outputMode("complete").format("memory")
          .queryName("wc").trigger(processingTime="500 milliseconds").start())
-    time.sleep(6)
+    # poll until every word arrived (fixed sleeps starve under a busy
+    # machine and print an empty table)
+    deadline = time.time() + 60
+    while time.time() < deadline:
+        if spark.sql("SELECT count(*) FROM wc").first()[0] >= n_distinct:
+            break
+        time.sleep(0.5)
     q.stop()
-    spark.sql("SELECT * FROM wc ORDER BY count DESC").show()
+    spark.sql("SELECT * FROM wc ORDER BY count DESC, word").show()
     spark.stop()
 
 
