@@ -1095,7 +1095,12 @@ def boilerplate_common_shingles(spark, sf_dir):
         ),
         mn AS (SELECT p_partkey, MIN(cost) AS min_cost FROM cand GROUP BY 1)
         SELECT c.s_acctbal, c.s_name, c.n_name, c.p_partkey, c.p_name,
-               ROUND(c.cost, 4) AS supply_cost
+               -- FLOOR-scaling, not ROUND: both engines hold the
+               -- bit-identical quotient double, but Spark's ROUND
+               -- (BigDecimal of the shortest decimal repr, HALF_UP)
+               -- and DuckDB's (exact binary) disagree on half-cases
+               -- like ...17125 — floor of the same double is exact
+               FLOOR(c.cost * 10000) / 10000 AS supply_cost
         FROM cand c
         JOIN mn ON c.p_partkey = mn.p_partkey AND c.cost = mn.min_cost
     """,
@@ -1145,7 +1150,7 @@ def tpch_q2_min_cost_supplier(spark, sf_dir):
         )
         .select(
             "s_acctbal", "s_name", "n_name", "p_partkey", "p_name",
-            F.round("cost", 4).alias("supply_cost"),
+            (F.floor(F.col("cost") * 10000) / 10000).alias("supply_cost"),
         )
     )
 
