@@ -192,3 +192,19 @@ def test_partition_pruning_on_partitioned_layout(spark, tmp_path_factory):
     # count matches the unpartitioned filter
     want = ev.filter("event_type = 'purchase'").count()
     assert df.count() == want
+
+
+def test_ngram_pair_generation_plan_shape(spark):
+    # the posting-array rewrite's contract: pair generation carries
+    # exactly two hash-partition exchanges (shingle groupBy, pair
+    # groupBy), the size joins broadcast, and nothing degrades to a
+    # sort-merge or cartesian — the shape that keeps a hot shingle an
+    # array-length problem instead of a join-key hotspot at scale
+    from streamz_spark.plans import explain_string
+
+    plan = explain_string(q("ngram_jaccard_pairs", spark))
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert plan.count("Exchange hashpartitioning") <= 2, plan.count(
+        "Exchange hashpartitioning"
+    )
