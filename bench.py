@@ -53,6 +53,9 @@ HEADLINE = [
     "sessionize",
     "session_windows",
     "hopping_window",
+    "array_higher_order_functions",
+    "stats_aggregate_family",
+    "join_full_outer",
     "salted_agg_skew",
     "salted_join_skew",
     "melt_unpivot",
@@ -70,6 +73,7 @@ HEADLINE = [
     "dedup_clusters",
     "dedup_clusters_distributed",
     "contamination_check",
+    "contamination_bloom",
     "train_val_split",
     "embedding_near_dups",
     "ann_brute_force_topk",
