@@ -419,3 +419,142 @@ def streaming_minhash_neardup(
     return pairs.filter(pairs["est_jaccard"] >= min_est_jaccard).dropDuplicates(
         ["id_a", "id_b"]
     )
+
+
+def zip_latest_stream(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    ts_col: str = "ts",
+    left_value: str = "value",
+    right_value: str = "value",
+) -> DataFrame:
+    """Reference ``zip_latest`` (core.py:1948-1992) LIVE at ingest time:
+    every left ("lossless") event emits paired with the latest right
+    value seen so far for its key.
+
+    Spark's stream-stream joins only cover time-bounded equi-joins, so
+    this unions the two streams with a side tag instead — ONE keyed
+    state store scans both sides, the latest right value rides in state
+    across micro-batches, and within a batch rows order by event time
+    (right before left on ties, so an equal-timestamp right value
+    counts as seen — matching the batch as-of join's inclusive bound).
+    Pairing is arrival-order across batches, exactly the reference's
+    semantics; it equals the event-time as-of join whenever arrival
+    order respects event time (in-order sources, or a watermarked
+    pre-sort upstream).
+
+    The per-batch fill is a vectorized pandas ffill — no per-row
+    Python loop. State per key is one double: O(keys) store size, no
+    growth with stream length.
+    """
+    from pyspark.sql import functions as F
+
+    l = left.select(
+        F.col(key),
+        F.col(ts_col).alias("__ts"),
+        F.lit(1).alias("__side"),
+        F.col(left_value).cast("double").alias("__lv"),
+        F.lit(None).cast("double").alias("__rv"),
+    )
+    r = right.select(
+        F.col(key),
+        F.col(ts_col).alias("__ts"),
+        F.lit(0).alias("__side"),
+        F.lit(None).cast("double").alias("__lv"),
+        F.col(right_value).cast("double").alias("__rv"),
+    )
+    both = l.unionByName(r)
+
+    def step(state, pdf):
+        latest = state[0] if state else None
+        pdf = pdf.sort_values(["__ts", "__side"], kind="mergesort")
+        filled = pdf["__rv"].ffill()
+        if latest is not None:
+            filled = filled.fillna(latest)
+        mask = pdf["__side"] == 1
+        out = pd.DataFrame(
+            {
+                key: pdf.loc[mask, key],
+                ts_col: pdf.loc[mask, "__ts"],
+                left_value: pdf.loc[mask, "__lv"],
+                "latest_right": filled[mask],
+            }
+        )
+        last = filled.iloc[-1] if len(filled) else None
+        new_state = latest if last is None or pd.isna(last) else float(last)
+        return (new_state,), out
+
+    return accumulate(
+        both, [key], step,
+        state_schema="latest double",
+        output_schema=f"{key} long, {ts_col} timestamp, {left_value} double, latest_right double",
+        output_mode="append",
+    )
+
+
+def combine_latest_stream(
+    emit: DataFrame,
+    others: list,
+    key: str,
+    ts_col: str = "ts",
+    emit_value: str = "value",
+    other_values: list | None = None,
+) -> DataFrame:
+    """Reference ``combine_latest`` (core.py:1652-1729) LIVE: each event
+    of the emit stream snapshots the latest value of every other
+    stream for its key (columns ``latest_0..latest_{n-1}``).
+
+    Same single-state-store design as :func:`zip_latest_stream` — all
+    streams union with a side tag, one keyed scan per micro-batch,
+    state = one double per side per key (O(keys x streams), stream-
+    length independent). Within a batch, rows order by event time with
+    the non-emit sides first on ties.
+    """
+    from pyspark.sql import functions as F
+
+    n = len(others)
+    other_values = other_values or [emit_value] * n
+
+    def tag(df: DataFrame, side: int, vcol: str) -> DataFrame:
+        return df.select(
+            F.col(key),
+            F.col(ts_col).alias("__ts"),
+            F.lit(side).alias("__side"),
+            F.col(vcol).cast("double").alias("__v"),
+        )
+
+    both = tag(emit, n, emit_value)
+    for i, o in enumerate(others):
+        both = both.unionByName(tag(o, i, other_values[i]))
+
+    latest_cols = [f"latest_{i}" for i in range(n)]
+
+    def step(state, pdf):
+        latest = list(state) if state else [None] * n
+        pdf = pdf.sort_values(["__ts", "__side"], kind="mergesort")
+        mask = pdf["__side"] == n
+        out = {key: pdf.loc[mask, key], ts_col: pdf.loc[mask, "__ts"],
+               emit_value: pdf.loc[mask, "__v"]}
+        for i in range(n):
+            side_vals = pdf["__v"].where(pdf["__side"] == i)
+            filled = side_vals.ffill()
+            if latest[i] is not None:
+                filled = filled.fillna(latest[i])
+            out[latest_cols[i]] = filled[mask]
+            tail = side_vals.dropna()
+            if len(tail):
+                latest[i] = float(tail.iloc[-1])
+        return tuple(latest), pd.DataFrame(out)
+
+    state_schema = ", ".join(f"l{i} double" for i in range(n))
+    out_schema = (
+        f"{key} long, {ts_col} timestamp, {emit_value} double, "
+        + ", ".join(f"{c} double" for c in latest_cols)
+    )
+    return accumulate(
+        both, [key], step,
+        state_schema=state_schema,
+        output_schema=out_schema,
+        output_mode="append",
+    )

@@ -505,8 +505,87 @@ CELLS["union/events"] = _cell_union_events
 CELLS["agg_then_filter/orders"] = _cell_agg_then_filter_orders
 CELLS["stream_static_join/events"] = _cell_stream_static_join_events
 CELLS["minhash_signatures/documents"] = _cell_minhash_signatures_documents
+def _cell_zip_latest_stream_events(spark):
+    # LIVE zip_latest: every non-view event paired with the latest view
+    # value seen so far for its user, latest carried in the state store
+    # across micro-batches — must equal the pandas as-of replication on
+    # the full table (arrival order == event-time order here: the
+    # replay chunks contiguously on event_id and ts is monotone in it)
+    from streamz_spark.streaming.stateful import zip_latest_stream
+
+    stream = _replay_ordered(spark, "events", "event_id")
+    got = pd.concat(
+        sink_to_list(
+            zip_latest_stream(
+                stream.filter(F.col("event_type") != "view"),
+                stream.filter(F.col("event_type") == "view"),
+                key="user_id",
+            ),
+            output_mode="append",
+        ),
+        ignore_index=True,
+    )
+
+    full = (
+        load_table(spark, SF_DIR, "events")
+        .select("event_id", "user_id", "ts", "event_type", "value")
+        .toPandas()
+        .sort_values(["ts", "event_id"], kind="mergesort")
+    )
+    # right (view) before left on ts ties, matching the operator
+    full["__side"] = (full["event_type"] != "view").astype(int)
+    full = full.sort_values(["user_id", "ts", "__side"], kind="mergesort")
+    rv = full["value"].where(full["event_type"] == "view")
+    full["latest_right"] = rv.groupby(full["user_id"]).ffill()
+    want = full[full["event_type"] != "view"][
+        ["user_id", "ts", "value", "latest_right"]
+    ].reset_index(drop=True)
+    return got, want
+
+
 CELLS["tpch_q1/lineitem"] = _cell_tpch_q1_lineitem
 CELLS["tpch_q6/lineitem"] = _cell_tpch_q6_lineitem
+def _cell_combine_latest_stream_events(spark):
+    # LIVE combine_latest over three streams: each purchase/click event
+    # snapshots the latest view AND error value for its user — the
+    # reference's flagship combinator at ingest time
+    from streamz_spark.streaming.stateful import combine_latest_stream
+
+    stream = _replay_ordered(spark, "events", "event_id")
+    emit_mask = ~F.col("event_type").isin("view", "error")
+    got = pd.concat(
+        sink_to_list(
+            combine_latest_stream(
+                stream.filter(emit_mask),
+                [
+                    stream.filter(F.col("event_type") == "view"),
+                    stream.filter(F.col("event_type") == "error"),
+                ],
+                key="user_id",
+            ),
+            output_mode="append",
+        ),
+        ignore_index=True,
+    )
+
+    full = (
+        load_table(spark, SF_DIR, "events")
+        .select("event_id", "user_id", "ts", "event_type", "value")
+        .toPandas()
+    )
+    full["__side"] = (~full["event_type"].isin(["view", "error"])).astype(int)
+    full = full.sort_values(["user_id", "ts", "__side", "event_id"], kind="mergesort")
+    for i, et in enumerate(["view", "error"]):
+        sv = full["value"].where(full["event_type"] == et)
+        full[f"latest_{i}"] = sv.groupby(full["user_id"]).ffill()
+    want = full[~full["event_type"].isin(["view", "error"])][
+        ["user_id", "ts", "value", "latest_0", "latest_1"]
+    ].reset_index(drop=True)
+    return got, want
+
+
+CELLS["zip_latest_stream/events"] = _cell_zip_latest_stream_events
+CELLS["combine_latest_stream/events"] = _cell_combine_latest_stream_events
 
 
 # parametrized LAST so late-registered cells are included
