@@ -558,3 +558,69 @@ def combine_latest_stream(
         output_schema=out_schema,
         output_mode="append",
     )
+
+
+def zip_stream(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    ts_col: str = "ts",
+    left_value: str = "value",
+    right_value: str = "value",
+    max_buffer: int = 100_000,
+) -> DataFrame:
+    """Reference ``zip`` (core.py:1575-1649) LIVE: pair the i-th left
+    event with the i-th right event per key, buffering whichever side
+    is ahead. Emits ``(key, seq, left, right)`` with a per-key pair
+    ordinal.
+
+    The reference buffers unboundedly and relies on backpressure; a
+    state-store implementation cannot push back on a source, so the
+    per-side buffer is capped at ``max_buffer`` and overflow raises
+    (fail loudly rather than silently dropping pairs — pick the cap
+    from the worst acceptable inter-stream lag). State per key is the
+    two pending buffers plus the emitted count: O(lag), independent of
+    stream length once both sides keep up.
+    """
+    from pyspark.sql import functions as F
+
+    l = left.select(
+        F.col(key), F.col(ts_col).alias("__ts"), F.lit(0).alias("__side"),
+        F.col(left_value).cast("double").alias("__v"),
+    )
+    r = right.select(
+        F.col(key), F.col(ts_col).alias("__ts"), F.lit(1).alias("__side"),
+        F.col(right_value).cast("double").alias("__v"),
+    )
+    both = l.unionByName(r)
+
+    def step(state, pdf):
+        lbuf, rbuf, emitted = (
+            (list(state[0]), list(state[1]), int(state[2])) if state else ([], [], 0)
+        )
+        pdf = pdf.sort_values(["__ts", "__side"], kind="mergesort")
+        lbuf += pdf.loc[pdf["__side"] == 0, "__v"].tolist()
+        rbuf += pdf.loc[pdf["__side"] == 1, "__v"].tolist()
+        if max(len(lbuf), len(rbuf)) > max_buffer:
+            raise RuntimeError(
+                f"zip_stream buffer overflow (> {max_buffer}) for key "
+                f"{pdf[key].iloc[0]!r}: one stream is {abs(len(lbuf) - len(rbuf))} "
+                "events ahead — raise max_buffer or fix the lagging source"
+            )
+        k = min(len(lbuf), len(rbuf))
+        out = pd.DataFrame(
+            {
+                key: [pdf[key].iloc[0]] * k,
+                "seq": range(emitted, emitted + k),
+                "left": lbuf[:k],
+                "right": rbuf[:k],
+            }
+        )
+        return (lbuf[k:], rbuf[k:], emitted + k), out
+
+    return accumulate(
+        both, [key], step,
+        state_schema="lbuf array<double>, rbuf array<double>, emitted long",
+        output_schema=f"{key} long, seq long, left double, right double",
+        output_mode="append",
+    )

@@ -276,3 +276,68 @@ def test_tws_requires_rocksdb(spark):
     src = from_iterable(spark, chunks, "user_id long, value double")
     with pytest.raises(RuntimeError, match="RocksDB state store|protobuf"):
         running_sum_tws(src, "user_id")
+
+
+def test_rocksdb_zip_latest_stream(rocksdb, tmp_path):
+    # the live zip_latest combinator on the RocksDB provider: two
+    # side-tagged chunks replay through the keyed state store and each
+    # left event pairs with the latest right value seen so far
+    import pandas as pd
+
+    from streamz_spark.streaming.sources import from_directory
+    from streamz_spark.streaming.stateful import zip_latest_stream
+
+    src = str(tmp_path / "zsrc")
+    rows = [
+        # (key, ts_sec, side, value): side 0 = right feed, 1 = left
+        (1, 10, 0, 100.0), (1, 20, 1, 1.0), (1, 30, 0, 200.0),
+        (2, 15, 1, 5.0),
+    ]
+    rows2 = [
+        (1, 40, 1, 2.0),          # pairs with 200.0 carried in state
+        (2, 45, 0, 300.0), (2, 50, 1, 6.0),
+    ]
+    for i, chunk in enumerate((rows, rows2)):
+        rocksdb.createDataFrame(
+            [(k, float(t), s, v) for k, t, s, v in chunk],
+            "user_id long, tsec double, side int, value double",
+        ).selectExpr(
+            "user_id", "timestamp_seconds(tsec) as ts", "side", "value"
+        ).coalesce(1).write.mode("overwrite").parquet(
+            os.path.join(src, f"chunk={i:05d}")
+        )
+    stream = from_directory(
+        rocksdb, os.path.join(src, "chunk=*"),
+        "user_id long, ts timestamp, side int, value double",
+        one_file_per_trigger=True, pathGlobFilter="*.parquet",
+    )
+    out = zip_latest_stream(
+        stream.filter(F.col("side") == 1),
+        stream.filter(F.col("side") == 0),
+        key="user_id",
+    )
+    batches: list = []
+    ckpt = str(tmp_path / "zckpt")
+    q = (
+        out.writeStream.outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .foreachBatch(lambda b, i: batches.append(b.toPandas()))
+        .trigger(availableNow=True)
+        .start()
+    )
+    assert q.awaitTermination(300)
+    got = (
+        pd.concat(batches, ignore_index=True)
+        .sort_values(["user_id", "ts"], ignore_index=True)
+    )
+    want = pd.DataFrame(
+        {
+            "user_id": [1, 1, 2, 2],
+            "value": [1.0, 2.0, 5.0, 6.0],
+            "latest_right": [100.0, 200.0, None, 300.0],
+        }
+    )
+    assert got["user_id"].tolist() == want["user_id"].tolist()
+    assert got["value"].tolist() == want["value"].tolist()
+    assert got["latest_right"].fillna(-1).tolist() == want["latest_right"].fillna(-1).tolist()
+    _assert_rocksdb_artifacts(ckpt)

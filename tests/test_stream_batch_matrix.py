@@ -584,8 +584,44 @@ def _cell_combine_latest_stream_events(spark):
     return got, want
 
 
+def _cell_zip_stream_events(spark):
+    # LIVE positional zip: i-th view paired with i-th click per user in
+    # event-time order, buffers carried across micro-batches — equals
+    # the positional pandas pairing on the full table
+    from streamz_spark.streaming.stateful import zip_stream
+
+    stream = _replay_ordered(spark, "events", "event_id")
+    got = pd.concat(
+        sink_to_list(
+            zip_stream(
+                stream.filter(F.col("event_type") == "view"),
+                stream.filter(F.col("event_type") == "click"),
+                key="user_id",
+            ),
+            output_mode="append",
+        ),
+        ignore_index=True,
+    )
+
+    full = (
+        load_table(spark, SF_DIR, "events")
+        .select("event_id", "user_id", "ts", "event_type", "value")
+        .toPandas()
+        .sort_values(["user_id", "ts", "event_id"], kind="mergesort")
+    )
+    pairs = []
+    for uid, g in full.groupby("user_id"):
+        lv = g.loc[g["event_type"] == "view", "value"].tolist()
+        rv = g.loc[g["event_type"] == "click", "value"].tolist()
+        for i in range(min(len(lv), len(rv))):
+            pairs.append((uid, i, lv[i], rv[i]))
+    want = pd.DataFrame(pairs, columns=["user_id", "seq", "left", "right"])
+    return got, want
+
+
 CELLS["zip_latest_stream/events"] = _cell_zip_latest_stream_events
 CELLS["combine_latest_stream/events"] = _cell_combine_latest_stream_events
+CELLS["zip_stream/events"] = _cell_zip_stream_events
 
 
 # parametrized LAST so late-registered cells are included
