@@ -81,6 +81,8 @@ HEADLINE = [
     "ann_ivf_topk",
     "text_quality_profile",
     "tfidf_top_terms",
+    "bm25_term_topk",
+    "domain_mixture_weights",
     "media_decode_stats",
     "boilerplate_common_shingles",
 ]

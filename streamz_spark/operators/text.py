@@ -20,6 +20,8 @@ __all__ = [
     "fingerprint",
     "word_shingles",
     "tfidf_top_terms",
+    "bm25_term_topk",
+    "domain_mixture_weights",
 ]
 
 # tiny deterministic stopword lists for the heuristic language id
@@ -187,4 +189,141 @@ def tfidf_top_terms(
         scored.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= top_n)
         .select(F.col("id").alias(id_col), "term", "tf", "df_count", "rank")
+    )
+
+
+def bm25_term_topk(
+    df: DataFrame,
+    terms: list[str],
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    top_n: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> DataFrame:
+    """Per-query-term top-n documents by BM25 (Robertson/Sparck-Jones)
+    — the ranked-retrieval primitive TF-IDF lacks: term-frequency
+    saturation (``k1``) and document-length normalization (``b``).
+
+    Scale shape: the query-term filter lands BEFORE the (doc, term)
+    shuffle, so only postings for the |terms| query terms — a vanishing
+    fraction of a 100 TB corpus — are ever shuffled; document length is
+    computed narrowly as ``size(split(text))`` with no explode, and the
+    corpus scalars (N, avgdl) ride in as a broadcast cross-join of a
+    1-row aggregate, never a collect. Ranking is per term (PARTITION BY
+    term), so the idf factor is a positive per-partition constant and
+    the ordering is decided purely by the tf / length part — engine
+    libm differences in ``ln`` cannot reorder results. Ties break on
+    doc_id, making the output total-ordered and reproducible.
+
+    Output: ``(term, doc_id, tf, doc_len, df_count, rank)`` — integer
+    columns only; the double score stays internal to the sort.
+    """
+    from pyspark.sql import Window as W
+
+    toks = tokenize(text_col)
+    docs = df.select(
+        F.col(id_col).alias("id"),
+        toks.alias("toks"),
+        F.size(toks).cast("long").alias("doc_len"),
+    )
+    # corpus scalars: one tiny all-reduce, broadcast back
+    scalars = docs.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("doc_len").alias("total_tokens"),
+    )
+    term_lits = F.array(*[F.lit(t) for t in terms])
+    # array_intersect yields the distinct matched query terms per doc;
+    # tf is a narrow per-row count of that term — no corpus-wide
+    # explode ever happens, only |matched terms| <= |terms| rows/doc
+    postings = (
+        docs.select(
+            "id",
+            "doc_len",
+            "toks",
+            F.explode(F.array_intersect("toks", term_lits)).alias("term"),
+        )
+        .withColumn(
+            "tf",
+            F.size(F.filter("toks", lambda x: x == F.col("term"))).cast("long"),
+        )
+        .drop("toks")
+    )
+    dfreq = postings.groupBy("term").agg(F.count(F.lit(1)).alias("df_count"))
+    scored = (
+        postings.join(F.broadcast(dfreq), "term")
+        .crossJoin(F.broadcast(scalars))
+        .withColumn("avgdl", F.col("total_tokens") / F.col("n_docs"))
+        .withColumn(
+            "idf",
+            F.log(
+                1.0
+                + (F.col("n_docs") - F.col("df_count") + 0.5)
+                / (F.col("df_count") + 0.5)
+            ),
+        )
+        .withColumn(
+            "score",
+            F.col("idf")
+            * (F.col("tf") * (k1 + 1.0))
+            / (F.col("tf") + k1 * (1.0 - b + b * F.col("doc_len") / F.col("avgdl"))),
+        )
+    )
+    w = W.partitionBy("term").orderBy(F.col("score").desc(), F.col("id").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= top_n)
+        .select(
+            "term",
+            F.col("id").alias(id_col),
+            "tf",
+            "doc_len",
+            "df_count",
+            F.col("rank").cast("long").alias("rank"),
+        )
+    )
+
+
+def domain_mixture_weights(
+    df: DataFrame,
+    domain_col: str = "source",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-domain token accounting and uniform-target resampling
+    weights — the static domain-mixing computation every large-scale
+    pretraining pipeline runs before sampling (a DoReMi-style reweight
+    with the uniform reference mix).
+
+    ``token_share`` is each domain's fraction of corpus tokens;
+    ``resample_weight`` is the factor that equalizes domain token mass
+    (``total / (n_domains * domain_tokens)``) — >1 means upsample.
+    Both are single IEEE divisions of exact integer counts, so the
+    values are bit-reproducible across engines.
+
+    Scale shape: one map-side-combinable groupBy on the domain key
+    (tiny cardinality), corpus totals via a broadcast 1-row aggregate.
+    Token counts come from ``size(split(...))`` — narrow, no explode.
+    """
+    per = df.groupBy(F.col(domain_col).alias("domain")).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(token_count(text_col)).alias("n_tokens"),
+    )
+    totals = per.agg(
+        F.count(F.lit(1)).alias("n_domains"),
+        F.sum("n_tokens").alias("total_tokens"),
+    )
+    return (
+        per.crossJoin(F.broadcast(totals))
+        .withColumn(
+            "token_share",
+            F.col("n_tokens").cast("double") / F.col("total_tokens").cast("double"),
+        )
+        .withColumn(
+            "resample_weight",
+            F.col("total_tokens").cast("double")
+            / (F.col("n_domains") * F.col("n_tokens")).cast("double"),
+        )
+        .select(
+            "domain", "n_docs", "n_tokens", "token_share", "resample_weight"
+        )
     )

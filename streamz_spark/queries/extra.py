@@ -1690,3 +1690,107 @@ def fuzzy_levenshtein_pairs(spark, sf_dir):
         .filter(F.col("id_a") < F.col("id_b"))
         .select("id_a", "id_b", "name_a", "name_b", "dist")
     )
+
+
+# --------------------------------------------------------------------------
+# ranked retrieval + domain mixing (round 4 additions)
+# --------------------------------------------------------------------------
+
+# BM25 constants, embedded via repr() so the oracle's literals are the
+# EXACT doubles the Spark expression tree produces (1.2 + 1.0 != 2.2 in
+# binary; repr round-trips the true value)
+_BM25_K1 = 1.2
+_BM25_B = 0.75
+_BM25_TERMS = ["stream", "vector", "hash", "window"]
+_BM25_TERMS_SQL = "[" + ", ".join(f"'{t}'" for t in _BM25_TERMS) + "]"
+
+_BM25_ORACLE = f"""
+    WITH d2 AS (
+        SELECT doc_id AS id,
+               CASE WHEN length(trim(lower(text))) = 0 THEN []::VARCHAR[]
+                    ELSE regexp_split_to_array(trim(lower(text)), '\\s+')
+               END AS toks
+        FROM documents
+    ),
+    docs AS (SELECT id, toks, CAST(len(toks) AS BIGINT) AS doc_len FROM d2),
+    scalars AS (
+        SELECT COUNT(*) AS n_docs, SUM(doc_len) AS total_tokens FROM docs
+    ),
+    postings AS (
+        SELECT id, doc_len, t.term,
+               CAST(len(list_filter(toks, x -> x = t.term)) AS BIGINT) AS tf
+        FROM docs, (SELECT unnest({_BM25_TERMS_SQL}) AS term) t
+        WHERE list_contains(toks, t.term)
+    ),
+    dfreq AS (SELECT term, COUNT(*) AS df_count FROM postings GROUP BY 1)
+    SELECT term, id AS doc_id, tf, doc_len, df_count,
+           CAST(rank AS BIGINT) AS rank
+    FROM (
+        SELECT p.id, p.term, p.tf, p.doc_len, f.df_count,
+               ROW_NUMBER() OVER (
+                   PARTITION BY p.term
+                   ORDER BY
+                       ln(1.0 + (n_docs - df_count + 0.5) / (df_count + 0.5))
+                       * (tf * {1.2 + 1.0!r})
+                       / (tf + {1.2!r} * ({1.0 - 0.75!r}
+                          + ({0.75!r} * doc_len)
+                            / (total_tokens / n_docs))) DESC,
+                       p.id ASC) AS rank
+        FROM postings p JOIN dfreq f USING (term) CROSS JOIN scalars
+    ) WHERE rank <= 10
+"""
+
+
+@register_extra(
+    "bm25_term_topk",
+    oracle=_BM25_ORACLE,
+    doc="per-query-term top-10 documents by BM25 (tf saturation k1=1.2, "
+        "length normalization b=0.75) — the ranked-retrieval primitive "
+        "TF-IDF lacks. Scale shape: the query-term filter lands before "
+        "any shuffle (array_intersect against a literal array), so only "
+        "postings for the |terms| query terms ever shuffle; doc length "
+        "is a narrow size(split()) with no explode; corpus scalars ride "
+        "in as a broadcast 1-row aggregate. Ranking is per term, so the "
+        "idf factor is a positive per-partition constant — engine libm "
+        "ln differences cannot reorder results; ties break on doc_id.",
+)
+def bm25_term_topk(spark, sf_dir):
+    from streamz_spark.operators.text import bm25_term_topk as op
+
+    docs = load_table(spark, sf_dir, "documents")
+    return op(docs, _BM25_TERMS, top_n=10, k1=_BM25_K1, b=_BM25_B)
+
+
+@register_extra(
+    "domain_mixture_weights",
+    oracle="""
+        WITH per AS (
+            SELECT source AS domain,
+                   COUNT(*) AS n_docs,
+                   SUM(CAST(CASE WHEN length(trim(lower(text))) = 0 THEN 0
+                            ELSE len(regexp_split_to_array(trim(lower(text)), '\\s+'))
+                       END AS BIGINT)) AS n_tokens
+            FROM documents GROUP BY 1
+        ),
+        tot AS (
+            SELECT COUNT(*) AS n_domains, SUM(n_tokens) AS total_tokens FROM per
+        )
+        SELECT domain, n_docs, n_tokens,
+               CAST(n_tokens AS DOUBLE) / CAST(total_tokens AS DOUBLE)
+                   AS token_share,
+               CAST(total_tokens AS DOUBLE)
+                   / CAST(n_domains * n_tokens AS DOUBLE) AS resample_weight
+        FROM per CROSS JOIN tot
+    """,
+    doc="per-domain token accounting + uniform-target resampling "
+        "weights (DoReMi-style static mix with the uniform reference): "
+        "one map-side-combinable groupBy on the tiny domain key, corpus "
+        "totals via a broadcast 1-row aggregate, token counts from a "
+        "narrow size(split()) — no explode anywhere. token_share and "
+        "resample_weight are single IEEE divisions of exact integer "
+        "counts, bit-reproducible across engines.",
+)
+def domain_mixture_weights(spark, sf_dir):
+    from streamz_spark.operators.text import domain_mixture_weights as op
+
+    return op(load_table(spark, sf_dir, "documents"))
