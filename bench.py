@@ -83,6 +83,7 @@ HEADLINE = [
     "tfidf_top_terms",
     "bm25_term_topk",
     "domain_mixture_weights",
+    "bpe_token_stats",
     "media_decode_stats",
     "boilerplate_common_shingles",
 ]

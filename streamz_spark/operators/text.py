@@ -22,6 +22,8 @@ __all__ = [
     "tfidf_top_terms",
     "bm25_term_topk",
     "domain_mixture_weights",
+    "BPE_PRETOKEN_PATTERN",
+    "bpe_token_count",
 ]
 
 # tiny deterministic stopword lists for the heuristic language id
@@ -327,3 +329,23 @@ def domain_mixture_weights(
             "domain", "n_docs", "n_tokens", "token_share", "resample_weight"
         )
     )
+
+
+# GPT-2-style pre-tokenizer, lookahead-free so Java regex (Spark) and
+# RE2 (DuckDB) match identically: contraction suffixes, space-prefixed
+# letter runs, digit runs, punctuation runs, residual whitespace. Both
+# engines use leftmost-first alternation, so counts are identical.
+BPE_PRETOKEN_PATTERN = (
+    r"'(?:s|t|re|ve|m|ll|d)| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\s]+|\s+"
+)
+
+
+def bpe_token_count(col: Column | str, out_name: str = "n_bpe_tokens") -> Column:
+    """Subword-style token count via the GPT-2-ish pre-tokenizer regex
+    — the corpus-budget unit training pipelines actually meter (vs
+    whitespace words). Narrow JVM regex, no explode, no UDF.
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    return F.size(F.regexp_extract_all(c, F.lit(BPE_PRETOKEN_PATTERN), 0)).cast(
+        "long"
+    ).alias(out_name)

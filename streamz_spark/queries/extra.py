@@ -1794,3 +1794,57 @@ def domain_mixture_weights(spark, sf_dir):
     from streamz_spark.operators.text import domain_mixture_weights as op
 
     return op(load_table(spark, sf_dir, "documents"))
+
+
+def _bpe_oracle() -> str:
+    from streamz_spark.operators.text import BPE_PRETOKEN_PATTERN
+
+    pat = BPE_PRETOKEN_PATTERN.replace("'", "''")
+    return f"""
+        SELECT doc_id, n_chars,
+               CAST(len(regexp_extract_all(text, '{pat}')) AS BIGINT)
+                   AS n_bpe_tokens,
+               CAST(CASE WHEN length(trim(lower(text))) = 0 THEN 0
+                    ELSE len(regexp_split_to_array(trim(lower(text)), '\\s+'))
+               END AS BIGINT) AS n_ws_tokens,
+               CASE WHEN len(regexp_extract_all(text, '{pat}')) > 0
+                    THEN CAST(length(text) AS DOUBLE)
+                         / CAST(len(regexp_extract_all(text, '{pat}')) AS DOUBLE)
+                    ELSE 0.0 END AS chars_per_token
+        FROM documents
+    """
+
+
+@register_extra(
+    "bpe_token_stats",
+    oracle=_bpe_oracle(),
+    doc="per-doc token budget metering with a GPT-2-style pre-tokenizer "
+        "regex (contractions / letter runs / digit runs / punct runs / "
+        "whitespace) alongside the whitespace word count — the unit "
+        "training pipelines actually meter. Lookahead-free pattern so "
+        "Java regex and RE2 produce identical leftmost-first matches; "
+        "narrow per-row regex, no explode, no UDF, embarrassingly "
+        "parallel at any scale.",
+)
+def bpe_token_stats(spark, sf_dir):
+    from streamz_spark.operators.text import bpe_token_count, token_count
+
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.select(
+            "doc_id",
+            "n_chars",
+            "text",
+            bpe_token_count("text"),
+            token_count("text").alias("n_ws_tokens"),
+        )
+        .withColumn(
+            "chars_per_token",
+            F.when(
+                F.col("n_bpe_tokens") > 0,
+                F.length("text").cast("double")
+                / F.col("n_bpe_tokens").cast("double"),
+            ).otherwise(F.lit(0.0)),
+        )
+        .drop("text")
+    )

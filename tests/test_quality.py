@@ -208,3 +208,46 @@ def test_stratified_sample(spark):
     counts = {r["lang"]: r["count"] for r in out.collect()}
     assert counts["de"] == 1000
     assert 250 < counts["en"] < 550
+
+
+def test_bpe_pretoken_cross_engine_agreement(spark):
+    # the BPE pre-tokenizer pattern must produce identical counts in
+    # Java regex (Spark), RE2 (DuckDB) and Python re — all
+    # leftmost-first alternation; adversarial strings cover
+    # contractions, unicode, digit/punct runs and whitespace edges
+    import re
+
+    import duckdb
+    from pyspark.sql import functions as F
+
+    from streamz_spark.operators.text import BPE_PRETOKEN_PATTERN, bpe_token_count
+
+    texts = [
+        "it's Tom's   can't we'll they'd I'm you've we're",
+        "abc123def  45.6% -- $7,890!!",
+        "  leading and trailing   ",
+        "",
+        "no-punct words only here",
+        "UPPER lower MiXeD 000 111",
+        "a'x b''y '' 's standalone",
+        "tabs\tand\nnewlines\r\nmix",
+        "!!!???...,,,;;;:::",
+        "word",
+    ]
+    py = [len(re.findall(BPE_PRETOKEN_PATTERN, t)) for t in texts]
+    sdf = spark.createDataFrame([(t,) for t in texts], ["text"])
+    sp = [
+        r["n_bpe_tokens"]
+        for r in sdf.select(bpe_token_count("text")).collect()
+    ]
+    con = duckdb.connect()
+    pat = BPE_PRETOKEN_PATTERN.replace("'", "''")
+    dk = [
+        con.execute(
+            f"SELECT len(regexp_extract_all(?, '{pat}'))", [t]
+        ).fetchone()[0]
+        for t in texts
+    ]
+    con.close()
+    assert sp == py, (sp, py)
+    assert dk == py, (dk, py)
