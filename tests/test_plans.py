@@ -208,3 +208,33 @@ def test_ngram_pair_generation_plan_shape(spark):
     assert plan.count("Exchange hashpartitioning") <= 2, plan.count(
         "Exchange hashpartitioning"
     )
+
+
+def test_bm25_plan_shape(spark):
+    # BM25's scale contract: the df-count and corpus-scalar sides join
+    # by BROADCAST (never sort-merge — both are tiny by construction),
+    # no cartesian blowup beyond the 1-row scalar cross-join, and the
+    # only hash exchanges are the df-count aggregate and the per-term
+    # ranking window — the corpus itself never shuffles on a token key
+    from streamz_spark.plans import explain_string
+
+    plan = explain_string(q("bm25_term_topk", spark))
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
+    n_ex = plan.count("Exchange hashpartitioning")
+    assert n_ex <= 3, n_ex
+
+
+def test_domain_mixture_plan_shape(spark):
+    # one partial+final aggregate pair on the tiny domain key, totals
+    # via broadcast — a full corpus scan feeds a partial aggregate in
+    # every task and only |domains| rows ever cross the wire
+    from streamz_spark.plans import explain_string
+
+    plan = explain_string(q("domain_mixture_weights", spark))
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert "partial_" in plan  # map-side combine engaged
+    n_ex = plan.count("Exchange hashpartitioning")
+    assert n_ex <= 2, n_ex
