@@ -15,7 +15,7 @@ from functools import lru_cache
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
-__all__ = ["load_table", "load_tables", "register_views", "TABLES"]
+__all__ = ["load_table", "load_tables", "register_views", "ensure_scan_parallelism", "TABLES"]
 
 TABLES = (
     "region", "nation", "customer", "supplier", "part",
@@ -71,3 +71,25 @@ def register_views(spark: SparkSession, sf_dir: str, names=TABLES) -> None:
     """Register each table as a temp view for spark.sql queries."""
     for name in names:
         load_table(spark, sf_dir, name).createOrReplaceTempView(name)
+
+
+def ensure_scan_parallelism(df: DataFrame, min_partitions: int | None = None) -> DataFrame:
+    """Fan a low-split scan out to the cluster's parallelism before
+    compute-heavy narrow work (per-row regex, shingling, array folds).
+
+    Parquet is only splittable at row-group boundaries, so a file
+    written as one row group scans as ONE task no matter how many cores
+    exist — the classic small-input serialization trap (the local
+    testdata is exactly this shape, and real pipelines hit it on
+    re-compacted or operator-written inputs). The round-robin
+    repartition costs one shuffle of the input bytes, which is only
+    paid when the scan has fewer splits than cores — i.e. when the
+    input is at most ~cores x 128 MB. At 100 TB the scan arrives with
+    thousands of natural splits and this is a plan-unchanged no-op; it
+    never *reduces* partitioning.
+    """
+    spark = df.sparkSession
+    target = min_partitions or spark.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() >= target:
+        return df
+    return df.repartition(target)

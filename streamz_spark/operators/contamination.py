@@ -124,6 +124,11 @@ def contamination_check(
     Arrow-batched pandas UDF (vectorized double-hashing — the standard
     Kirsch-Mitzenmacher construction).
     """
+    from streamz_spark.io import ensure_scan_parallelism
+
+    # corpus shingling is the dominant narrow stage — fan a low-split
+    # scan out to all cores first (no-op at real scale)
+    docs = ensure_scan_parallelism(docs)
     bench = (
         benchmark.select(
             F.explode(word_shingles(bench_text_col or text_col, k)).alias("shingle")

@@ -81,6 +81,12 @@ def ngram_jaccard_pairs(
     (word_shingles emits array_distinct), so sorted-array expansion
     reproduces the a.id < b.id join exactly.
     """
+    # fan the scan out first: shingling is the expensive narrow stage,
+    # and a single-row-group input would otherwise run it on one core
+    # (no-op when the scan already has >= cores splits)
+    from streamz_spark.io import ensure_scan_parallelism
+
+    df = ensure_scan_parallelism(df)
     # persist: the shingle set feeds three subtrees (sizes, posting,
     # callers' verify joins) — without it Catalyst re-tokenizes per branch
     sh = df.select(F.col(id_col).alias("id"), word_shingles(text_col, k).alias("sh")).persist()
@@ -166,6 +172,9 @@ def minhash_signatures(
     shingle, shared by all permutations via the explode+aggregate shape
     (see _minhash_signatures_from_shingles).
     """
+    from streamz_spark.io import ensure_scan_parallelism
+
+    df = ensure_scan_parallelism(df)
     sh = df.select(F.col(id_col).alias("id"), word_shingles(text_col, k).alias("sh")).filter(
         F.size("sh") > 0
     )
@@ -227,6 +236,11 @@ def minhash_near_duplicates(
     set, the verify step makes results hash-independent up to recall.
     """
     rows_per_band = num_perm // bands
+    # fan the scan out: shingling + the per-shingle xxhash pass is the
+    # expensive narrow stage (no-op on an already-split input)
+    from streamz_spark.io import ensure_scan_parallelism
+
+    df = ensure_scan_parallelism(df)
     # persist: shingles feed the signature path and both verify sides
     sh = df.select(F.col(id_col).alias("id"), word_shingles(text_col, k).alias("sh")).filter(
         F.size("sh") > 0
@@ -266,13 +280,16 @@ def simhash(
 ) -> DataFrame:
     """SimHash fingerprint: sign-sum of per-token hash bits. Computed
     bit-plane-wise with JVM expressions: for each bit position, sum
-    (+1/-1) over tokens, majority → bit. One row per doc, no shuffle.
+    (+1/-1) over tokens, majority → bit. One row per doc; the only
+    possible exchange is the low-split fan-out (no-op at scale).
 
     ``hash_fn="md5"`` switches the token hash to the DuckDB-reproducible
     md5-derived 60-bit variant (oracle-checkable); default xxhash64.
     """
+    from streamz_spark.io import ensure_scan_parallelism
     from streamz_spark.operators.text import tokenize
 
+    df = ensure_scan_parallelism(df)
     toks = F.array_distinct(tokenize(text_col))
     if hash_fn == "md5":
         h = F.transform(toks, md5_hash60)

@@ -283,6 +283,9 @@ def common_shingle_stats(
     # scan. (A localCheckpoint here measured ~15x SLOWER than the
     # recompute: checkpoint materialization runs the expression tree
     # outside whole-stage codegen.)
+    from streamz_spark.io import ensure_scan_parallelism
+
+    df = ensure_scan_parallelism(df)
     posting = df.select(
         F.col(id_col),
         F.explode_outer(word_shingles(text_col, k)).alias("shingle"),

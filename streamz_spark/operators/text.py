@@ -167,6 +167,9 @@ def tfidf_top_terms(
     """
     from pyspark.sql import Window as W
 
+    # no scan fan-out here: the explode feeds a groupBy shuffle almost
+    # immediately, so parallelism arrives with the exchange — measured
+    # +25% from adding the extra round-robin shuffle at sf0.1
     toks = df.select(F.col(id_col).alias("id"), F.explode(tokenize(text_col)).alias("term"))
     # tf is the small aggregated (doc, term) relation and feeds three
     # consumers (df-count, doc-count, scoring) — localCheckpoint (not

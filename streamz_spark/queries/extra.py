@@ -1827,9 +1827,10 @@ def _bpe_oracle() -> str:
         "parallel at any scale.",
 )
 def bpe_token_stats(spark, sf_dir):
+    from streamz_spark.io import ensure_scan_parallelism
     from streamz_spark.operators.text import bpe_token_count, token_count
 
-    docs = load_table(spark, sf_dir, "documents")
+    docs = ensure_scan_parallelism(load_table(spark, sf_dir, "documents"))
     return (
         docs.select(
             "doc_id",

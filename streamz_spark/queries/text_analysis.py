@@ -11,7 +11,7 @@ from __future__ import annotations
 from pyspark.sql import functions as F
 
 from streamz_spark.catalog import register
-from streamz_spark.io import load_table
+from streamz_spark.io import ensure_scan_parallelism, load_table
 from streamz_spark.operators import text as ops
 
 
@@ -82,7 +82,9 @@ from streamz_spark.operators import text as ops
 def text_quality_profile(spark, sf_dir):
     from streamz_spark.operators import quality as qual
 
-    docs = load_table(spark, sf_dir, "documents")
+    # fan the single-row-group local scan out to all cores; no-op on
+    # any input with natural split parallelism
+    docs = ensure_scan_parallelism(load_table(spark, sf_dir, "documents"))
     out = ops.quality_features(docs, "text")
     out = qual.repetition_signals(out, "text", top_ngram_ns=(2,), dup_ngram_ns=())
     out = qual.pii_signals(out, "text")
@@ -131,7 +133,7 @@ def text_quality_profile(spark, sf_dir):
         "signals in one narrow scan",
 )
 def text_language_id(spark, sf_dir):
-    docs = load_table(spark, sf_dir, "documents")
+    docs = ensure_scan_parallelism(load_table(spark, sf_dir, "documents"))
     return ops.language_id(docs, "text").select(
         "doc_id", "lang", "lang_pred", ops.fingerprint("text", "fingerprint")
     )

@@ -40,3 +40,29 @@ def test_ns_to_us_truncates_like_duckdb(spark, duck):
         pd.to_datetime(spdf["ts"]).astype("datetime64[us]").tolist()
         == pd.to_datetime(odf["ts"]).astype("datetime64[us]").tolist()
     )
+
+
+def test_ensure_scan_parallelism_fans_low_split_scan(spark):
+    from streamz_spark.io import ensure_scan_parallelism, load_table
+
+    from .conftest import SF_DIR
+
+    docs = load_table(spark, SF_DIR, "documents")
+    assert docs.rdd.getNumPartitions() == 1  # single-row-group parquet
+    fanned = ensure_scan_parallelism(docs)
+    target = spark.sparkContext.defaultParallelism
+    assert fanned.rdd.getNumPartitions() == target
+    # row set unchanged
+    assert fanned.count() == docs.count()
+
+
+def test_ensure_scan_parallelism_noop_on_well_split_input(spark):
+    from streamz_spark.io import ensure_scan_parallelism
+
+    target = spark.sparkContext.defaultParallelism
+    df = spark.range(0, 10_000, numPartitions=target + 4)
+    out = ensure_scan_parallelism(df)
+    # already >= cluster parallelism: plan must be returned unchanged —
+    # at real scale this is the only branch ever taken, so the helper
+    # never adds a shuffle to a naturally-split 100 TB scan
+    assert out is df
