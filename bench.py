@@ -84,6 +84,7 @@ HEADLINE = [
     "bm25_term_topk",
     "domain_mixture_weights",
     "bpe_token_stats",
+    "unigram_nll_quality",
     "media_decode_stats",
     "boilerplate_common_shingles",
 ]

@@ -24,6 +24,7 @@ __all__ = [
     "domain_mixture_weights",
     "BPE_PRETOKEN_PATTERN",
     "bpe_token_count",
+    "unigram_nll_quality",
 ]
 
 # tiny deterministic stopword lists for the heuristic language id
@@ -352,3 +353,66 @@ def bpe_token_count(col: Column | str, out_name: str = "n_bpe_tokens") -> Column
     return F.size(F.regexp_extract_all(c, F.lit(BPE_PRETOKEN_PATTERN), 0)).cast(
         "long"
     ).alias(out_name)
+
+
+def unigram_nll_quality(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-document mean negative log-likelihood under a unigram LM
+    trained on the corpus itself — the CCNet-style "LM perplexity"
+    quality signal reduced to its order-0 form (no external model in
+    this environment; the plumbing and the filtering semantics are the
+    same, and the LM hook is the freq relation).
+
+    Determinism: a per-doc SUM of doubles is summation-order-dependent,
+    so the NLL total is taken from a running window sum ordered by
+    token position — both engines then add left-to-right over the same
+    sequence, making the result bit-reproducible (verified vs DuckDB).
+
+    Scale shape: one (term) groupBy for the LM counts (map-side
+    combinable), the LM rides back in as a broadcast join (|vocab|
+    rows), and the per-doc ordered sum is one shuffle on the doc key —
+    the same cost as any keyed window. Corpus total tokens is a 1-row
+    broadcast aggregate.
+    """
+    from pyspark.sql import Window as W
+
+    from streamz_spark.io import ensure_scan_parallelism
+
+    df = ensure_scan_parallelism(df)
+    toks = df.select(
+        F.col(id_col).alias("id"),
+        F.posexplode(tokenize(text_col)).alias("pos", "term"),
+    )
+    freq = toks.groupBy("term").agg(F.count(F.lit(1)).alias("cnt"))
+    total = freq.agg(F.sum("cnt").alias("n_total"))
+    nll = (
+        toks.join(F.broadcast(freq), "term")
+        .crossJoin(F.broadcast(total))
+        .withColumn(
+            "nll", -F.log(F.col("cnt").cast("double") / F.col("n_total").cast("double"))
+        )
+    )
+    w = (
+        W.partitionBy("id")
+        .orderBy("pos")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    run = nll.withColumn("nll_sum", F.sum("nll").over(w)).withColumn(
+        "n_tokens", F.count(F.lit(1)).over(W.partitionBy("id"))
+    )
+    return (
+        run.filter(F.col("pos") == F.col("n_tokens") - 1)
+        .select(
+            F.col("id").alias(id_col),
+            F.col("n_tokens").cast("long").alias("n_tokens"),
+            (F.col("nll_sum") / F.col("n_tokens").cast("double")).alias("nll_mean"),
+            # integer micro-nats: the oracle-comparable form (ln differs
+            # by 1-2 ulp across engines; floor-scaling absorbs it)
+            F.floor(
+                (F.col("nll_sum") / F.col("n_tokens").cast("double")) * 1000000.0
+            ).cast("long").alias("nll_mean_micro"),
+        )
+    )

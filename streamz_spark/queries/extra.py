@@ -1849,3 +1849,57 @@ def bpe_token_stats(spark, sf_dir):
         )
         .drop("text")
     )
+
+
+@register_extra(
+    "unigram_nll_quality",
+    oracle="""
+        WITH d AS (
+            SELECT doc_id AS id,
+                   CASE WHEN length(trim(lower(text))) = 0 THEN []::VARCHAR[]
+                        ELSE regexp_split_to_array(trim(lower(text)), '\\s+')
+                   END AS w
+            FROM documents
+        ),
+        toks AS (
+            SELECT id, t.pos - 1 AS pos, w[t.pos] AS term
+            FROM d, UNNEST(generate_series(1, len(w))) AS t(pos)
+        ),
+        freq AS (SELECT term, COUNT(*) AS cnt FROM toks GROUP BY 1),
+        tot AS (SELECT SUM(cnt) AS n_total FROM freq),
+        nll AS (
+            SELECT id, pos,
+                   -ln(CAST(cnt AS DOUBLE) / CAST(n_total AS DOUBLE)) AS nll
+            FROM toks JOIN freq USING (term) CROSS JOIN tot
+        ),
+        run AS (
+            SELECT id, pos,
+                   SUM(nll) OVER (PARTITION BY id ORDER BY pos
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                       AS nll_sum,
+                   COUNT(*) OVER (PARTITION BY id) AS n_tokens
+            FROM nll
+        )
+        SELECT id AS doc_id,
+               CAST(n_tokens AS BIGINT) AS n_tokens,
+               CAST(FLOOR((nll_sum / CAST(n_tokens AS DOUBLE)) * 1000000.0)
+                   AS BIGINT) AS nll_mean_micro
+        FROM run WHERE pos = n_tokens - 1
+    """,
+    doc="CCNet-style LM quality signal, order-0: per-doc mean NLL under "
+        "a unigram LM trained on the corpus itself. The NLL total is a "
+        "running window sum ordered by token position, so both engines "
+        "add left-to-right over the same sequence (bit-reproducible — "
+        "a plain SUM aggregate of doubles would be order-dependent); "
+        "the mean is floor-scaled to integer micro-nats because ln "
+        "itself differs by 1-2 ulp between libm and the JVM (same "
+        "floor-scale contract as tpch_q2 supply_cost). "
+        "Scale: one vocab groupBy (map-side combinable), LM broadcast "
+        "back, one doc-key window shuffle.",
+)
+def unigram_nll_quality(spark, sf_dir):
+    from streamz_spark.operators.text import unigram_nll_quality as op
+
+    # the raw double stays an operator output; the catalog compares the
+    # floor-scaled integer form (see oracle note)
+    return op(load_table(spark, sf_dir, "documents")).drop("nll_mean")
