@@ -88,6 +88,10 @@ def ensure_scan_parallelism(df: DataFrame, min_partitions: int | None = None) ->
     thousands of natural splits and this is a plan-unchanged no-op; it
     never *reduces* partitioning.
     """
+    if df.isStreaming:
+        # no .rdd on a streaming plan; micro-batch parallelism is the
+        # source's concern (maxFilesPerTrigger / partition count)
+        return df
     spark = df.sparkSession
     target = min_partitions or spark.sparkContext.defaultParallelism
     if df.rdd.getNumPartitions() >= target:
