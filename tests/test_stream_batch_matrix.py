@@ -624,6 +624,48 @@ CELLS["combine_latest_stream/events"] = _cell_combine_latest_stream_events
 CELLS["zip_stream/events"] = _cell_zip_stream_events
 
 
+def _cell_bpe_tokens_documents(spark):
+    # the BPE pre-tokenizer count is per-row stateless: streaming
+    # replay must be bit-identical to the batch scan
+    from streamz_spark.operators.text import bpe_token_count, token_count
+    from streamz_spark.streaming.sources import replay_table
+
+    shape = lambda df: df.select(
+        "doc_id", bpe_token_count("text"), token_count("text").alias("n_ws_tokens")
+    )
+    got = pd.concat(
+        sink_to_list(shape(replay_table(spark, SF_DIR, "documents", chunk_col="doc_id"))),
+        ignore_index=True,
+    )
+    want = shape(load_table(spark, SF_DIR, "documents")).toPandas()
+    return got, want
+
+
+def _cell_domain_mixture_documents(spark):
+    # domain-mixture accounting as a complete-mode updating aggregate:
+    # the final micro-batch must equal the batch computation (token
+    # sums are integers — exact, no fp-reassociation slack needed)
+    from streamz_spark.operators.text import token_count
+    from streamz_spark.streaming.sources import replay_table
+
+    def shape(df):
+        return df.groupBy(F.col("source").alias("domain")).agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(token_count("text")).alias("n_tokens"),
+        )
+
+    got = sink_to_list(
+        shape(replay_table(spark, SF_DIR, "documents", chunk_col="doc_id")),
+        output_mode="complete",
+    )[-1]
+    want = shape(load_table(spark, SF_DIR, "documents")).toPandas()
+    return got, want
+
+
+CELLS["bpe_tokens/documents"] = _cell_bpe_tokens_documents
+CELLS["domain_mixture/documents"] = _cell_domain_mixture_documents
+
+
 # parametrized LAST so late-registered cells are included
 @pytest.mark.parametrize("cell", sorted(CELLS))
 def test_stream_batch_cell(cell, spark):
