@@ -238,3 +238,18 @@ def test_domain_mixture_plan_shape(spark):
     assert "partial_" in plan  # map-side combine engaged
     n_ex = plan.count("Exchange hashpartitioning")
     assert n_ex <= 2, n_ex
+
+
+def test_unigram_nll_plan_shape(spark):
+    # LM counts aggregate map-side; the LM joins back by BROADCAST
+    # (vocab-sized); the only exchanges are the fan-out, the vocab
+    # aggregate, and the doc-key window — the corpus never sort-merges
+    from streamz_spark.plans import explain_string
+
+    plan = explain_string(q("unigram_nll_quality", spark))
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
+    assert "partial_" in plan
+    n_ex = plan.count("Exchange hashpartitioning")
+    assert n_ex <= 3, n_ex
