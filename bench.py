@@ -150,12 +150,37 @@ def main() -> None:
         timings[name] = round(best, 4)
         total += max(best, 0.0)
 
-    print(json.dumps({
+    sf_val = float(sf) if sf.replace(".", "").isdigit() else sf
+    detail = {
         "metric": "headline_queries_total",
         "value": round(total, 4),
         "unit": "sec",
         "queries": timings,
-        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+        "sf": sf_val,
+    }
+    # Per-query map goes to a committed artifact file: an 89-entry dict
+    # on stdout exceeded the driver's tail capture and left
+    # BENCH_r04.json unparseable ("parsed": null). Stdout gets ONE
+    # short summary line, printed LAST, that a tail capture can never
+    # truncate; the detail file carries the full map.
+    detail_path = os.environ.get(
+        "SPARK_GRAFT_BENCH_DETAIL",
+        os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json"),
+    )
+    with open(detail_path, "w") as f:
+        json.dump(detail, f, indent=1, sort_keys=True)
+        f.write("\n")
+    failed = sorted(n for n, t in timings.items() if t < 0)
+    slowest = sorted(timings.items(), key=lambda kv: -kv[1])[:3]
+    print(json.dumps({
+        "metric": "headline_queries_total",
+        "value": round(total, 4),
+        "unit": "sec",
+        "n_queries": len(timings),
+        "n_failed": len(failed),
+        "slowest": {n: t for n, t in slowest},
+        "sf": sf_val,
+        "queries_detail_file": os.path.basename(detail_path),
     }))
     spark.stop()
 

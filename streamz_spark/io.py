@@ -73,6 +73,56 @@ def register_views(spark: SparkSession, sf_dir: str, names=TABLES) -> None:
         load_table(spark, sf_dir, name).createOrReplaceTempView(name)
 
 
+def _parse_byte_conf(s: str) -> int:
+    """Parse a Spark byte conf value ('134217728b', '128m', '1g')."""
+    s = s.strip().lower()
+    mult = 1
+    for suffix, m in (("k", 1024), ("m", 1024**2), ("g", 1024**3), ("b", 1)):
+        if s.endswith(suffix):
+            s, mult = s[: -len(suffix)], m
+            break
+    return int(s) * mult
+
+
+@lru_cache(maxsize=1024)
+def _effective_scan_splits(files: tuple[str, ...], max_partition_bytes: int) -> int:
+    """Estimated count of NON-EMPTY scan splits Spark will plan for
+    these files: byte-range splits per file, capped by the parquet
+    row-group count when the file is big enough to matter (a
+    single-row-group file yields one non-empty split no matter how
+    many byte ranges cover it — each row group is read by the split
+    containing its midpoint). Files under max_partition_bytes never
+    need a footer read; unreadable/remote files count as one split
+    (conservative: at 100 TB the file count alone clears any target).
+    """
+    import math
+
+    total = 0
+    for uri in files:
+        path = uri
+        if path.startswith("file://"):
+            path = path[7:]
+        elif path.startswith("file:"):
+            path = path[5:]
+        try:
+            size = os.path.getsize(path)
+        except OSError:
+            total += 1
+            continue
+        byte_splits = max(1, math.ceil(size / max_partition_bytes))
+        if byte_splits > 1:
+            try:
+                import pyarrow.parquet as pq
+
+                byte_splits = min(
+                    byte_splits, max(1, pq.ParquetFile(path).metadata.num_row_groups)
+                )
+            except Exception:
+                pass  # not parquet (e.g. text): byte ranges are the splits
+        total += byte_splits
+    return total
+
+
 def ensure_scan_parallelism(df: DataFrame, min_partitions: int | None = None) -> DataFrame:
     """Fan a low-split scan out to the cluster's parallelism before
     compute-heavy narrow work (per-row regex, shingling, array folds).
@@ -87,13 +137,40 @@ def ensure_scan_parallelism(df: DataFrame, min_partitions: int | None = None) ->
     input is at most ~cores x 128 MB. At 100 TB the scan arrives with
     thousands of natural splits and this is a plan-unchanged no-op; it
     never *reduces* partitioning.
+
+    The split count is estimated PLAN-ONLY from ``df.inputFiles()``
+    plus file sizes / parquet row-group counts — never via ``df.rdd``,
+    which would force full physical planning and a Python↔JVM RDD
+    bridge on every operator invocation (and is unsupported under
+    Spark Connect). Frames with no file scan underneath (in-memory
+    relations, ``spark.range``) and frames that already carry an
+    explicit repartition are returned unchanged: their partitioning is
+    the planner's (or the caller's) choice, and post-shuffle frames
+    already arrive with ``spark.sql.shuffle.partitions`` tasks.
     """
     if df.isStreaming:
-        # no .rdd on a streaming plan; micro-batch parallelism is the
-        # source's concern (maxFilesPerTrigger / partition count)
+        # micro-batch parallelism is the source's concern
+        # (maxFilesPerTrigger / partition count)
         return df
     spark = df.sparkSession
     target = min_partitions or spark.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() >= target:
+    try:
+        files = tuple(df.inputFiles())
+        if not files:
+            return df
+        # guard against double-fanning when operators compose: an
+        # explicit Repartition in the analyzed plan means parallelism
+        # was already arranged (analysis-only inspection, no physical
+        # planning)
+        if "Repartition" in df._jdf.queryExecution().analyzed().toString():
+            return df
+        mpb = _parse_byte_conf(
+            spark.conf.get("spark.sql.files.maxPartitionBytes", "134217728b")
+        )
+        if _effective_scan_splits(files, mpb) >= target:
+            return df
+    except Exception:
+        # capability probe failed (e.g. connect-style session without
+        # _jdf): never let the fan-out helper break the query
         return df
     return df.repartition(target)

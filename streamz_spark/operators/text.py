@@ -233,10 +233,16 @@ def bm25_term_topk(
         toks.alias("toks"),
         F.size(toks).cast("long").alias("doc_len"),
     )
-    # corpus scalars: one tiny all-reduce, broadcast back
-    scalars = docs.agg(
+    # corpus scalars: one tiny all-reduce, broadcast back. Computed
+    # from the raw frame with the narrow token_count() (size-of-split,
+    # no token-array materialization) rather than from `docs`: the
+    # corpus is read twice either way (the scalars must exist before
+    # any posting can be scored, and persisting a 100 TB tokenized
+    # projection costs more than the second scan), but this branch
+    # never builds the array, so the extra pass is scan+count only.
+    scalars = df.agg(
         F.count(F.lit(1)).alias("n_docs"),
-        F.sum("doc_len").alias("total_tokens"),
+        F.sum(token_count(text_col)).alias("total_tokens"),
     )
     term_lits = F.array(*[F.lit(t) for t in terms])
     # array_intersect yields the distinct matched query terms per doc;
@@ -318,16 +324,26 @@ def domain_mixture_weights(
         F.count(F.lit(1)).alias("n_domains"),
         F.sum("n_tokens").alias("total_tokens"),
     )
+    # explicit zero-token guards: Spark's non-ANSI divide yields NULL
+    # on /0 while an engine with double semantics yields inf — an
+    # all-empty domain must mean the same thing (NULL weight) in both
     return (
         per.crossJoin(F.broadcast(totals))
         .withColumn(
             "token_share",
-            F.col("n_tokens").cast("double") / F.col("total_tokens").cast("double"),
+            F.when(
+                F.col("total_tokens") > 0,
+                F.col("n_tokens").cast("double")
+                / F.col("total_tokens").cast("double"),
+            ),
         )
         .withColumn(
             "resample_weight",
-            F.col("total_tokens").cast("double")
-            / (F.col("n_domains") * F.col("n_tokens")).cast("double"),
+            F.when(
+                F.col("n_tokens") > 0,
+                F.col("total_tokens").cast("double")
+                / (F.col("n_domains") * F.col("n_tokens")).cast("double"),
+            ),
         )
         .select(
             "domain", "n_docs", "n_tokens", "token_share", "resample_weight"
@@ -359,6 +375,9 @@ def unigram_nll_quality(
     df: DataFrame,
     id_col: str = "doc_id",
     text_col: str = "text",
+    vocab_limit: int | None = None,
+    lm_join: str = "auto",
+    broadcast_limit: int = 2_000_000,
 ) -> DataFrame:
     """Per-document mean negative log-likelihood under a unigram LM
     trained on the corpus itself — the CCNet-style "LM perplexity"
@@ -366,53 +385,105 @@ def unigram_nll_quality(
     this environment; the plumbing and the filtering semantics are the
     same, and the LM hook is the freq relation).
 
-    Determinism: a per-doc SUM of doubles is summation-order-dependent,
-    so the NLL total is taken from a running window sum ordered by
-    token position — both engines then add left-to-right over the same
-    sequence, making the result bit-reproducible (verified vs DuckDB).
+    **Vocabulary cap** (``vocab_limit``): CCNet scores against a
+    fixed-vocabulary external LM; the corpus-trained analogue caps the
+    LM to the top-V terms by count (ties → term asc, so the cut is
+    deterministic in any engine) and scores every out-of-vocab token
+    with the lumped residual mass ``p_oov = (n_total − Σ topV cnt) /
+    n_total`` — a proper distribution over "topV + OOV". At a 100 TB
+    corpus a whitespace vocabulary is 10⁸–10⁹ terms (heavy tail of
+    typos/numbers/URLs); the cap is what makes the signal — and the
+    plan — scale-invariant. ``vocab_limit=None`` keeps the exact
+    corpus LM.
+
+    **LM join dispatch** (``lm_join``): ``"broadcast"`` hash-joins the
+    LM map-side; ``"shuffle"`` hints ``shuffle_hash`` so both sides
+    exchange on ``term`` without sorting the exploded corpus;
+    ``"auto"`` picks broadcast when the LM is ≤ ``broadcast_limit``
+    rows (statically when ``vocab_limit`` bounds it, else from the
+    checkpointed freq's count) and degrades to the shuffle join
+    instead of OOMing executors — the same size-dispatch contract as
+    ``dedup.embedding_near_duplicates(prefilter="auto")``.
+
+    Determinism: per-token NLL is floor-scaled to integer micro-nats
+    *before* summation, so the per-doc total is an integer SUM —
+    associative and order-independent, bit-identical in any engine
+    (the earlier design summed doubles in a running window, which
+    relied on both engines associating strictly left-to-right).
+    ``nll_mean`` divides two exactly-represented integers (sum <
+    2⁵³), so even the double output is bit-reproducible. The only
+    residual cross-engine exposure is a single per-term ``ln`` landing
+    within 1–2 ulp of an integer micro-nat boundary (~1e-10 per
+    distinct term value).
 
     Scale shape: one (term) groupBy for the LM counts (map-side
-    combinable), the LM rides back in as a broadcast join (|vocab|
-    rows), and the per-doc ordered sum is one shuffle on the doc key —
-    the same cost as any keyed window. Corpus total tokens is a 1-row
-    broadcast aggregate.
+    combinable, localCheckpointed — the corpus explode+aggregate runs
+    once), the top-V cut is a bounded TakeOrdered, the LM joins back
+    by size-dispatched broadcast/shuffle-hash, and the per-doc total
+    is a map-side-combinable groupBy on the doc key — no window sort,
+    no corpus sort-merge, exchanges bounded at three.
     """
-    from pyspark.sql import Window as W
-
     from streamz_spark.io import ensure_scan_parallelism
+
+    if vocab_limit is not None and vocab_limit < 1:
+        raise ValueError("vocab_limit must be >= 1")
+    if lm_join not in ("auto", "broadcast", "shuffle"):
+        raise ValueError(f"lm_join must be auto|broadcast|shuffle, got {lm_join!r}")
 
     df = ensure_scan_parallelism(df)
     toks = df.select(
         F.col(id_col).alias("id"),
-        F.posexplode(tokenize(text_col)).alias("pos", "term"),
+        F.explode(tokenize(text_col)).alias("term"),
     )
-    freq = toks.groupBy("term").agg(F.count(F.lit(1)).alias("cnt"))
+    # vocab-sized relation feeding 2-3 consumers (total, topV cut,
+    # join) — localCheckpoint so the corpus aggregate runs exactly once
+    freq = (
+        toks.groupBy("term")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .localCheckpoint(eager=True)
+    )
     total = freq.agg(F.sum("cnt").alias("n_total"))
-    nll = (
-        toks.join(F.broadcast(freq), "term")
-        .crossJoin(F.broadcast(total))
+
+    if vocab_limit is not None:
+        lm = freq.orderBy(F.col("cnt").desc(), F.col("term").asc()).limit(vocab_limit)
+        in_mass = lm.agg(F.sum("cnt").alias("in_vocab_mass"))
+        scalars = total.crossJoin(in_mass).select(
+            "n_total",
+            (F.col("n_total") - F.col("in_vocab_mass")).alias("oov_cnt"),
+        )
+    else:
+        lm = freq
+        scalars = total.select("n_total", F.lit(None).cast("long").alias("oov_cnt"))
+
+    if lm_join == "auto":
+        lm_size = vocab_limit if vocab_limit is not None else freq.count()
+        lm_join = "broadcast" if lm_size <= broadcast_limit else "shuffle"
+    lm_rel = F.broadcast(lm) if lm_join == "broadcast" else lm.hint("shuffle_hash")
+
+    scored = (
+        toks.join(lm_rel, "term", "left")
+        .crossJoin(F.broadcast(scalars))
         .withColumn(
-            "nll", -F.log(F.col("cnt").cast("double") / F.col("n_total").cast("double"))
-        )
-    )
-    w = (
-        W.partitionBy("id")
-        .orderBy("pos")
-        .rowsBetween(W.unboundedPreceding, W.currentRow)
-    )
-    run = nll.withColumn("nll_sum", F.sum("nll").over(w)).withColumn(
-        "n_tokens", F.count(F.lit(1)).over(W.partitionBy("id"))
-    )
-    return (
-        run.filter(F.col("pos") == F.col("n_tokens") - 1)
-        .select(
-            F.col("id").alias(id_col),
-            F.col("n_tokens").cast("long").alias("n_tokens"),
-            (F.col("nll_sum") / F.col("n_tokens").cast("double")).alias("nll_mean"),
-            # integer micro-nats: the oracle-comparable form (ln differs
-            # by 1-2 ulp across engines; floor-scaling absorbs it)
+            "nll_micro",
             F.floor(
-                (F.col("nll_sum") / F.col("n_tokens").cast("double")) * 1000000.0
-            ).cast("long").alias("nll_mean_micro"),
+                -F.log(
+                    F.coalesce(F.col("cnt"), F.col("oov_cnt")).cast("double")
+                    / F.col("n_total").cast("double")
+                )
+                * 1000000.0
+            ).cast("long"),
         )
+    )
+    agg = scored.groupBy("id").agg(
+        F.count(F.lit(1)).alias("n_tokens"),
+        F.sum("nll_micro").alias("nll_sum_micro"),
+    )
+    return agg.select(
+        F.col("id").alias(id_col),
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+        (
+            (F.col("nll_sum_micro").cast("double") / F.lit(1000000.0))
+            / F.col("n_tokens").cast("double")
+        ).alias("nll_mean"),
+        F.expr("nll_sum_micro div n_tokens").cast("long").alias("nll_mean_micro"),
     )

@@ -1731,9 +1731,9 @@ _BM25_ORACLE = f"""
                    PARTITION BY p.term
                    ORDER BY
                        ln(1.0 + (n_docs - df_count + 0.5) / (df_count + 0.5))
-                       * (tf * {1.2 + 1.0!r})
-                       / (tf + {1.2!r} * ({1.0 - 0.75!r}
-                          + ({0.75!r} * doc_len)
+                       * (tf * {_BM25_K1 + 1.0!r})
+                       / (tf + {_BM25_K1!r} * ({1.0 - _BM25_B!r}
+                          + ({_BM25_B!r} * doc_len)
                             / (total_tokens / n_docs))) DESC,
                        p.id ASC) AS rank
         FROM postings p JOIN dfreq f USING (term) CROSS JOIN scalars
@@ -1776,10 +1776,13 @@ def bm25_term_topk(spark, sf_dir):
             SELECT COUNT(*) AS n_domains, SUM(n_tokens) AS total_tokens FROM per
         )
         SELECT domain, n_docs, n_tokens,
-               CAST(n_tokens AS DOUBLE) / CAST(total_tokens AS DOUBLE)
-                   AS token_share,
-               CAST(total_tokens AS DOUBLE)
-                   / CAST(n_domains * n_tokens AS DOUBLE) AS resample_weight
+               CASE WHEN total_tokens > 0
+                    THEN CAST(n_tokens AS DOUBLE) / CAST(total_tokens AS DOUBLE)
+               END AS token_share,
+               CASE WHEN n_tokens > 0
+                    THEN CAST(total_tokens AS DOUBLE)
+                         / CAST(n_domains * n_tokens AS DOUBLE)
+               END AS resample_weight
         FROM per CROSS JOIN tot
     """,
     doc="per-domain token accounting + uniform-target resampling "
@@ -1851,9 +1854,20 @@ def bpe_token_stats(spark, sf_dir):
     )
 
 
-@register_extra(
-    "unigram_nll_quality",
-    oracle="""
+# top-V LM cap for the catalog entry: the synthetic corpus has ~31
+# distinct whitespace terms, so V=20 genuinely exercises the OOV arm
+# (11 terms score through the lumped residual mass) at every SF
+_UNLL_VOCAB = 20
+
+
+def _unigram_nll_oracle(vocab_limit: int | None) -> str:
+    lm_cte = (
+        f"(SELECT term, cnt FROM freq "
+        f"ORDER BY cnt DESC, term ASC LIMIT {vocab_limit})"
+        if vocab_limit is not None
+        else "(SELECT term, cnt FROM freq)"
+    )
+    return f"""
         WITH d AS (
             SELECT doc_id AS id,
                    CASE WHEN length(trim(lower(text))) = 0 THEN []::VARCHAR[]
@@ -1861,45 +1875,70 @@ def bpe_token_stats(spark, sf_dir):
                    END AS w
             FROM documents
         ),
-        toks AS (
-            SELECT id, t.pos - 1 AS pos, w[t.pos] AS term
-            FROM d, UNNEST(generate_series(1, len(w))) AS t(pos)
-        ),
+        toks AS (SELECT id, unnest(w) AS term FROM d),
         freq AS (SELECT term, COUNT(*) AS cnt FROM toks GROUP BY 1),
         tot AS (SELECT SUM(cnt) AS n_total FROM freq),
-        nll AS (
-            SELECT id, pos,
-                   -ln(CAST(cnt AS DOUBLE) / CAST(n_total AS DOUBLE)) AS nll
-            FROM toks JOIN freq USING (term) CROSS JOIN tot
+        lm AS {lm_cte},
+        scalars AS (
+            SELECT n_total,
+                   n_total - (SELECT SUM(cnt) FROM lm) AS oov_cnt
+            FROM tot
         ),
-        run AS (
-            SELECT id, pos,
-                   SUM(nll) OVER (PARTITION BY id ORDER BY pos
-                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-                       AS nll_sum,
-                   COUNT(*) OVER (PARTITION BY id) AS n_tokens
-            FROM nll
+        scored AS (
+            SELECT t.id,
+                   CAST(FLOOR(-ln(
+                       CAST(COALESCE(lm.cnt, s.oov_cnt) AS DOUBLE)
+                       / CAST(s.n_total AS DOUBLE)) * 1000000.0)
+                   AS BIGINT) AS nll_micro
+            FROM toks t LEFT JOIN lm USING (term) CROSS JOIN scalars s
         )
         SELECT id AS doc_id,
-               CAST(n_tokens AS BIGINT) AS n_tokens,
-               CAST(FLOOR((nll_sum / CAST(n_tokens AS DOUBLE)) * 1000000.0)
-                   AS BIGINT) AS nll_mean_micro
-        FROM run WHERE pos = n_tokens - 1
-    """,
-    doc="CCNet-style LM quality signal, order-0: per-doc mean NLL under "
-        "a unigram LM trained on the corpus itself. The NLL total is a "
-        "running window sum ordered by token position, so both engines "
-        "add left-to-right over the same sequence (bit-reproducible — "
-        "a plain SUM aggregate of doubles would be order-dependent); "
-        "the mean is floor-scaled to integer micro-nats because ln "
-        "itself differs by 1-2 ulp between libm and the JVM (same "
-        "floor-scale contract as tpch_q2 supply_cost). "
-        "Scale: one vocab groupBy (map-side combinable), LM broadcast "
-        "back, one doc-key window shuffle.",
+               CAST(COUNT(*) AS BIGINT) AS n_tokens,
+               (CAST(SUM(nll_micro) AS DOUBLE) / 1000000.0)
+                   / CAST(COUNT(*) AS DOUBLE) AS nll_mean,
+               CAST(SUM(nll_micro) // COUNT(*) AS BIGINT) AS nll_mean_micro
+        FROM scored GROUP BY id
+    """
+
+
+_UNLL_DOC = (
+    "CCNet-style LM quality signal, order-0: per-doc mean NLL under a "
+    "unigram LM trained on the corpus itself, capped to the top-V "
+    "terms with OOV tokens scored through the lumped residual mass "
+    "(CCNet's own LM has a fixed external vocabulary — and at 100 TB "
+    "an uncapped whitespace vocab is 1e8-1e9 terms, past any "
+    "broadcast). Per-token NLL is floored to integer micro-nats "
+    "BEFORE summation, so the per-doc total is an associative integer "
+    "SUM — order-independent and bit-identical across engines — and "
+    "nll_mean divides two exactly-represented integers. Scale: one "
+    "map-side-combinable vocab groupBy (localCheckpointed, corpus "
+    "aggregated once), bounded top-V cut, size-dispatched "
+    "broadcast/shuffle-hash LM join, one doc-key groupBy; no window "
+    "sort, no corpus sort-merge."
+)
+
+
+@register_extra(
+    "unigram_nll_quality",
+    oracle=_unigram_nll_oracle(_UNLL_VOCAB),
+    doc=_UNLL_DOC,
 )
 def unigram_nll_quality(spark, sf_dir):
     from streamz_spark.operators.text import unigram_nll_quality as op
 
-    # the raw double stays an operator output; the catalog compares the
-    # floor-scaled integer form (see oracle note)
-    return op(load_table(spark, sf_dir, "documents")).drop("nll_mean")
+    return op(load_table(spark, sf_dir, "documents"), vocab_limit=_UNLL_VOCAB)
+
+
+@register_extra(
+    "unigram_nll_full_vocab",
+    oracle=_unigram_nll_oracle(None),
+    doc="exact-LM arm of unigram_nll_quality (vocab_limit=None): every "
+        "token is in-vocab, the OOV mass is zero and never consulted — "
+        "pins that the capped operator degenerates to the exact "
+        "corpus LM when the cap is off. Same integer-micro-nat "
+        "determinism contract.",
+)
+def unigram_nll_full_vocab(spark, sf_dir):
+    from streamz_spark.operators.text import unigram_nll_quality as op
+
+    return op(load_table(spark, sf_dir, "documents"), vocab_limit=None)

@@ -66,3 +66,39 @@ def test_ensure_scan_parallelism_noop_on_well_split_input(spark):
     # at real scale this is the only branch ever taken, so the helper
     # never adds a shuffle to a naturally-split 100 TB scan
     assert out is df
+
+
+def test_ensure_scan_parallelism_never_touches_rdd(spark, monkeypatch):
+    # the split probe must be plan-only (inputFiles + file metadata):
+    # .rdd forces full physical planning through the RDD bridge on
+    # every operator invocation and is unsupported under Spark Connect
+    from pyspark.sql import DataFrame
+
+    from streamz_spark.io import ensure_scan_parallelism, load_table
+
+    from .conftest import SF_DIR
+
+    def boom(self):
+        raise AssertionError("ensure_scan_parallelism touched .rdd")
+
+    monkeypatch.setattr(DataFrame, "rdd", property(boom))
+    docs = load_table(spark, SF_DIR, "documents")
+    fanned = ensure_scan_parallelism(docs)
+    assert fanned is not docs  # single-row-group parquet still fans out
+    rng = spark.range(0, 100)
+    assert ensure_scan_parallelism(rng) is rng  # no file scan: unchanged
+
+
+def test_ensure_scan_parallelism_composes_without_double_shuffle(spark):
+    # operators that each defensively call the helper must not stack
+    # repartitions: the second call sees the explicit Repartition in
+    # the analyzed plan and returns the frame unchanged
+    from streamz_spark.io import ensure_scan_parallelism, load_table
+
+    from .conftest import SF_DIR
+
+    docs = load_table(spark, SF_DIR, "documents")
+    once = ensure_scan_parallelism(docs)
+    assert once is not docs
+    twice = ensure_scan_parallelism(once)
+    assert twice is once

@@ -240,10 +240,11 @@ def test_domain_mixture_plan_shape(spark):
     assert n_ex <= 2, n_ex
 
 
-def test_unigram_nll_plan_shape(spark):
-    # LM counts aggregate map-side; the LM joins back by BROADCAST
-    # (vocab-sized); the only exchanges are the fan-out, the vocab
-    # aggregate, and the doc-key window — the corpus never sort-merges
+def test_unigram_nll_plan_shape_broadcast_arm(spark):
+    # small-LM arm (vocab_limit bounds the LM ≤ broadcast_limit): the
+    # LM joins back by BROADCAST, the per-doc total is a map-side-
+    # combinable groupBy (no window sort), bounded exchanges, and the
+    # corpus never sort-merges or goes cartesian
     from streamz_spark.plans import explain_string
 
     plan = explain_string(q("unigram_nll_quality", spark))
@@ -253,3 +254,40 @@ def test_unigram_nll_plan_shape(spark):
     assert "partial_" in plan
     n_ex = plan.count("Exchange hashpartitioning")
     assert n_ex <= 3, n_ex
+
+
+def test_unigram_nll_plan_shape_shuffle_arm(spark):
+    # large-LM arm (a 100 TB whitespace vocab is 1e8-1e9 terms — past
+    # any broadcast): the LM join degrades to a SHUFFLED HASH join on
+    # term (never a sort of the exploded corpus, never cartesian), and
+    # exchanges stay bounded — the plan the same query runs when the
+    # size dispatch picks the big-vocab arm
+    from streamz_spark.io import load_table
+    from streamz_spark.operators.text import unigram_nll_quality
+    from streamz_spark.plans import explain_string
+
+    df = unigram_nll_quality(
+        load_table(spark, SF_DIR, "documents"), lm_join="shuffle"
+    )
+    plan = explain_string(df)
+    assert "ShuffledHashJoin" in plan, plan
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert "partial_" in plan
+    n_ex = plan.count("Exchange hashpartitioning")
+    assert n_ex <= 4, n_ex
+
+
+def test_unigram_nll_shuffle_arm_matches_broadcast_arm(spark):
+    # both dispatch arms are the same function — pin value-identity
+    # (integer micro-nat determinism makes this an exact compare)
+    from streamz_spark.io import load_table
+    from streamz_spark.operators.text import unigram_nll_quality
+
+    docs = load_table(spark, SF_DIR, "documents")
+    a = unigram_nll_quality(docs, vocab_limit=20, lm_join="broadcast").toPandas()
+    b = unigram_nll_quality(docs, vocab_limit=20, lm_join="shuffle").toPandas()
+    cols = sorted(a.columns)
+    a = a.reindex(cols, axis=1).sort_values(cols, ignore_index=True)
+    b = b.reindex(cols, axis=1).sort_values(cols, ignore_index=True)
+    assert a.equals(b)
