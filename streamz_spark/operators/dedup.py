@@ -18,6 +18,8 @@ from streamz_spark.operators.text import fingerprint, word_shingles
 __all__ = [
     "exact_duplicates",
     "dedup_exact",
+    "duplicated_spans",
+    "fuzzy_levenshtein_pairs",
     "ngram_jaccard_pairs",
     "minhash_signatures",
     "minhash_lsh_candidates",
@@ -53,6 +55,142 @@ def dedup_exact(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -
         fp.join(w_min, "__fp")
         .filter(F.col(id_col) == F.col("__keep"))
         .drop("__fp", "__keep")
+    )
+
+
+def duplicated_spans(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 8,
+    min_count: int = 2,
+) -> DataFrame:
+    """Cross-corpus duplicated TOKEN SPANS — the substring-level exact
+    dedup mode of Lee et al., "Deduplicating Training Data Makes
+    Language Models Better" (2022), approximated at k-gram
+    granularity: any token span all of whose k-grams occur ≥
+    ``min_count`` times corpus-wide (including within one document) is
+    reported as a maximal duplicated span. Doc-level exact/minhash
+    dedup misses these — boilerplate headers, license blocks, quoted
+    passages shared across otherwise-distinct documents.
+
+    Algorithm: positional k-gram anchors (``word_kgrams`` +
+    posexplode) → global occurrence counts on ``xxhash64(gram)`` →
+    semi-join keeps anchors whose gram repeats → per-doc
+    gaps-and-islands interval merge (anchors at positions p₁ < p₂
+    chain into one span iff p₂ ≤ p₁ + k, i.e. their k-token windows
+    overlap or touch). Every token of a reported span lies in some
+    repeated k-gram; spans shorter than k tokens are invisible by
+    construction (the paper's suffix-array formulation has the same
+    minimum-match length, typically 50 BPE tokens).
+
+    Scale shape: NO pair expansion anywhere — a k-gram occurring 10⁶
+    times contributes 10⁶ anchor rows (linear), never 10¹² pairs. The
+    anchor relation shuffles once on the 8-byte gram hash (the
+    count-aggregate and the semi-join probe share that exchange —
+    ReusedExchange — and the hint keeps the join shuffle-hash, never a
+    corpus sort-merge); the interval merge is one exchange on the doc
+    key. Hot boilerplate grams are plain skewed join keys, split by
+    AQE skew handling, not a fan-out hazard. The 64-bit hash key
+    shuffles 10-30× fewer bytes than gram text at birthday-bound
+    collision odds n²/2⁶⁵ — negligible below ~10⁸ distinct grams, ~3%
+    at 10⁹; past that switch the key to the gram string or concat two
+    seeded xxhash64s.
+
+    Output: ``(id_col, span_start, span_end, span_len, n_anchors)``
+    with 0-based inclusive token positions.
+    """
+    from pyspark.sql import Window as W
+
+    from streamz_spark.io import ensure_scan_parallelism
+    from streamz_spark.operators.text import word_kgrams
+
+    df = ensure_scan_parallelism(df)
+    kg = df.select(
+        F.col(id_col).alias("id"),
+        F.posexplode(word_kgrams(text_col, k)).alias("pos", "gram"),
+    ).select("id", "pos", F.xxhash64("gram").alias("gh"))
+    dup = (
+        kg.groupBy("gh")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .filter(F.col("cnt") >= min_count)
+        .select("gh")
+    )
+    anchors = kg.join(dup.hint("shuffle_hash"), "gh", "left_semi")
+    w_ord = W.partitionBy("id").orderBy("pos")
+    prev = F.lag("pos").over(w_ord)
+    flagged = anchors.withColumn(
+        "new_span",
+        F.when(prev.isNull() | (F.col("pos") > prev + k), F.lit(1)).otherwise(
+            F.lit(0)
+        ),
+    ).withColumn(
+        "span_id",
+        F.sum("new_span").over(
+            w_ord.rowsBetween(W.unboundedPreceding, W.currentRow)
+        ),
+    )
+    return (
+        flagged.groupBy("id", "span_id")
+        .agg(
+            F.min("pos").alias("s"),
+            F.max("pos").alias("e"),
+            F.count(F.lit(1)).alias("n_anchors"),
+        )
+        .select(
+            F.col("id").alias(id_col),
+            F.col("s").cast("long").alias("span_start"),
+            (F.col("e") + F.lit(k - 1)).cast("long").alias("span_end"),
+            (F.col("e") - F.col("s") + F.lit(k)).cast("long").alias("span_len"),
+            F.col("n_anchors").cast("long").alias("n_anchors"),
+        )
+    )
+
+
+def fuzzy_levenshtein_pairs(
+    df: DataFrame,
+    id_col: str,
+    name_col: str,
+    block: "F.Column | str",
+    max_dist: int = 2,
+) -> DataFrame:
+    """Blocked edit-distance near-dup pairs (fuzzy record matching):
+    candidate pairs come from an equi-join on a cheap caller-supplied
+    blocking key, ``levenshtein`` verifies only within blocks — the
+    standard O(Σ block²) shape instead of O(n²) all-pairs.
+
+    The detail that matters at every scale: edit distance is computed
+    once per DISTINCT name pair (the name domain is tiny next to the
+    row count), then expanded to id pairs through broadcast joins —
+    the naive row-level blocked join repeats levenshtein per row pair
+    AND serializes on the few block keys (measured 47 s → ~1.6 s at
+    sf0.1). Where the id side outgrows broadcast, swap the expansion
+    joins to shuffle on the name key (high-cardinality, salted if a
+    single name dominates).
+
+    Output: ``(id_a, id_b, name_a, name_b, dist)`` with id_a < id_b.
+    """
+    blk = F.col(block) if isinstance(block, str) else block
+    p = df.select(
+        F.col(id_col).alias("__id"), F.col(name_col).alias("__name"),
+        blk.alias("__blk"),
+    )
+    names = p.select("__name", "__blk").distinct()
+    na = names.select(F.col("__name").alias("name_a"), F.col("__blk").alias("blk_a"))
+    nb = names.select(F.col("__name").alias("name_b"), F.col("__blk").alias("blk_b"))
+    npairs = (
+        na.join(nb, F.col("blk_a") == F.col("blk_b"))
+        .withColumn("dist", F.levenshtein("name_a", "name_b"))
+        .filter(F.col("dist") <= max_dist)
+        .select("name_a", "name_b", "dist")
+    )
+    a = p.select(F.col("__id").alias("id_a"), F.col("__name").alias("name_a"))
+    b = p.select(F.col("__id").alias("id_b"), F.col("__name").alias("name_b"))
+    return (
+        a.join(F.broadcast(npairs), "name_a")
+        .join(F.broadcast(b), "name_b")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "name_a", "name_b", "dist")
     )
 
 

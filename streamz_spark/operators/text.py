@@ -18,6 +18,7 @@ __all__ = [
     "quality_features",
     "language_id",
     "fingerprint",
+    "word_kgrams",
     "word_shingles",
     "tfidf_top_terms",
     "bm25_term_topk",
@@ -125,6 +126,23 @@ def fingerprint(col: Column | str, out_name: str = "fingerprint") -> Column:
     c = F.col(col) if isinstance(col, str) else col
     norm = F.regexp_replace(F.lower(F.trim(c)), r"\s+", " ")
     return F.md5(norm).alias(out_name)
+
+
+def word_kgrams(col: Column | str, k: int = 3) -> Column:
+    """ALL k-word grams in order ('a b c' at each position) — the
+    positional, non-distinct sibling of :func:`word_shingles` for
+    span-level work where position matters (posexplode the result to
+    get (pos, gram) anchors). Same O(n) zip_with construction.
+    """
+    toks = tokenize(col)
+    n = F.size(toks)
+    m = n - (k - 1)
+    acc = F.slice(toks, 1, m)
+    for j in range(1, k):
+        acc = F.zip_with(
+            acc, F.slice(toks, j + 1, m), lambda a, b: F.concat(a, F.lit(" "), b)
+        )
+    return F.when(n >= k, acc).otherwise(F.array().cast("array<string>"))
 
 
 def word_shingles(col: Column | str, k: int = 3) -> Column:

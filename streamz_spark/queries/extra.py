@@ -1670,25 +1670,14 @@ def stats_aggregate_family(spark, sf_dir):
         "the expansion joins shuffle on the name key with salting.",
 )
 def fuzzy_levenshtein_pairs(spark, sf_dir):
-    p = load_table(spark, sf_dir, "part").select(
-        "p_partkey", "p_name", F.split("p_name", " ").getItem(1).alias("noun")
-    )
-    names = p.select("p_name", "noun").distinct()
-    na = names.select(F.col("p_name").alias("name_a"), F.col("noun").alias("noun_a"))
-    nb = names.select(F.col("p_name").alias("name_b"), F.col("noun").alias("noun_b"))
-    npairs = (
-        na.join(nb, F.col("noun_a") == F.col("noun_b"))
-        .withColumn("dist", F.levenshtein("name_a", "name_b"))
-        .filter(F.col("dist") <= 2)
-        .select("name_a", "name_b", "dist")
-    )
-    a = p.select(F.col("p_partkey").alias("id_a"), F.col("p_name").alias("name_a"))
-    b = p.select(F.col("p_partkey").alias("id_b"), F.col("p_name").alias("name_b"))
-    return (
-        a.join(F.broadcast(npairs), "name_a")
-        .join(F.broadcast(b), "name_b")
-        .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b", "name_a", "name_b", "dist")
+    from streamz_spark.operators.dedup import fuzzy_levenshtein_pairs as op
+
+    return op(
+        load_table(spark, sf_dir, "part"),
+        id_col="p_partkey",
+        name_col="p_name",
+        block=F.split("p_name", " ").getItem(1),
+        max_dist=2,
     )
 
 
@@ -1851,6 +1840,71 @@ def bpe_token_stats(spark, sf_dir):
             ).otherwise(F.lit(0.0)),
         )
         .drop("text")
+    )
+
+
+# span-level exact dedup: k-gram anchor length for the catalog entry
+_SPAN_K = 8
+
+_SPAN_ORACLE = f"""
+    WITH d AS (
+        SELECT doc_id AS id,
+               CASE WHEN length(trim(lower(text))) = 0 THEN []::VARCHAR[]
+                    ELSE regexp_split_to_array(trim(lower(text)), '\\s+')
+               END AS w
+        FROM documents
+    ),
+    kg AS (
+        SELECT id, t.p - 1 AS pos,
+               array_to_string(w[t.p:t.p+{_SPAN_K}-1], ' ') AS gram
+        FROM d, UNNEST(generate_series(1, len(w) - {_SPAN_K} + 1)) AS t(p)
+    ),
+    freq AS (SELECT gram, COUNT(*) AS cnt FROM kg GROUP BY 1),
+    anch AS (SELECT id, pos FROM kg JOIN freq USING (gram) WHERE cnt >= 2),
+    flagged AS (
+        SELECT id, pos,
+               CASE WHEN LAG(pos) OVER w IS NULL
+                      OR pos > LAG(pos) OVER w + {_SPAN_K}
+                    THEN 1 ELSE 0 END AS new_span
+        FROM anch
+        WINDOW w AS (PARTITION BY id ORDER BY pos)
+    ),
+    isl AS (
+        SELECT id, pos,
+               SUM(new_span) OVER (PARTITION BY id ORDER BY pos
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS span_id
+        FROM flagged
+    )
+    SELECT id AS doc_id,
+           CAST(MIN(pos) AS BIGINT) AS span_start,
+           CAST(MAX(pos) + {_SPAN_K} - 1 AS BIGINT) AS span_end,
+           CAST(MAX(pos) - MIN(pos) + {_SPAN_K} AS BIGINT) AS span_len,
+           CAST(COUNT(*) AS BIGINT) AS n_anchors
+    FROM isl GROUP BY id, span_id
+"""
+
+
+@register_extra(
+    "exact_substring_spans",
+    oracle=_SPAN_ORACLE,
+    doc="substring-level exact dedup (Lee et al. 2022 ExactSubstr, "
+        "k-gram-anchored): maximal token spans whose every k-gram "
+        "occurs >=2 times corpus-wide — the duplicated-span report "
+        "doc-level exact/minhash dedup misses (boilerplate, license "
+        "blocks, quoted passages). Anchors shuffle ONCE on an 8-byte "
+        "xxhash64 gram key (count-aggregate and semi-join probe share "
+        "the exchange; shuffle-hash, never a corpus sort-merge), the "
+        "interval merge is one doc-key window — no pair expansion "
+        "anywhere, so a million-occurrence boilerplate gram stays a "
+        "linear skewed key, not a fan-out. The oracle groups by the "
+        "gram STRING; outputs agree unless xxhash64 collides "
+        "(birthday odds n^2/2^65).",
+)
+def exact_substring_spans(spark, sf_dir):
+    from streamz_spark.operators.dedup import duplicated_spans
+
+    return duplicated_spans(
+        load_table(spark, sf_dir, "documents"), k=_SPAN_K
     )
 
 

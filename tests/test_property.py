@@ -393,3 +393,186 @@ def test_ngram_jaccard_pairs_match_bruteforce(spark, data):
         ).collect()
     }
     assert got == want
+
+
+# --------------------------------------------------------------------------
+# duplicated_spans differential: k-gram anchors + gaps-and-islands
+# interval merge (operators/dedup.py) vs a brute-force pure-Python
+# reference, on corpora with PLANTED duplicated spans (the operator's
+# reason to exist) plus random noise.
+# --------------------------------------------------------------------------
+
+def _brute_spans(docs, k, min_count=2):
+    from collections import Counter
+
+    grams = Counter()
+    per_doc = {}
+    for i, text in docs:
+        toks = text.lower().split()
+        gs = [" ".join(toks[p:p + k]) for p in range(len(toks) - k + 1)]
+        per_doc[i] = gs
+        grams.update(gs)
+    want = set()
+    for i, gs in per_doc.items():
+        anchors = [p for p, g in enumerate(gs) if grams[g] >= min_count]
+        cur = None  # (start, last_anchor, n_anchors)
+        for p in anchors:
+            if cur is not None and p <= cur[1] + k:
+                cur = (cur[0], p, cur[2] + 1)
+            else:
+                if cur is not None:
+                    want.add((i, cur[0], cur[1] + k - 1, cur[1] - cur[0] + k, cur[2]))
+                cur = (p, p, 1)
+        if cur is not None:
+            want.add((i, cur[0], cur[1] + k - 1, cur[1] - cur[0] + k, cur[2]))
+    return want
+
+
+@st.composite
+def span_corpus(draw):
+    words = ["alpha", "beta", "gamma", "delta", "eps", "zeta", "eta", "theta"]
+    k = draw(st.integers(min_value=2, max_value=3))
+    n_docs = draw(st.integers(min_value=2, max_value=8))
+    phrase_len = draw(st.integers(min_value=k, max_value=k + 3))
+    phrase = draw(st.lists(st.sampled_from(words), min_size=phrase_len,
+                           max_size=phrase_len))
+    docs = []
+    for i in range(n_docs):
+        n_words = draw(st.integers(min_value=0, max_value=10))
+        toks = draw(st.lists(st.sampled_from(words), min_size=n_words,
+                             max_size=n_words))
+        if draw(st.booleans()):  # plant the shared phrase in ~half the docs
+            at = draw(st.integers(min_value=0, max_value=len(toks)))
+            toks = toks[:at] + phrase + toks[at:]
+        docs.append((i, " ".join(toks)))
+    return docs, k
+
+
+@given(data=span_corpus())
+@settings(max_examples=10, deadline=None)
+def test_duplicated_spans_match_bruteforce(spark, data):
+    from streamz_spark.operators import dedup as dd
+
+    docs, k = data
+    want = _brute_spans(docs, k)
+    sdf = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {
+        (r.doc_id, r.span_start, r.span_end, r.span_len, r.n_anchors)
+        for r in dd.duplicated_spans(sdf, k=k).collect()
+    }
+    assert got == want
+
+
+# --------------------------------------------------------------------------
+# Skew-adversarial differentials: the pair generators were rewritten
+# for skew (posting arrays + max_df; distinct-name levenshtein) but
+# the random corpora above are benign. These generators PLANT one hot
+# shingle / blocking key in 30-50% of rows and assert (a) exactness
+# vs brute force and (b) that the fan-out bound actually engages.
+# --------------------------------------------------------------------------
+
+@st.composite
+def hot_shingle_corpus(draw):
+    words = ["alpha", "beta", "gamma", "delta", "eps", "zeta"]
+    n_docs = draw(st.integers(min_value=10, max_value=20))
+    hot_frac = draw(st.floats(min_value=0.3, max_value=0.5))
+    n_hot = max(2, int(n_docs * hot_frac))
+    docs = []
+    for i in range(n_docs):
+        n_words = draw(st.integers(min_value=2, max_value=8))
+        toks = draw(st.lists(st.sampled_from(words), min_size=n_words,
+                             max_size=n_words))
+        if i < n_hot:  # plant the hot boilerplate shingle
+            toks = ["hotkey", "hotkey"] + toks
+        docs.append((i, " ".join(toks)))
+    max_df = draw(st.integers(min_value=2, max_value=n_hot - 1))
+    return docs, max_df, n_hot
+
+
+@given(data=hot_shingle_corpus())
+@settings(max_examples=10, deadline=None)
+def test_ngram_jaccard_exact_under_planted_hot_shingle(spark, data):
+    from collections import Counter
+
+    from streamz_spark.operators import dedup as dd
+
+    docs, max_df, n_hot = data
+    k = 2
+
+    def shingles(text):
+        toks = text.split()
+        return {" ".join(toks[i:i + k]) for i in range(len(toks) - k + 1)}
+
+    full = {i: shingles(t) for i, t in docs}
+    df_count = Counter(s for sh in full.values() for s in sh)
+    # the planted shingle must actually be hot AND actually cut
+    assert df_count["hotkey hotkey"] == n_hot > max_df
+    kept = {i: {s for s in sh if df_count[s] <= max_df} for i, sh in full.items()}
+    want = set()
+    ids = sorted(kept)
+    for ai in range(len(ids)):
+        for bi in range(ai + 1, len(ids)):
+            a, b = ids[ai], ids[bi]
+            inter = len(kept[a] & kept[b])
+            union = len(full[a]) + len(full[b]) - inter
+            if inter > 0 and union > 0 and inter / union >= 0.2:
+                want.add((a, b, inter))
+    sdf = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {
+        (r.id_a, r.id_b, r.n_common)
+        for r in dd.ngram_jaccard_pairs(
+            sdf, k=k, threshold=0.2, max_df=max_df
+        ).collect()
+    }
+    assert got == want
+
+
+def _lev(a: str, b: str) -> int:
+    prev = list(range(len(b) + 1))
+    for i, ca in enumerate(a, 1):
+        cur = [i]
+        for j, cb in enumerate(b, 1):
+            cur.append(min(prev[j] + 1, cur[j - 1] + 1,
+                           prev[j - 1] + (ca != cb)))
+        prev = cur
+    return prev[-1]
+
+
+@st.composite
+def hot_block_rows(draw):
+    stems = ["brass", "steel", "nickl", "coper", "zincc"]
+    n_rows = draw(st.integers(min_value=10, max_value=24))
+    hot_frac = draw(st.floats(min_value=0.3, max_value=0.5))
+    n_hot = max(2, int(n_rows * hot_frac))
+    rows = []
+    for i in range(n_rows):
+        blk = "hotblock" if i < n_hot else draw(st.sampled_from(stems))
+        stem = draw(st.sampled_from(stems))
+        mut = draw(st.integers(min_value=0, max_value=2))
+        name = stem[:len(stem) - mut] + "x" * mut
+        rows.append((i, f"{name} {blk}", blk))
+    return rows, n_hot
+
+
+@given(data=hot_block_rows())
+@settings(max_examples=10, deadline=None)
+def test_fuzzy_pairs_exact_under_planted_hot_block(spark, data):
+    from streamz_spark.operators import dedup as dd
+
+    rows, n_hot = data
+    # brute force INSIDE blocks only (independent python levenshtein)
+    want = set()
+    for ia, na_, ba in rows:
+        for ib, nb_, bb in rows:
+            if ia < ib and ba == bb and _lev(na_, nb_) <= 2:
+                want.add((ia, ib, na_, nb_, _lev(na_, nb_)))
+    # the hot block must dominate: 30-50% of rows share one key
+    assert sum(1 for _, _, b in rows if b == "hotblock") == n_hot
+    sdf = spark.createDataFrame(rows, "pk long, name string, blk string")
+    got = {
+        (r.id_a, r.id_b, r.name_a, r.name_b, r.dist)
+        for r in dd.fuzzy_levenshtein_pairs(
+            sdf, id_col="pk", name_col="name", block="blk", max_dist=2
+        ).collect()
+    }
+    assert got == want
