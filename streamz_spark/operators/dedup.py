@@ -75,8 +75,9 @@ def duplicated_spans(
     passages shared across otherwise-distinct documents.
 
     Algorithm: positional k-gram anchors (``word_kgrams`` +
-    posexplode) → global occurrence counts on ``xxhash64(gram)`` →
-    semi-join keeps anchors whose gram repeats → per-doc
+    posexplode) → ONE hash exchange on ``xxhash64(gram)`` → global
+    occurrence count as a whole-partition window over the gram key
+    (anchors whose gram repeats survive the filter) → per-doc
     gaps-and-islands interval merge (anchors at positions p₁ < p₂
     chain into one span iff p₂ ≤ p₁ + k, i.e. their k-token windows
     overlap or touch). Every token of a reported span lies in some
@@ -84,18 +85,20 @@ def duplicated_spans(
     construction (the paper's suffix-array formulation has the same
     minimum-match length, typically 50 BPE tokens).
 
-    Scale shape: NO pair expansion anywhere — a k-gram occurring 10⁶
-    times contributes 10⁶ anchor rows (linear), never 10¹² pairs. The
-    anchor relation shuffles once on the 8-byte gram hash (the
-    count-aggregate and the semi-join probe share that exchange —
-    ReusedExchange — and the hint keeps the join shuffle-hash, never a
-    corpus sort-merge); the interval merge is one exchange on the doc
-    key. Hot boilerplate grams are plain skewed join keys, split by
-    AQE skew handling, not a fan-out hazard. The 64-bit hash key
-    shuffles 10-30× fewer bytes than gram text at birthday-bound
-    collision odds n²/2⁶⁵ — negligible below ~10⁸ distinct grams, ~3%
-    at 10⁹; past that switch the key to the gram string or concat two
-    seeded xxhash64s.
+    Scale shape: NO pair expansion and NO join anywhere — a k-gram
+    occurring 10⁶ times contributes 10⁶ anchor rows (linear), never
+    10¹² pairs, and the corpus is scanned and k-grammed exactly once
+    (a groupBy+semi-join formulation column-prunes its aggregate
+    branch, defeating exchange reuse and re-scanning the corpus). The
+    window's per-partition sort is a Tungsten radix sort on the int64
+    key that spills gracefully, so a hot boilerplate gram is a spill,
+    never an aggregation-buffer blowup; the interval merge is one
+    exchange on the doc key. Total: two corpus exchanges (gram hash,
+    doc key) plus the scan fan-out. The 64-bit hash key shuffles
+    10-30× fewer bytes than gram text at birthday-bound collision odds
+    n²/2⁶⁵ — negligible below ~10⁸ distinct grams, ~3% at 10⁹; past
+    that switch the key to the gram string or concat two seeded
+    xxhash64s.
 
     Output: ``(id_col, span_start, span_end, span_len, n_anchors)``
     with 0-based inclusive token positions.
@@ -106,17 +109,30 @@ def duplicated_spans(
     from streamz_spark.operators.text import word_kgrams
 
     df = ensure_scan_parallelism(df)
-    kg = df.select(
-        F.col(id_col).alias("id"),
-        F.posexplode(word_kgrams(text_col, k)).alias("pos", "gram"),
-    ).select("id", "pos", F.xxhash64("gram").alias("gh"))
-    dup = (
-        kg.groupBy("gh")
-        .agg(F.count(F.lit(1)).alias("cnt"))
-        .filter(F.col("cnt") >= min_count)
-        .select("gh")
+    # ONE corpus pass, ONE exchange on gh, NO join: the occurrence
+    # count is a whole-partition window over the gh key, so the corpus
+    # is scanned and k-grammed exactly once (the groupBy+semi-join
+    # formulation column-prunes its aggregate branch to gh-only, which
+    # defeats exchange reuse and re-scans the corpus). WindowExec
+    # sorts each partition on the 8-byte key — Tungsten radix-sorts
+    # int64 prefixes and spills gracefully, so a 10⁸-occurrence hot
+    # gram is a spill, never an aggregation-buffer OOM (the
+    # posting-array alternative buffers the hot gram's members in one
+    # reducer row). Pinned by test_duplicated_spans_plan_shape.
+    kg = (
+        df.select(
+            F.col(id_col).alias("id"),
+            F.posexplode(word_kgrams(text_col, k)).alias("pos", "gram"),
+        )
+        .select("id", "pos", F.xxhash64("gram").alias("gh"))
+        .repartition("gh")
     )
-    anchors = kg.join(dup.hint("shuffle_hash"), "gh", "left_semi")
+    w_gh = W.partitionBy("gh")
+    anchors = (
+        kg.withColumn("cnt", F.count(F.lit(1)).over(w_gh))
+        .filter(F.col("cnt") >= min_count)
+        .select("id", "pos")
+    )
     w_ord = W.partitionBy("id").orderBy("pos")
     prev = F.lag("pos").over(w_ord)
     flagged = anchors.withColumn(

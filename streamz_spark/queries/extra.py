@@ -1891,12 +1891,13 @@ _SPAN_ORACLE = f"""
         "k-gram-anchored): maximal token spans whose every k-gram "
         "occurs >=2 times corpus-wide — the duplicated-span report "
         "doc-level exact/minhash dedup misses (boilerplate, license "
-        "blocks, quoted passages). Anchors shuffle ONCE on an 8-byte "
-        "xxhash64 gram key (count-aggregate and semi-join probe share "
-        "the exchange; shuffle-hash, never a corpus sort-merge), the "
+        "blocks, quoted passages). One corpus pass, NO join: anchors "
+        "shuffle ONCE on an 8-byte xxhash64 gram key and the "
+        "occurrence count is a whole-partition window over that key "
+        "(radix sort on int64, spills gracefully on hot grams); the "
         "interval merge is one doc-key window — no pair expansion "
         "anywhere, so a million-occurrence boilerplate gram stays a "
-        "linear skewed key, not a fan-out. The oracle groups by the "
+        "linear spilled key, not a fan-out. The oracle groups by the "
         "gram STRING; outputs agree unless xxhash64 collides "
         "(birthday odds n^2/2^65).",
 )

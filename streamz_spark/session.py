@@ -44,6 +44,12 @@ def configure_builder(builder: SparkSession.Builder, *, cpus: int | None = None)
 
 def get_spark(app_name: str = "streamz_spark", *, cpus: int | None = None) -> SparkSession:
     """Create (or fetch) the tuned local SparkSession."""
+    # before the JVM starts: recover an offline google.protobuf runtime
+    # into PYTHONPATH so transformWithStateInPandas Python workers
+    # (which inherit this process's environment) can import it
+    from streamz_spark.streaming.tws import ensure_protobuf_runtime
+
+    ensure_protobuf_runtime()
     if cpus is None:
         cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "0")) or (os.cpu_count() or 8)
     builder = SparkSession.builder.master(f"local[{cpus}]").appName(app_name)

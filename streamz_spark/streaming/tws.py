@@ -24,14 +24,22 @@ remains the default because it works on any state-store provider.
 
 Environment gate (same policy as the Kafka connector): the TWS Python
 worker speaks a protobuf protocol to the JVM state server, and this
-container has no ``protobuf`` package — ``tws_runtime_available()``
-probes it, the operators raise an actionable error, and the
-differential tests in tests/test_rocksdb_state.py skip with the probe
-as the reason. The code paths are written against the public Spark 4
-API and go live the moment protobuf is installed.
+container has no ``protobuf`` package in site-packages —
+``ensure_protobuf_runtime()`` recovers one from known OFFLINE bundles
+(the gcloud SDK vendors a full pure-Python ``google.protobuf`` under
+``platform/google_appengine``), wiring it into both the driver
+``sys.path`` and the worker-inherited ``PYTHONPATH``;
+``tws_runtime_available()`` probes through it, the operators raise an
+actionable error when nothing is found, and the differential tests in
+tests/test_rocksdb_state.py skip with the probe as the reason.
+``scripts/probe_tws.py`` records the per-round probe result.
 """
 
 from __future__ import annotations
+
+import importlib.util
+import os
+import sys
 
 import pandas as pd
 from pyspark.sql import DataFrame
@@ -40,12 +48,71 @@ ROCKSDB_PROVIDER = (
     "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
 )
 
+# sys.path roots known to carry a complete offline google.protobuf
+# runtime in common container images (probed, never assumed)
+BUNDLED_PROTOBUF_ROOTS = (
+    "/usr/lib/google-cloud-sdk/platform/google_appengine",
+)
+
+
+def ensure_protobuf_runtime() -> str | None:
+    """Make ``google.protobuf`` importable for BOTH the driver and
+    Spark's Python workers without installing anything.
+
+    Resolution order: (1) already importable (site-packages); (2)
+    ``$SPARK_GRAFT_PROTOBUF_PATH``; (3) known offline bundles
+    (``BUNDLED_PROTOBUF_ROOTS``). A bundle root is prepended to
+    ``sys.path`` and to ``os.environ['PYTHONPATH']`` — local-mode
+    Python workers inherit the driver process environment, so they
+    resolve the same runtime — and protobuf's own
+    ``TEMPORARILY_DISABLE_PROTOBUF_VERSION_CHECK`` flag is set:
+    pyspark 4.1 ships gencode 6.33 while the gcloud bundle is runtime
+    6.32 — same major version, wire-compatible per protobuf's
+    cross-version guarantee; only the advisory minor-version check
+    needs relaxing. Must run before the JVM starts for workers to see
+    the env (``session.get_spark`` calls it).
+
+    Returns the source used ("site-packages" or the bundle root), or
+    None when no runtime exists.
+    """
+    try:
+        if importlib.util.find_spec("google.protobuf") is not None:
+            return "site-packages"
+    except ModuleNotFoundError:
+        pass
+    candidates = []
+    env_root = os.environ.get("SPARK_GRAFT_PROTOBUF_PATH")
+    if env_root:
+        candidates.append(env_root)
+    candidates.extend(BUNDLED_PROTOBUF_ROOTS)
+    for root in candidates:
+        if not os.path.isfile(os.path.join(root, "google", "protobuf", "__init__.py")):
+            continue
+        if root not in sys.path:
+            sys.path.insert(0, root)
+        importlib.invalidate_caches()
+        try:
+            if importlib.util.find_spec("google.protobuf") is None:
+                continue
+        except ModuleNotFoundError:
+            continue
+        pythonpath = os.environ.get("PYTHONPATH", "")
+        if root not in pythonpath.split(os.pathsep):
+            os.environ["PYTHONPATH"] = (
+                root + (os.pathsep + pythonpath if pythonpath else "")
+            )
+        os.environ.setdefault("TEMPORARILY_DISABLE_PROTOBUF_VERSION_CHECK", "true")
+        return root
+    return None
+
 
 def tws_runtime_available() -> bool:
     """The TWS Python worker talks to the JVM state server over a
-    protobuf protocol; without the ``protobuf`` package the driver
-    worker crashes mid-stream. Probed here so callers fail (or skip)
+    protobuf protocol; probe (and if needed, recover — see
+    ``ensure_protobuf_runtime``) the runtime so callers fail or skip
     up front with the real reason."""
+    if ensure_protobuf_runtime() is None:
+        return False
     try:
         from google.protobuf import descriptor  # noqa: F401
 

@@ -291,3 +291,25 @@ def test_unigram_nll_shuffle_arm_matches_broadcast_arm(spark):
     a = a.reindex(cols, axis=1).sort_values(cols, ignore_index=True)
     b = b.reindex(cols, axis=1).sort_values(cols, ignore_index=True)
     assert a.equals(b)
+
+
+def test_duplicated_spans_plan_shape(spark):
+    # span dedup's scale contract: NO join of any kind (the occurrence
+    # count is a whole-partition window over the gram-hash key, so the
+    # corpus is scanned and k-grammed exactly ONCE — one parquet scan
+    # node in the whole plan), no cartesian, and exchanges bounded at
+    # three (scan fan-out, gram hash, doc key) — the shape that keeps
+    # a 10^6-occurrence boilerplate gram a linear spilled sort key
+    from streamz_spark.plans import exchange_count, explain_string
+
+    import re
+
+    df = q("exact_substring_spans", spark)
+    plan = explain_string(df)
+    assert "CartesianProduct" not in plan
+    assert "Join" not in plan, plan  # matches every join operator name
+    # one scan node — formatted explain lists each node in the tree AND
+    # a detail section, so count the numbered detail headers
+    n_scans = len(re.findall(r"\(\d+\) Scan parquet", plan))
+    assert n_scans == 1, n_scans
+    assert exchange_count(df) <= 3, exchange_count(df)

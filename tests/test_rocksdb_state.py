@@ -181,8 +181,10 @@ def test_rocksdb_million_row_keyed_state(rocksdb, tmp_path):
 _TWS_AVAILABLE = __import__("streamz_spark.streaming.tws", fromlist=["tws_runtime_available"]).tws_runtime_available()
 tws_gate = pytest.mark.skipif(
     not _TWS_AVAILABLE,
-    reason="transformWithState needs the protobuf package (absent in this container; "
-    "probed by streamz_spark.streaming.tws.tws_runtime_available)",
+    reason="transformWithState needs a google.protobuf runtime (none in "
+    "site-packages AND no recoverable offline bundle — probed by "
+    "streamz_spark.streaming.tws.ensure_protobuf_runtime; see "
+    "scripts/probe_tws.py)",
 )
 
 
@@ -341,3 +343,43 @@ def test_rocksdb_zip_latest_stream(rocksdb, tmp_path):
     assert got["value"].tolist() == want["value"].tolist()
     assert got["latest_right"].fillna(-1).tolist() == want["latest_right"].fillna(-1).tolist()
     _assert_rocksdb_artifacts(ckpt)
+
+
+
+def test_rocksdb_minhash_soak_million_band_rows():
+    """SCALE.md 'a year of ingest cannot OOM the store', measured:
+    10^6 rows THROUGH THE STATE STORE (62,500 docs x 16 LSH band
+    rows) on the RocksDB provider with a TTL (30 s) shorter than the
+    run, across 4 availableNow micro-batches. Runs as a subprocess
+    with its own local[$cpus] JVM (scripts/soak_minhash_rocksdb.py):
+    the shared 8-core test session leaves 3/4 of the machine idle and
+    the soak is Python-state-worker-bound — measured 572 s in-session
+    vs ~3 min standalone. Asserts every row processed, planted
+    near-dup pairs detected, TTL eviction engaged (peak state well
+    below the cumulative 10^6 inserts), RocksDB artifacts present.
+    The per-batch latency / state-size curve is printed and recorded
+    in SCALE.md."""
+    import json
+    import subprocess
+    import sys
+
+    script = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "scripts", "soak_minhash_rocksdb.py",
+    )
+    env = dict(os.environ, SPARK_GRAFT_CPUS=str(os.cpu_count() or 8))
+    proc = subprocess.run(
+        [sys.executable, script], env=env, capture_output=True, text=True,
+        timeout=900,
+    )
+    assert proc.returncode == 0, proc.stderr[-3000:]
+    r = json.loads(proc.stdout.strip().splitlines()[-1])
+    print(f"\nminhash soak: {r}")
+    assert r["drained"], "soak stream did not drain"
+    assert r["docs"] >= 62_500 and r["band_rows"] >= 1_000_000
+    assert r["rocksdb_artifacts"]
+    # 10^6 bucket rows inserted; TTL bounds the live set to ~the most
+    # recent batches instead of full history
+    assert r["peak_state"] < 700_000, r
+    assert r["final_state"] < r["band_rows"], "TTL eviction never engaged"
+    assert r["planted_detected"] >= int(r["planted"] * 0.9), r
