@@ -226,3 +226,58 @@ def count_window_sum_tws(
             timeMode="None",
         )
     )
+
+
+def latest_value_ttl_tws(
+    sdf: DataFrame, key: str, value_col: str = "value", ttl_ms: int = 60_000
+) -> DataFrame:
+    """Latest value per key with DECLARATIVE state TTL — the TWS
+    feature the classic API cannot express: ``getValueState(...,
+    ttlDurationMs=...)`` lets the state store itself expire idle
+    entries, so eviction costs no Python roundtrip and no hand-rolled
+    timestamp arrays (contrast ``stateful.streaming_minhash_neardup``,
+    which carries per-member seen-times and sweeps on
+    ProcessingTimeTimeout). A key silent for a full TTL reads as
+    absent on its next event: the emitted ``had_state`` flag makes
+    expiry observable (and testable) from the output alone.
+
+    Requires ``timeMode="ProcessingTime"`` — TTL clocks are engine
+    time. One emit per key per micro-batch.
+    """
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    class LatestWithTTL(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._latest = handle.getValueState(
+                "latest", "v double", ttlDurationMs=ttl_ms
+            )
+
+        def handleInputRows(self, key_, rows, timerValues):
+            had = self._latest.exists()
+            latest = None
+            for pdf in rows:
+                if len(pdf):
+                    latest = float(pdf[value_col].iloc[-1])
+            if latest is not None:
+                self._latest.update((latest,))
+                yield pd.DataFrame(
+                    {key: [key_[0]], "latest": [latest], "had_state": [had]}
+                )
+
+        def close(self) -> None:
+            pass
+
+    require_rocksdb(sdf.sparkSession)
+    return (
+        sdf.select(key, value_col)
+        .groupBy(key)
+        .transformWithStateInPandas(
+            LatestWithTTL(),
+            outputStructType=f"{key} long, latest double, had_state boolean",
+            outputMode="Update",
+            timeMode="ProcessingTime",
+        )
+    )

@@ -383,3 +383,56 @@ def test_rocksdb_minhash_soak_million_band_rows():
     assert r["peak_state"] < 700_000, r
     assert r["final_state"] < r["band_rows"], "TTL eviction never engaged"
     assert r["planted_detected"] >= int(r["planted"] * 0.9), r
+
+
+@tws_gate
+def test_tws_declarative_ttl_expires_value_state(rocksdb, tmp_path):
+    # the TWS capability the classic API can't express: the state
+    # store itself expires idle entries (getValueState ttlDurationMs)
+    # — no hand-rolled timestamp arrays, no timeout sweeps. had_state
+    # makes expiry observable from the output: a key re-arriving
+    # within the TTL sees its state; after a silent TTL it does not.
+    from streamz_spark.streaming.datasources import filelog_append, from_filelog
+    from streamz_spark.streaming.tws import latest_value_ttl_tws
+
+    # wide margins: batch scheduling latency (worker startup, 300ms
+    # trigger) must stay well inside the TTL for the "within" probe
+    ttl_ms = 15_000
+    log = str(tmp_path / "ttl_log")
+    filelog_append(log, [("1", "10.0")])
+    src = from_filelog(rocksdb, log).selectExpr(
+        "cast(key as long) as user_id", "cast(value as double) as value"
+    )
+    out = latest_value_ttl_tws(src, "user_id", ttl_ms=ttl_ms)
+    rows: list = []
+    q = (
+        out.writeStream.outputMode("update")
+        .option("checkpointLocation", str(tmp_path / "ttl_ckpt"))
+        .foreachBatch(lambda b, i: rows.extend(b.collect()))
+        .trigger(processingTime="300 milliseconds")
+        .start()
+    )
+
+    def wait_rows(n, timeout=90):
+        t0 = time.time()
+        while time.time() - t0 < timeout:
+            if len(rows) >= n:
+                return
+            time.sleep(0.2)
+        raise TimeoutError(f"only {len(rows)} of {n} emits arrived")
+
+    try:
+        wait_rows(1)
+        # re-arrive WITHIN the TTL: state must still exist
+        filelog_append(log, [("1", "11.0")])
+        wait_rows(2)
+        # go silent past the TTL, then re-arrive: state must be gone
+        time.sleep(ttl_ms / 1000 + 5)
+        filelog_append(log, [("1", "12.0")])
+        wait_rows(3)
+    finally:
+        q.stop()
+    by_value = {r["latest"]: r["had_state"] for r in rows}
+    assert by_value[10.0] is False          # first ever event: no state
+    assert by_value[11.0] is True           # within TTL: state visible
+    assert by_value[12.0] is False, rows    # after silent TTL: expired
