@@ -19,6 +19,7 @@ __all__ = [
     "exact_duplicates",
     "dedup_exact",
     "duplicated_spans",
+    "remove_duplicated_spans",
     "fuzzy_levenshtein_pairs",
     "ngram_jaccard_pairs",
     "minhash_signatures",
@@ -160,6 +161,64 @@ def duplicated_spans(
             (F.col("e") - F.col("s") + F.lit(k)).cast("long").alias("span_len"),
             F.col("n_anchors").cast("long").alias("n_anchors"),
         )
+    )
+
+
+def remove_duplicated_spans(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 8,
+    min_count: int = 2,
+    out_col: str = "text_deduped",
+) -> DataFrame:
+    """The TRANSFORM behind :func:`duplicated_spans`: cut every
+    corpus-duplicated token span out of every document (Lee et al.
+    2022 remove all copies of a duplicated substring and report no
+    quality loss — ownership bookkeeping to keep exactly one copy
+    buys nothing for training data and costs a global argmin per
+    span).
+
+    Shape: the span report (2 corpus exchanges, no join — see
+    duplicated_spans) aggregates to ONE row of span ranges per
+    affected document, joins back to the corpus on the doc key, and
+    the cut itself is a narrow JVM ``filter`` over the token array
+    (position ∉ any [start, end]) — no explode of the output side, no
+    Python. Docs with no duplicated span pass through unchanged via
+    the left join's null arm. Adds ``out_col`` plus
+    ``n_tokens_removed``; the original column is preserved for
+    auditability.
+    """
+    from streamz_spark.operators.text import tokenize
+
+    spans = duplicated_spans(df, id_col, text_col, k=k, min_count=min_count)
+    per_doc = spans.groupBy(id_col).agg(
+        F.collect_list(F.struct("span_start", "span_end")).alias("__spans")
+    )
+    toks = tokenize(text_col)
+    # pos is 0-based to match the span report
+    kept = F.filter(
+        toks,
+        lambda x, i: ~F.exists(
+            F.col("__spans"),
+            lambda s: (i >= s["span_start"]) & (i <= s["span_end"]),
+        ),
+    )
+    out = df.join(per_doc, id_col, "left")
+    return (
+        out.withColumn(
+            out_col,
+            F.when(F.col("__spans").isNull(), F.col(text_col)).otherwise(
+                F.array_join(kept, " ")
+            ),
+        )
+        .withColumn(
+            "n_tokens_removed",
+            F.when(F.col("__spans").isNull(), F.lit(0)).otherwise(
+                F.size(toks) - F.size(kept)
+            ).cast("long"),
+        )
+        .drop("__spans")
     )
 
 

@@ -1909,6 +1909,82 @@ def exact_substring_spans(spark, sf_dir):
     )
 
 
+_SPAN_REMOVE_ORACLE = f"""
+    WITH d AS (
+        SELECT doc_id AS id, text,
+               CASE WHEN length(trim(lower(text))) = 0 THEN []::VARCHAR[]
+                    ELSE regexp_split_to_array(trim(lower(text)), '\\s+')
+               END AS w
+        FROM documents
+    ),
+    kg AS (
+        SELECT id, t.p - 1 AS pos,
+               array_to_string(w[t.p:t.p+{_SPAN_K}-1], ' ') AS gram
+        FROM d, UNNEST(generate_series(1, len(w) - {_SPAN_K} + 1)) AS t(p)
+    ),
+    freq AS (SELECT gram, COUNT(*) AS cnt FROM kg GROUP BY 1),
+    anch AS (SELECT id, pos FROM kg JOIN freq USING (gram) WHERE cnt >= 2),
+    flagged AS (
+        SELECT id, pos,
+               CASE WHEN LAG(pos) OVER win IS NULL
+                      OR pos > LAG(pos) OVER win + {_SPAN_K}
+                    THEN 1 ELSE 0 END AS new_span
+        FROM anch WINDOW win AS (PARTITION BY id ORDER BY pos)
+    ),
+    isl AS (
+        SELECT id, pos,
+               SUM(new_span) OVER (PARTITION BY id ORDER BY pos
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS span_id
+        FROM flagged
+    ),
+    spans AS (
+        SELECT id, MIN(pos) AS s, MAX(pos) + {_SPAN_K} - 1 AS e
+        FROM isl GROUP BY id, span_id
+    ),
+    toks AS (SELECT id, t.p - 1 AS pos, w[t.p] AS term
+             FROM d, UNNEST(generate_series(1, len(w))) AS t(p)),
+    kept AS (
+        SELECT t.id, t.pos, t.term FROM toks t
+        WHERE NOT EXISTS (SELECT 1 FROM spans s
+                          WHERE s.id = t.id AND t.pos BETWEEN s.s AND s.e)
+    ),
+    rebuilt AS (
+        SELECT id, string_agg(term, ' ' ORDER BY pos) AS text_deduped,
+               COUNT(*) AS n_kept
+        FROM kept GROUP BY id
+    )
+    SELECT d.id AS doc_id,
+           CASE WHEN d.id IN (SELECT id FROM spans)
+                THEN COALESCE(r.text_deduped, '') ELSE d.text
+           END AS text_deduped,
+           CAST(CASE WHEN d.id IN (SELECT id FROM spans)
+                THEN len(d.w) - COALESCE(r.n_kept, 0) ELSE 0
+           END AS BIGINT) AS n_tokens_removed
+    FROM d LEFT JOIN rebuilt r ON d.id = r.id
+"""
+
+
+@register_extra(
+    "dedup_spans_removed",
+    oracle=_SPAN_REMOVE_ORACLE,
+    doc="the TRANSFORM behind exact_substring_spans: every "
+        "corpus-duplicated token span cut from every document (Lee et "
+        "al. remove all copies — ownership bookkeeping buys nothing "
+        "for training data). Span ranges aggregate to one row per "
+        "affected doc and join back on the doc key; the cut is a "
+        "narrow JVM filter over the token array (pos not in any "
+        "span), unaffected docs pass through verbatim on the left "
+        "join's null arm. Output: original text preserved, "
+        "text_deduped + n_tokens_removed added.",
+)
+def dedup_spans_removed(spark, sf_dir):
+    from streamz_spark.operators.dedup import remove_duplicated_spans
+
+    return remove_duplicated_spans(
+        load_table(spark, sf_dir, "documents"), k=_SPAN_K
+    ).select("doc_id", "text_deduped", "n_tokens_removed")
+
+
 # top-V LM cap for the catalog entry: the synthetic corpus has ~31
 # distinct whitespace terms, so V=20 genuinely exercises the OOV arm
 # (11 terms score through the lumped residual mass) at every SF
