@@ -1985,6 +1985,154 @@ def dedup_spans_removed(spark, sf_dir):
     ).select("doc_id", "text_deduped", "n_tokens_removed")
 
 
+def _pretrain_pipeline_oracle() -> str:
+    from streamz_spark.operators.text import BPE_PRETOKEN_PATTERN
+
+    bpe = BPE_PRETOKEN_PATTERN.replace("'", "''")
+    return f"""
+    WITH base AS (
+        SELECT doc_id, text,
+               length(text)::DOUBLE AS n,
+               length(regexp_replace(text, '[^.,;:!?''"()\\[\\]{{}}-]', '', 'g'))::DOUBLE AS punct,
+               length(regexp_replace(text, '[^0-9]', '', 'g'))::DOUBLE AS digits,
+               length(regexp_replace(text, '[^ \t\n]', '', 'g'))::DOUBLE AS spaces,
+               CASE WHEN length(trim(lower(text))) = 0 THEN []::VARCHAR[]
+                    ELSE regexp_split_to_array(trim(lower(text)), '\\s+')
+               END AS w
+        FROM documents
+    ),
+    scored AS (
+        SELECT doc_id, text, w,
+               GREATEST(1.0
+                 - LEAST(1.0, (CASE WHEN n > 0 THEN punct / n ELSE 0.0 END) * 4) * 0.25
+                 - LEAST(1.0, (CASE WHEN n > 0 THEN digits / n ELSE 0.0 END) * 4) * 0.25
+                 - (CASE WHEN (CASE WHEN len(w) > 0 THEN (n - spaces) / len(w) ELSE 0.0 END) < 2
+                          OR (CASE WHEN len(w) > 0 THEN (n - spaces) / len(w) ELSE 0.0 END) > 12
+                     THEN 0.25 ELSE 0.0 END)
+                 - (CASE WHEN len(w) < 5 THEN 0.25 ELSE 0.0 END),
+                 0.0) AS quality_score,
+               len(list_filter(['der','die','und','das','ist','nicht','mit','ein','von','zu'], s -> list_contains(w, s))) AS h_de,
+               len(list_filter(['the','and','of','to','in','is','that','for','with','was'], s -> list_contains(w, s))) AS h_en,
+               len(list_filter(['el','la','de','que','los','es','en','por','con','para'], s -> list_contains(w, s))) AS h_es,
+               len(list_filter(['le','la','et','les','des','est','dans','que','pour','une'], s -> list_contains(w, s))) AS h_fr
+        FROM base
+    ),
+    langd AS (
+        SELECT *,
+               CASE WHEN GREATEST(h_de, h_en, h_es, h_fr) = 0 THEN 'und'
+                    WHEN h_de = GREATEST(h_de, h_en, h_es, h_fr) THEN 'de'
+                    WHEN h_en = GREATEST(h_de, h_en, h_es, h_fr) THEN 'en'
+                    WHEN h_es = GREATEST(h_de, h_en, h_es, h_fr) THEN 'es'
+                    ELSE 'fr' END AS lang_pred
+        FROM scored
+    ),
+    kept AS (
+        SELECT doc_id, text, w, lang_pred FROM langd
+        WHERE quality_score >= 0.5 AND lang_pred <> 'und'
+    ),
+    dedup AS (
+        SELECT doc_id AS id, text, w, lang_pred FROM kept
+        QUALIFY ROW_NUMBER() OVER (
+            PARTITION BY md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'))
+            ORDER BY doc_id) = 1
+    ),
+    kg AS (
+        SELECT id, t.p - 1 AS pos,
+               array_to_string(w[t.p:t.p+{_SPAN_K}-1], ' ') AS gram
+        FROM dedup, UNNEST(generate_series(1, len(w) - {_SPAN_K} + 1)) AS t(p)
+    ),
+    freq AS (SELECT gram, COUNT(*) AS cnt FROM kg GROUP BY 1),
+    anch AS (SELECT id, pos FROM kg JOIN freq USING (gram) WHERE cnt >= 2),
+    flagged AS (
+        SELECT id, pos,
+               CASE WHEN LAG(pos) OVER win IS NULL
+                      OR pos > LAG(pos) OVER win + {_SPAN_K}
+                    THEN 1 ELSE 0 END AS new_span
+        FROM anch WINDOW win AS (PARTITION BY id ORDER BY pos)
+    ),
+    isl AS (
+        SELECT id, pos,
+               SUM(new_span) OVER (PARTITION BY id ORDER BY pos
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS span_id
+        FROM flagged
+    ),
+    spans AS (
+        SELECT id, MIN(pos) AS s, MAX(pos) + {_SPAN_K} - 1 AS e
+        FROM isl GROUP BY id, span_id
+    ),
+    toks AS (SELECT id, t.p - 1 AS pos, w[t.p] AS term
+             FROM dedup, UNNEST(generate_series(1, len(w))) AS t(p)),
+    keptt AS (
+        SELECT t.id, t.pos, t.term FROM toks t
+        WHERE NOT EXISTS (SELECT 1 FROM spans s
+                          WHERE s.id = t.id AND t.pos BETWEEN s.s AND s.e)
+    ),
+    rebuilt AS (
+        SELECT id, string_agg(term, ' ' ORDER BY pos) AS text_deduped,
+               COUNT(*) AS n_kept
+        FROM keptt GROUP BY id
+    ),
+    cleaned AS (
+        SELECT d.id AS doc_id, d.lang_pred,
+               CASE WHEN d.id IN (SELECT id FROM spans)
+                    THEN COALESCE(r.text_deduped, '') ELSE d.text
+               END AS text_deduped,
+               CAST(CASE WHEN d.id IN (SELECT id FROM spans)
+                    THEN len(d.w) - COALESCE(r.n_kept, 0) ELSE 0
+               END AS BIGINT) AS n_tokens_removed
+        FROM dedup d LEFT JOIN rebuilt r ON d.id = r.id
+    )
+    SELECT doc_id, lang_pred,
+           CASE WHEN ('0x' || substr(md5('42:' || doc_id), 1, 8))::BIGINT % 10000 < 9000 THEN 'train'
+                WHEN ('0x' || substr(md5('42:' || doc_id), 1, 8))::BIGINT % 10000 < 9500 THEN 'val'
+                ELSE 'test' END AS split,
+           text_deduped, n_tokens_removed,
+           CAST(len(regexp_extract_all(text_deduped, '{bpe}')) AS BIGINT)
+               AS n_bpe_tokens
+    FROM cleaned
+    """
+
+
+@register_extra(
+    "pretrain_corpus_pipeline",
+    oracle=_pretrain_pipeline_oracle(),
+    doc="END-TO-END pretraining-corpus pipeline as ONE composed lazy "
+        "plan, oracle-checked stage-for-stage: quality scoring + "
+        "language id (narrow, zero shuffle) -> filter -> exact dedup "
+        "(one fingerprint groupBy) -> substring-level span removal "
+        "(one gram-hash exchange + doc-key window, no join) -> "
+        "deterministic md5 hash split (map-side) -> BPE token "
+        "metering of the cleaned text (narrow regex). Composition is "
+        "the point: every stage is the already-verified operator, and "
+        "Catalyst fuses the narrow stages into the surrounding "
+        "exchanges — three full-row corpus shuffles end to end (scan "
+        "fan-out, gram hash, doc key) plus two map-side-combined "
+        "fingerprint-key aggregates that shuffle only (fp, min id) "
+        "pairs; every join in the plan is a broadcast.",
+)
+def pretrain_corpus_pipeline(spark, sf_dir):
+    from streamz_spark.operators import text as t
+    from streamz_spark.operators.dedup import dedup_exact, remove_duplicated_spans
+    from streamz_spark.operators.sampling import hash_split
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    q = t.language_id(t.quality_features(docs, "text"), "text")
+    kept = q.filter(
+        (F.col("quality_score") >= 0.5) & (F.col("lang_pred") != "und")
+    ).select("doc_id", "text", "lang_pred")
+    deduped = dedup_exact(kept)
+    cleaned = remove_duplicated_spans(deduped, k=_SPAN_K)
+    out = hash_split(cleaned, "doc_id")
+    return out.select(
+        "doc_id",
+        "lang_pred",
+        "split",
+        "text_deduped",
+        "n_tokens_removed",
+        t.bpe_token_count("text_deduped"),
+    )
+
+
 # top-V LM cap for the catalog entry: the synthetic corpus has ~31
 # distinct whitespace terms, so V=20 genuinely exercises the OOV arm
 # (11 terms score through the lumped residual mass) at every SF

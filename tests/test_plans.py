@@ -313,3 +313,21 @@ def test_duplicated_spans_plan_shape(spark):
     n_scans = len(re.findall(r"\(\d+\) Scan parquet", plan))
     assert n_scans == 1, n_scans
     assert exchange_count(df) <= 3, exchange_count(df)
+
+
+def test_pretrain_pipeline_plan_shape(spark):
+    # the composed end-to-end pipeline keeps every stage's individual
+    # contract: broadcast joins only (never sort-merge / cartesian /
+    # nested-loop on sf-scaled relations), map-side partial aggregation
+    # for the fingerprint dedup, and at most 5 exchanges total — 3
+    # full-row corpus shuffles (fan-out, gram hash, doc key) + 2
+    # fingerprint-key aggregate exchanges
+    from streamz_spark.plans import exchange_count, explain_string
+
+    df = q("pretrain_corpus_pipeline", spark)
+    plan = explain_string(df)
+    assert "CartesianProduct" not in plan
+    assert "SortMergeJoin" not in plan
+    assert "BroadcastHashJoin" in plan
+    assert "partial_" in plan
+    assert exchange_count(df) <= 5, exchange_count(df)
