@@ -281,3 +281,146 @@ def latest_value_ttl_tws(
             timeMode="ProcessingTime",
         )
     )
+
+
+def frequencies_tws(
+    sdf: DataFrame, key: str, value_col: str = "event_type"
+) -> DataFrame:
+    """Per-key categorical value counts on a MapState variable — the
+    TWS analogue of ``Stream.frequencies`` kept incrementally per
+    group key (reference ``frequencies``, streamz core.py, via
+    accumulate). MapState is the third typed state variable (after
+    Value/List): each category's count is addressed individually, so
+    updating one category neither deserializes nor rewrites the rest
+    of the map — the structural win over a dict pickled into a single
+    applyInPandasWithState tuple. Emits the key's full current
+    histogram (one row per category) each micro-batch it receives
+    input — update-mode semantics, like ``value_counts``.
+    """
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    class Frequencies(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._counts = handle.getMapState("counts", "cat string", "n long")
+
+        def handleInputRows(self, key_, rows, timerValues):
+            delta: dict = {}
+            for pdf in rows:
+                for v in pdf[value_col]:
+                    delta[str(v)] = delta.get(str(v), 0) + 1
+            if not delta:
+                return
+            for cat, n in delta.items():
+                prev = (
+                    self._counts.getValue((cat,))[0]
+                    if self._counts.containsKey((cat,))
+                    else 0
+                )
+                self._counts.updateValue((cat,), (prev + n,))
+            cats, counts = [], []
+            for k_, v_ in self._counts.iterator():
+                cats.append(k_[0])
+                counts.append(int(v_[0]))
+            yield pd.DataFrame(
+                {key: [key_[0]] * len(cats), "category": cats, "count": counts}
+            )
+
+        def close(self) -> None:
+            pass
+
+    require_rocksdb(sdf.sparkSession)
+    return (
+        sdf.select(key, value_col)
+        .groupBy(key)
+        .transformWithStateInPandas(
+            Frequencies(),
+            outputStructType=f"{key} long, category string, count long",
+            outputMode="Update",
+            timeMode="None",
+        )
+    )
+
+
+def session_gap_tws(
+    sdf: DataFrame, key: str, value_col: str = "value", gap_ms: int = 5_000
+) -> DataFrame:
+    """Processing-time session windows driven by TWS TIMERS: events
+    accumulate per key; when a key goes silent for ``gap_ms`` the
+    registered timer fires and the engine calls ``handleExpiredTimer``
+    — the session summary is emitted WITHOUT any new input arriving
+    for that key. That event-driven emit is the capability timers add
+    over applyInPandasWithState's coarse per-key timeout (which this
+    engine's ``stateful`` module uses for TTL sweeps): each input
+    reschedules a single per-key timer (delete + register), state
+    clears on fire, and an idle key costs nothing until its one timer
+    expires.
+
+    Emits ``(key, n_events, total, closed_at_ms)`` per closed session.
+    Requires ``timeMode="ProcessingTime"`` (timer clock) and the
+    RocksDB provider.
+    """
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    key_col = key
+
+    class SessionGap(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._handle = handle
+            self._acc = handle.getValueState("acc", "n long, total double")
+
+        def handleInputRows(self, key, rows, timerValues):
+            n, total = (
+                (self._acc.get()[0], self._acc.get()[1])
+                if self._acc.exists()
+                else (0, 0.0)
+            )
+            for pdf in rows:
+                n += len(pdf)
+                total += float(pdf[value_col].sum())
+            self._acc.update((n, total))
+            # slide the single per-key timer to now + gap
+            for t in self._handle.listTimers():
+                self._handle.deleteTimer(t)
+            self._handle.registerTimer(
+                timerValues.getCurrentProcessingTimeInMs() + gap_ms
+            )
+            return iter(())
+
+        # the worker invokes this by KEYWORD (key=..., timerValues=...,
+        # expiredTimerInfo=...), so parameter names must match the
+        # StatefulProcessor base signature exactly
+        def handleExpiredTimer(self, key, timerValues, expiredTimerInfo):
+            if self._acc.exists():
+                n, total = self._acc.get()
+                self._acc.clear()
+                yield pd.DataFrame(
+                    {
+                        key_col: [key[0]],
+                        "n_events": [int(n)],
+                        "total": [float(total)],
+                        "closed_at_ms": [int(expiredTimerInfo.getExpiryTimeInMs())],
+                    }
+                )
+
+        def close(self) -> None:
+            pass
+
+    require_rocksdb(sdf.sparkSession)
+    return (
+        sdf.select(key, value_col)
+        .groupBy(key)
+        .transformWithStateInPandas(
+            SessionGap(),
+            outputStructType=(
+                f"{key} long, n_events long, total double, closed_at_ms long"
+            ),
+            outputMode="Append",
+            timeMode="ProcessingTime",
+        )
+    )

@@ -436,3 +436,92 @@ def test_tws_declarative_ttl_expires_value_state(rocksdb, tmp_path):
     assert by_value[10.0] is False          # first ever event: no state
     assert by_value[11.0] is True           # within TTL: state visible
     assert by_value[12.0] is False, rows    # after silent TTL: expired
+
+
+@tws_gate
+def test_tws_mapstate_frequencies_matches_batch(rocksdb):
+    # MapState (the third typed state variable) keeps a per-key
+    # histogram across micro-batches; the final emission per key must
+    # equal the batch groupBy count over the full replay
+    import pandas as pd
+
+    from streamz_spark.streaming.sinks import sink_to_list
+    from streamz_spark.streaming.sources import from_iterable
+    from streamz_spark.streaming.tws import frequencies_tws
+
+    chunks = [
+        pd.DataFrame({"user_id": [1, 1, 2], "event_type": ["a", "b", "a"]}),
+        pd.DataFrame({"user_id": [1, 2, 2], "event_type": ["a", "a", "c"]}),
+    ]
+    batches = sink_to_list(
+        frequencies_tws(
+            from_iterable(rocksdb, chunks, "user_id long, event_type string"),
+            "user_id",
+        ),
+        output_mode="update",
+    )
+    allb = pd.concat(
+        [b.assign(__b=i) for i, b in enumerate(batches) if len(b)],
+        ignore_index=True,
+    )
+    final = (
+        allb.sort_values("__b")
+        .groupby(["user_id", "category"], as_index=False)
+        .last()
+        .drop(columns="__b")
+    )
+    got = {
+        (r.user_id, r.category): r["count"] for _, r in final.iterrows()
+    }
+    want = {(1, "a"): 2, (1, "b"): 1, (2, "a"): 2, (2, "c"): 1}
+    assert got == want, got
+
+
+@tws_gate
+def test_tws_timer_closes_idle_session(rocksdb, tmp_path):
+    # the timer capability: after gap_ms of silence the session closes
+    # and emits FROM handleExpiredTimer — no new input for the key.
+    # Events in two quick batches merge into one session (the timer
+    # slides); the emit appears only after the gap elapses.
+    from streamz_spark.streaming.datasources import filelog_append, from_filelog
+    from streamz_spark.streaming.tws import session_gap_tws
+
+    # wide margin: the second event must be processed well inside the
+    # gap despite batch-scheduling latency
+    gap_ms = 15_000
+    log = str(tmp_path / "sess_log")
+    filelog_append(log, [("1", "10.0")])
+    src = from_filelog(rocksdb, log).selectExpr(
+        "cast(key as long) as user_id", "cast(value as double) as value"
+    )
+    out = session_gap_tws(src, "user_id", gap_ms=gap_ms)
+    rows: list = []
+    q = (
+        out.writeStream.outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "sess_ckpt"))
+        .foreachBatch(lambda b, i: rows.extend(b.collect()))
+        .trigger(processingTime="300 milliseconds")
+        .start()
+    )
+
+    def wait_input(n, timeout=90):
+        t0 = time.time()
+        while time.time() - t0 < timeout:
+            if sum(int(p["numInputRows"]) for p in q.recentProgress) >= n:
+                return
+            time.sleep(0.2)
+        raise TimeoutError("input never processed")
+
+    try:
+        wait_input(1)
+        filelog_append(log, [("1", "32.0")])  # same session: slides the timer
+        wait_input(2)
+        assert not rows, "session closed while events were still arriving"
+        t0 = time.time()
+        while time.time() - t0 < gap_ms / 1000 + 45 and not rows:
+            time.sleep(0.3)
+    finally:
+        q.stop()
+    assert len(rows) == 1, rows
+    r = rows[0]
+    assert (r["user_id"], r["n_events"], r["total"]) == (1, 2, 42.0), rows
