@@ -2120,6 +2120,15 @@ def pretrain_corpus_pipeline(spark, sf_dir):
     kept = q.filter(
         (F.col("quality_score") >= 0.5) & (F.col("lang_pred") != "und")
     ).select("doc_id", "text", "lang_pred")
+    # the filtered corpus feeds FOUR consumers downstream (dedup's
+    # fingerprint aggregate + join-back, the span k-gram pass, and the
+    # span join-back): one localCheckpoint replaces four evaluations
+    # of the scan+regex subtree — measured 8.2 s -> 4.3 s at sf0.1
+    # (checkpointing after dedup instead: 5.9 s). At 100 TB this is
+    # the standard persist-vs-rescan call: the materialized frame is
+    # the post-filter corpus on executor-local disk, ~the same bytes
+    # one extra scan would read, bought once instead of three times.
+    kept = kept.localCheckpoint(eager=True)
     deduped = dedup_exact(kept)
     cleaned = remove_duplicated_spans(deduped, k=_SPAN_K)
     out = hash_split(cleaned, "doc_id")
