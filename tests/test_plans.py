@@ -331,3 +331,27 @@ def test_pretrain_pipeline_plan_shape(spark):
     assert "BroadcastHashJoin" in plan
     assert "partial_" in plan
     assert exchange_count(df) <= 5, exchange_count(df)
+
+
+def test_unigram_nll_auto_dispatch_counts_vocab(spark):
+    # the auto arm with NO vocab cap must measure the checkpointed
+    # freq relation and degrade to the shuffle join when the vocab
+    # exceeds broadcast_limit — pin both the dispatch decision (plan)
+    # and value identity with the broadcast arm
+    from streamz_spark.io import load_table
+    from streamz_spark.operators.text import unigram_nll_quality
+    from streamz_spark.plans import explain_string
+
+    docs = load_table(spark, SF_DIR, "documents")
+    # corpus vocab (~31 terms) > broadcast_limit=1 -> auto picks shuffle
+    df = unigram_nll_quality(docs, lm_join="auto", broadcast_limit=1)
+    plan = explain_string(df)
+    assert "ShuffledHashJoin" in plan, plan
+    assert "SortMergeJoin" not in plan
+    a = df.toPandas().sort_values("doc_id", ignore_index=True)
+    b = (
+        unigram_nll_quality(docs, lm_join="broadcast")
+        .toPandas()
+        .sort_values("doc_id", ignore_index=True)
+    )
+    assert a.equals(b)
