@@ -49,13 +49,25 @@ def exact_duplicates(
 
 def dedup_exact(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
     """Keep one representative (min id) per fingerprint group —
-    the actual dedup transform (exact_duplicates is the report)."""
+    the actual dedup transform (exact_duplicates is the report).
+
+    Shape: ONE corpus scan and ONE exchange on the md5 key, rank-1
+    filter via a window (min_by over the fingerprint partition). The
+    groupBy-min + join-back alternative scans the corpus twice and —
+    once the min-table outgrows broadcast, i.e. at any real corpus
+    size where distinct fingerprints ≈ row count — degrades to a
+    sort-merge join that shuffles the full corpus a second time. The
+    window's per-partition sort on (md5, id) spills gracefully and
+    costs what the SMJ's sort would have cost alone.
+    """
+    from pyspark.sql import Window as W
+
     fp = df.withColumn("__fp", fingerprint(text_col, "__fp"))
-    w_min = fp.groupBy("__fp").agg(F.min(id_col).alias("__keep"))
+    w = W.partitionBy("__fp").orderBy(id_col)
     return (
-        fp.join(w_min, "__fp")
-        .filter(F.col(id_col) == F.col("__keep"))
-        .drop("__fp", "__keep")
+        fp.withColumn("__rk", F.row_number().over(w))
+        .filter(F.col("__rk") == 1)
+        .drop("__fp", "__rk")
     )
 
 

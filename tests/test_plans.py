@@ -355,3 +355,20 @@ def test_unigram_nll_auto_dispatch_counts_vocab(spark):
         .sort_values("doc_id", ignore_index=True)
     )
     assert a.equals(b)
+
+
+def test_dedup_exact_single_scan_single_exchange(spark):
+    # exact dedup must be one corpus scan + one md5-key exchange with
+    # a rank-1 window — the min-table join-back alternative re-scans
+    # the corpus and sort-merges it once distinct fingerprints outgrow
+    # broadcast (which is always, at corpus scale)
+    import re
+
+    from streamz_spark.plans import exchange_count, explain_string
+
+    df = q("dedup_exact", spark)
+    plan = explain_string(df)
+    assert "Join" not in plan, plan
+    n_scans = len(re.findall(r"\(\d+\) Scan parquet", plan))
+    assert n_scans == 1, n_scans
+    assert exchange_count(df) == 1, exchange_count(df)
