@@ -624,3 +624,90 @@ def zip_stream(
         output_schema=f"{key} long, seq long, left double, right double",
         output_mode="append",
     )
+
+
+def streaming_duplicated_anchors(
+    sdf: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 8,
+    ttl: float = None,
+    max_occurrences: int = 64,
+) -> DataFrame:
+    """Ingest-time ExactSubstr anchors: the streaming counterpart of
+    ``operators.dedup.duplicated_spans``. Every arriving document's
+    positional k-grams probe per-gram state; the moment a gram's
+    corpus count crosses 2 the FIRST occurrence is emitted
+    retroactively alongside the new one, and later occurrences emit as
+    they arrive — so the anchor stream equals the batch operator's
+    anchor relation over the same prefix (per-doc interval merge is a
+    downstream batch step over the anchors, exactly as in the batch
+    op).
+
+    State shards on ``xxhash64(gram)`` — the same 8-byte key the batch
+    op shuffles on; per-gram state is (occurrence list, last-seen), so
+    an arriving doc costs O(its grams), independent of corpus size.
+    ``max_occurrences`` caps the stored list per gram (boilerplate
+    grams): beyond the cap new arrivals still emit (the gram is known
+    duplicated — state keeps only the flag-bearing head), so hot grams
+    cannot grow state. ``ttl`` (seconds) evicts idle grams via
+    per-update pruning + ProcessingTimeTimeout sweeps — the same
+    bounded-state contract as ``streaming_minhash_neardup``.
+
+    Emits ``(id, pos, gh)`` per duplicated anchor occurrence.
+    """
+    import json
+    import time as _time
+
+    from pyspark.sql import functions as F
+
+    from streamz_spark.operators.text import word_kgrams
+
+    kg = sdf.select(
+        F.col(id_col).alias("id"),
+        F.posexplode(word_kgrams(text_col, k)).alias("pos", "gram"),
+    ).select("id", "pos", F.xxhash64("gram").alias("gh"))
+
+    def step(key, pdfs, state: GroupState):
+        if ttl is not None and state.hasTimedOut:
+            state.remove()
+            return
+        now = _time.time()
+        if state.exists:
+            occ, seen = json.loads(state.get[0])
+        else:
+            occ, seen = [], 0.0
+        if ttl is not None and occ and now - seen >= ttl:
+            occ = []  # idle past TTL: prior occurrences expired
+        out_id, out_pos = [], []
+        for pdf in pdfs:
+            for i, p in zip(pdf["id"], pdf["pos"]):
+                i, p = int(i), int(p)
+                occ.append((i, p))
+                if len(occ) == 2:
+                    # the gram just became duplicated: emit the head
+                    # occurrence retroactively, then the new one
+                    out_id.append(occ[0][0])
+                    out_pos.append(occ[0][1])
+                if len(occ) >= 2:
+                    out_id.append(i)
+                    out_pos.append(p)
+                if len(occ) > max_occurrences:
+                    occ = occ[:1] + occ[-(max_occurrences - 1):]
+        state.update((json.dumps([occ, now]),))
+        if ttl is not None:
+            state.setTimeoutDuration(int(ttl * 1000))
+        if out_id:
+            yield pd.DataFrame(
+                {"id": out_id, "pos": out_pos, "gh": [key[0]] * len(out_id)}
+            )
+
+    return kg.groupBy("gh").applyInPandasWithState(
+        step,
+        "id long, pos long, gh long",
+        "payload string",
+        "append",
+        GroupStateTimeout.ProcessingTimeTimeout
+        if ttl is not None
+        else GroupStateTimeout.NoTimeout,
+    )

@@ -124,3 +124,62 @@ def test_ttl_detects_inside_window(spark, tmp_path):
     pairs = _run_ttl_stream(spark, log, ttl=600.0, drive=drive)
     assert (1, 3) in pairs
     assert all(p == (1, 3) for p in pairs)
+
+
+def test_streaming_duplicated_anchors_match_batch_anchor_set(spark):
+    # ingest-time ExactSubstr anchors: replay docs in 3 micro-batches
+    # (duplicated grams land ACROSS batches) and require the emitted
+    # anchor set to equal the brute-force batch anchor relation — the
+    # first occurrence must emit retroactively when its gram becomes
+    # duplicated in a later batch, every occurrence exactly once
+    from collections import Counter
+
+    import pandas as pd
+
+    from streamz_spark.streaming.sinks import sink_to_list
+    from streamz_spark.streaming.sources import from_iterable
+    from streamz_spark.streaming.stateful import streaming_duplicated_anchors
+
+    k = 3
+    boiler = "alpha beta gamma delta"          # shared 4-token run
+    docs = [
+        (1, f"{boiler} eps zeta eta"),          # batch 1: boiler's 1st copy
+        (2, "zeta eps theta eta alpha"),        # batch 1: unique
+        (3, f"theta {boiler} zeta"),            # batch 2: boiler's 2nd copy
+        (4, "eps eps eps eps"),                 # batch 2: self-repeating gram
+        (5, f"eta {boiler}"),                   # batch 3: 3rd copy
+    ]
+    chunks = [
+        pd.DataFrame(docs[0:2], columns=["doc_id", "text"]),
+        pd.DataFrame(docs[2:4], columns=["doc_id", "text"]),
+        pd.DataFrame(docs[4:5], columns=["doc_id", "text"]),
+    ]
+
+    # brute-force anchor relation over the whole corpus
+    grams = Counter()
+    per_doc = {}
+    for i, text in docs:
+        toks = text.lower().split()
+        gs = [" ".join(toks[p:p + k]) for p in range(len(toks) - k + 1)]
+        per_doc[i] = gs
+        grams.update(gs)
+    want = {
+        (i, p) for i, gs in per_doc.items()
+        for p, g in enumerate(gs) if grams[g] >= 2
+    }
+    assert want, "test corpus must contain duplicated grams"
+
+    out = streaming_duplicated_anchors(
+        from_iterable(spark, chunks, "doc_id long, text string"), k=k
+    )
+    batches = sink_to_list(out, output_mode="append")
+    emitted = [
+        (int(r.id), int(r.pos))
+        for b in batches if len(b)
+        for r in b.itertuples(index=False)
+    ]
+    assert sorted(emitted) == sorted(want), (
+        f"emitted {sorted(emitted)} want {sorted(want)}"
+    )
+    # exactly-once per occurrence
+    assert len(emitted) == len(set(emitted))
