@@ -73,30 +73,73 @@ def register_views(spark: SparkSession, sf_dir: str, names=TABLES) -> None:
         load_table(spark, sf_dir, name).createOrReplaceTempView(name)
 
 
+# schema-metadata key marking a frame already fanned out by
+# ensure_scan_parallelism (compose-guard against double repartition)
+_FANOUT_TAG = "streamz_spark.fanout"
+
+_BYTE_CONF_RE = None
+
+
 def _parse_byte_conf(s: str) -> int:
-    """Parse a Spark byte conf value ('134217728b', '128m', '1g')."""
-    s = s.strip().lower()
-    mult = 1
-    for suffix, m in (("k", 1024), ("m", 1024**2), ("g", 1024**3), ("b", 1)):
-        if s.endswith(suffix):
-            s, mult = s[: -len(suffix)], m
-            break
-    return int(s) * mult
+    """Parse a Spark byte conf value, mirroring JavaUtils.byteStringAs:
+    bare digits, one-letter ('128m', '1g'), and two-letter ('128mb',
+    '1gb', '64kb', '2tb') suffixes are all Spark-legal.
+    """
+    global _BYTE_CONF_RE
+    if _BYTE_CONF_RE is None:
+        import re
+
+        _BYTE_CONF_RE = re.compile(r"^(\d+)\s*([kmgtp]?)b?$")
+    m = _BYTE_CONF_RE.match(s.strip().lower())
+    if not m:
+        raise ValueError(f"unparseable byte conf: {s!r}")
+    mult = {"": 1, "k": 1024, "m": 1024**2, "g": 1024**3,
+            "t": 1024**4, "p": 1024**5}[m.group(2)]
+    return int(m.group(1)) * mult
 
 
-@lru_cache(maxsize=1024)
+# text compression codecs Spark cannot split: the whole file is one
+# task regardless of byte ranges (parquet's internal compression is
+# fine — splits happen at row-group boundaries above the codec)
+_NON_SPLITTABLE_EXTS = (".gz", ".zst", ".bz2", ".lz4", ".snappy", ".deflate", ".xz")
+
+
+@lru_cache(maxsize=4096)
+def _file_scan_splits(path: str, size: int, mtime_ns: int, max_partition_bytes: int) -> int:
+    """Scan splits for ONE file; cached on (path, size, mtime) so an
+    overwritten/appended file at the same path re-estimates instead of
+    serving a stale process-lifetime count."""
+    import math
+
+    byte_splits = max(1, math.ceil(size / max_partition_bytes))
+    if byte_splits > 1:
+        if path.endswith(".parquet"):
+            try:
+                import pyarrow.parquet as pq
+
+                byte_splits = min(
+                    byte_splits, max(1, pq.ParquetFile(path).metadata.num_row_groups)
+                )
+            except Exception:
+                pass  # unreadable footer: keep the byte-range estimate
+        elif path.endswith(_NON_SPLITTABLE_EXTS):
+            # compressed text (.json.gz, .csv.zst, ...): Spark reads the
+            # whole file in one task — byte ranges don't apply
+            byte_splits = 1
+    return byte_splits
+
+
 def _effective_scan_splits(files: tuple[str, ...], max_partition_bytes: int) -> int:
     """Estimated count of NON-EMPTY scan splits Spark will plan for
     these files: byte-range splits per file, capped by the parquet
     row-group count when the file is big enough to matter (a
     single-row-group file yields one non-empty split no matter how
     many byte ranges cover it — each row group is read by the split
-    containing its midpoint). Files under max_partition_bytes never
-    need a footer read; unreadable/remote files count as one split
+    containing its midpoint), and forced to 1 for non-splittable
+    compressed text. Files under max_partition_bytes never need a
+    footer read; unreadable/remote files count as one split
     (conservative: at 100 TB the file count alone clears any target).
     """
-    import math
-
     total = 0
     for uri in files:
         path = uri
@@ -105,21 +148,11 @@ def _effective_scan_splits(files: tuple[str, ...], max_partition_bytes: int) -> 
         elif path.startswith("file:"):
             path = path[5:]
         try:
-            size = os.path.getsize(path)
+            st = os.stat(path)
         except OSError:
             total += 1
             continue
-        byte_splits = max(1, math.ceil(size / max_partition_bytes))
-        if byte_splits > 1:
-            try:
-                import pyarrow.parquet as pq
-
-                byte_splits = min(
-                    byte_splits, max(1, pq.ParquetFile(path).metadata.num_row_groups)
-                )
-            except Exception:
-                pass  # not parquet (e.g. text): byte ranges are the splits
-        total += byte_splits
+        total += _file_scan_splits(path, st.st_size, st.st_mtime_ns, max_partition_bytes)
     return total
 
 
@@ -158,11 +191,13 @@ def ensure_scan_parallelism(df: DataFrame, min_partitions: int | None = None) ->
         files = tuple(df.inputFiles())
         if not files:
             return df
-        # guard against double-fanning when operators compose: an
-        # explicit Repartition in the analyzed plan means parallelism
-        # was already arranged (analysis-only inspection, no physical
-        # planning)
-        if "Repartition" in df._jdf.queryExecution().analyzed().toString():
+        # guard against double-fanning when operators compose: frames
+        # downstream of a previous fan-out carry a schema-metadata tag
+        # (public API — no private JVM-handle plan inspection, works on
+        # Connect-style sessions); metadata survives projections and
+        # renames of the tagged columns, so the common compose shape
+        # (narrow transforms between two operators) is caught
+        if any(f.metadata.get(_FANOUT_TAG) for f in df.schema.fields):
             return df
         mpb = _parse_byte_conf(
             spark.conf.get("spark.sql.files.maxPartitionBytes", "134217728b")
@@ -170,7 +205,13 @@ def ensure_scan_parallelism(df: DataFrame, min_partitions: int | None = None) ->
         if _effective_scan_splits(files, mpb) >= target:
             return df
     except Exception:
-        # capability probe failed (e.g. connect-style session without
-        # _jdf): never let the fan-out helper break the query
+        # capability probe failed: never let the fan-out helper break
+        # the query
         return df
-    return df.repartition(target)
+    out = df.repartition(target)
+    try:
+        for f in out.schema.fields:
+            out = out.withMetadata(f.name, {**f.metadata, _FANOUT_TAG: True})
+    except Exception:
+        pass  # tagging is best-effort; worst case is one extra shuffle
+    return out

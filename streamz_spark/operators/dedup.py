@@ -263,19 +263,28 @@ def fuzzy_levenshtein_pairs(
         blk.alias("__blk"),
     )
     names = p.select("__name", "__blk").distinct()
-    na = names.select(F.col("__name").alias("name_a"), F.col("__blk").alias("blk_a"))
-    nb = names.select(F.col("__name").alias("name_b"), F.col("__blk").alias("blk_b"))
+    na = names.select(F.col("__name").alias("name_a"), F.col("__blk").alias("__blk"))
+    nb = names.select(F.col("__name").alias("name_b"), F.col("__blk").alias("__blk"))
+    # one row per (name_a, name_b, block): blocking is strict — a name
+    # pair matches only within a shared block, and when the block is
+    # not a pure function of the name the distinct() keeps the pair
+    # from being emitted once per shared block
     npairs = (
-        na.join(nb, F.col("blk_a") == F.col("blk_b"))
+        na.join(nb, "__blk")
         .withColumn("dist", F.levenshtein("name_a", "name_b"))
         .filter(F.col("dist") <= max_dist)
-        .select("name_a", "name_b", "dist")
+        .select("name_a", "name_b", "__blk", "dist")
+        .distinct()
     )
-    a = p.select(F.col("__id").alias("id_a"), F.col("__name").alias("name_a"))
-    b = p.select(F.col("__id").alias("id_b"), F.col("__name").alias("name_b"))
+    a = p.select(F.col("__id").alias("id_a"), F.col("__name").alias("name_a"), "__blk")
+    b = p.select(F.col("__id").alias("id_b"), F.col("__name").alias("name_b"), "__blk")
+    # expansion joins carry the block key, so ids pair only inside the
+    # block where their names co-occur; the id_a < id_b orientation
+    # then makes each (id_a, id_b) row unique without an id-level
+    # distinct (which would shuffle the full expanded relation)
     return (
-        a.join(F.broadcast(npairs), "name_a")
-        .join(F.broadcast(b), "name_b")
+        a.join(F.broadcast(npairs), ["name_a", "__blk"])
+        .join(F.broadcast(b), ["name_b", "__blk"])
         .filter(F.col("id_a") < F.col("id_b"))
         .select("id_a", "id_b", "name_a", "name_b", "dist")
     )

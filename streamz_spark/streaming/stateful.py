@@ -631,7 +631,7 @@ def streaming_duplicated_anchors(
     id_col: str = "doc_id",
     text_col: str = "text",
     k: int = 8,
-    ttl: float = None,
+    ttl: float | None = None,
     max_occurrences: int = 64,
 ) -> DataFrame:
     """Ingest-time ExactSubstr anchors: the streaming counterpart of
@@ -662,6 +662,12 @@ def streaming_duplicated_anchors(
     from pyspark.sql import functions as F
 
     from streamz_spark.operators.text import word_kgrams
+
+    if max_occurrences < 2:
+        # the trim keeps the flag-bearing head PLUS the newest
+        # (max_occurrences - 1) entries; below 2 that window is empty
+        # and the slice arithmetic (-0) would silently disable the cap
+        raise ValueError("max_occurrences must be >= 2 (head + at least one tail entry)")
 
     kg = sdf.select(
         F.col(id_col).alias("id"),

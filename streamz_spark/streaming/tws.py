@@ -55,22 +55,62 @@ BUNDLED_PROTOBUF_ROOTS = (
 )
 
 
+def _protobuf_shim_dir(root: str) -> str | None:
+    """Build (or reuse) a shim directory exposing ONLY
+    ``google/protobuf`` from a vendored bundle root.
+
+    The gcloud bundle's top-level ``google`` package also carries
+    appengine/auth/oauth2/pyglib — putting the raw root on sys.path
+    would shadow any installed google-namespace packages (google-auth,
+    googleapis-common-protos) for the driver AND every Python worker.
+    The shim is a namespace-package portion (``shim/google/`` with no
+    ``__init__.py``) holding one symlink ``protobuf`` into the bundle,
+    so the import system composes it with existing ``google``
+    namespace portions and resolves exactly one subpackage from it.
+    """
+    import tempfile
+
+    src = os.path.join(root, "google", "protobuf")
+    if not os.path.isfile(os.path.join(src, "__init__.py")):
+        return None
+    shim = os.path.join(
+        tempfile.gettempdir(), f"streamz_spark_pb_shim_{os.getuid()}"
+    )
+    link = os.path.join(shim, "google", "protobuf")
+    try:
+        os.makedirs(os.path.join(shim, "google"), exist_ok=True)
+        if os.path.islink(link):
+            if os.readlink(link) != src:
+                os.remove(link)
+                os.symlink(src, link)
+        elif not os.path.exists(link):
+            os.symlink(src, link)
+        return shim
+    except OSError:
+        return None
+
+
 def ensure_protobuf_runtime() -> str | None:
     """Make ``google.protobuf`` importable for BOTH the driver and
     Spark's Python workers without installing anything.
 
     Resolution order: (1) already importable (site-packages); (2)
     ``$SPARK_GRAFT_PROTOBUF_PATH``; (3) known offline bundles
-    (``BUNDLED_PROTOBUF_ROOTS``). A bundle root is prepended to
-    ``sys.path`` and to ``os.environ['PYTHONPATH']`` — local-mode
-    Python workers inherit the driver process environment, so they
-    resolve the same runtime — and protobuf's own
-    ``TEMPORARILY_DISABLE_PROTOBUF_VERSION_CHECK`` flag is set:
-    pyspark 4.1 ships gencode 6.33 while the gcloud bundle is runtime
-    6.32 — same major version, wire-compatible per protobuf's
-    cross-version guarantee; only the advisory minor-version check
-    needs relaxing. Must run before the JVM starts for workers to see
-    the env (``session.get_spark`` calls it).
+    (``BUNDLED_PROTOBUF_ROOTS``). Rather than exposing a bundle root
+    wholesale, a scoped shim (see ``_protobuf_shim_dir``) exporting
+    only ``google.protobuf`` is APPENDED to ``sys.path`` and to
+    ``os.environ['PYTHONPATH']`` — appended, so anything actually
+    installed always wins, and scoped, so the bundle's other vendored
+    packages (appengine/auth/oauth2) can never shadow real ones.
+    Local-mode Python workers inherit the driver process environment,
+    so they resolve the same runtime. Protobuf's own
+    ``TEMPORARILY_DISABLE_PROTOBUF_VERSION_CHECK`` flag is set only
+    when a bundle is actually used: pyspark 4.1 ships gencode 6.33
+    while the gcloud bundle is runtime 6.32 — same major version,
+    wire-compatible per protobuf's cross-version guarantee; only the
+    advisory minor-version check needs relaxing. Must run before the
+    JVM starts for workers to see the env (``session.get_spark``
+    calls it).
 
     Returns the source used ("site-packages" or the bundle root), or
     None when no runtime exists.
@@ -88,8 +128,11 @@ def ensure_protobuf_runtime() -> str | None:
     for root in candidates:
         if not os.path.isfile(os.path.join(root, "google", "protobuf", "__init__.py")):
             continue
-        if root not in sys.path:
-            sys.path.insert(0, root)
+        # prefer the scoped shim; fall back to the raw root (still
+        # appended) only if symlinks are unavailable
+        entry = _protobuf_shim_dir(root) or root
+        if entry not in sys.path:
+            sys.path.append(entry)
         importlib.invalidate_caches()
         try:
             if importlib.util.find_spec("google.protobuf") is None:
@@ -97,9 +140,9 @@ def ensure_protobuf_runtime() -> str | None:
         except ModuleNotFoundError:
             continue
         pythonpath = os.environ.get("PYTHONPATH", "")
-        if root not in pythonpath.split(os.pathsep):
+        if entry not in pythonpath.split(os.pathsep):
             os.environ["PYTHONPATH"] = (
-                root + (os.pathsep + pythonpath if pythonpath else "")
+                (pythonpath + os.pathsep if pythonpath else "") + entry
             )
         os.environ.setdefault("TEMPORARILY_DISABLE_PROTOBUF_VERSION_CHECK", "true")
         return root

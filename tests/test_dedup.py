@@ -108,3 +108,31 @@ def test_ivf_ann_finds_planted_near_duplicates(spark):
     expected = {(i, 1000 + i) for i in range(30)} | {(1000 + i, i) for i in range(30)}
     recall = len(got & expected) / len(expected)
     assert recall >= 0.9, f"planted-pair recall {recall}"
+
+
+def test_fuzzy_pairs_block_not_function_of_name(spark):
+    # ADVICE r5: when the caller's block key is NOT a pure function of
+    # the name, (a) a pair sharing several blocks must emit ONE row,
+    # and (b) identical names in different blocks must NOT pair
+    from streamz_spark.operators.dedup import fuzzy_levenshtein_pairs
+
+    rows = [
+        # same name, different blocks: must not pair (strict blocking)
+        (1, "alpha", "b1"),
+        (2, "alpha", "b2"),
+        # near-dup names inside one block: exactly one pair row
+        (3, "gamma", "b3"),
+        (4, "gamm", "b3"),
+        # same name-pair repeated across two blocks via extra rows:
+        # each in-block id pair once, never a cross-block pair
+        (5, "delta", "b4"),
+        (6, "delt", "b4"),
+        (7, "delta", "b5"),
+        (8, "delt", "b5"),
+    ]
+    df = spark.createDataFrame(rows, "pk long, name string, blk string")
+    out = fuzzy_levenshtein_pairs(
+        df, id_col="pk", name_col="name", block="blk", max_dist=2
+    ).collect()
+    got = [(r.id_a, r.id_b) for r in out]
+    assert sorted(got) == [(3, 4), (5, 6), (7, 8)]  # no dups, no cross-block

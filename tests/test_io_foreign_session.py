@@ -102,3 +102,68 @@ def test_ensure_scan_parallelism_composes_without_double_shuffle(spark):
     assert once is not docs
     twice = ensure_scan_parallelism(once)
     assert twice is once
+
+
+def test_ensure_scan_parallelism_guard_survives_narrow_transforms(spark):
+    # the compose-guard tag is schema metadata, which projections and
+    # renames of tagged columns carry through — so operator chains
+    # with narrow transforms between two fan-out calls still don't
+    # stack repartitions
+    from pyspark.sql import functions as F
+
+    from streamz_spark.io import ensure_scan_parallelism, load_table
+
+    from .conftest import SF_DIR
+
+    docs = load_table(spark, SF_DIR, "documents")
+    once = ensure_scan_parallelism(docs)
+    derived = once.withColumn("n_chars", F.length("text")).select(
+        F.col("doc_id").alias("id"), "n_chars"
+    )
+    assert ensure_scan_parallelism(derived) is derived
+
+
+def test_ensure_scan_parallelism_uses_no_private_jdf():
+    # VERDICT r5 #4: the compose-guard must not inspect plans via the
+    # private _jdf handle (breaks silently on Connect-style sessions)
+    import inspect
+
+    import streamz_spark.io as io_mod
+
+    assert "_jdf" not in inspect.getsource(io_mod)
+
+
+def test_parse_byte_conf_spark_legal_forms():
+    from streamz_spark.io import _parse_byte_conf
+
+    assert _parse_byte_conf("134217728b") == 134217728
+    assert _parse_byte_conf("128m") == 128 * 1024**2
+    assert _parse_byte_conf("128mb") == 128 * 1024**2
+    assert _parse_byte_conf("1gb") == 1024**3
+    assert _parse_byte_conf("64kb") == 64 * 1024
+    assert _parse_byte_conf("2tb") == 2 * 1024**4
+    assert _parse_byte_conf(" 42 ") == 42
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        _parse_byte_conf("abc")
+
+
+def test_file_scan_splits_nonsplittable_and_stale_cache(tmp_path):
+    import os
+
+    from streamz_spark.io import _effective_scan_splits
+
+    # non-splittable compressed text counts as ONE split however big
+    gz = tmp_path / "big.json.gz"
+    gz.write_bytes(b"\x1f\x8b" + b"0" * 4096)
+    assert _effective_scan_splits((str(gz),), 1024) == 1
+
+    # overwriting a file at the same path must re-estimate (cache is
+    # keyed on size+mtime, not just path)
+    txt = tmp_path / "data.txt"
+    txt.write_bytes(b"x" * 1000)
+    assert _effective_scan_splits((str(txt),), 512) == 2
+    txt.write_bytes(b"x" * 4000)
+    os.utime(txt, ns=(1, 1))  # force a distinct mtime either way
+    assert _effective_scan_splits((str(txt),), 512) == 8

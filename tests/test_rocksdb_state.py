@@ -525,3 +525,32 @@ def test_tws_timer_closes_idle_session(rocksdb, tmp_path):
     assert len(rows) == 1, rows
     r = rows[0]
     assert (r["user_id"], r["n_events"], r["total"]) == (1, 2, 42.0), rows
+
+
+def test_protobuf_recovery_scoped_to_protobuf_only():
+    # ADVICE r5: the offline-bundle recovery must not expose the
+    # bundle's other vendored top-level packages (appengine, oauth2,
+    # pyglib) to the driver/workers, must APPEND (installed packages
+    # always win), and must only engage when protobuf is missing
+    import importlib.util
+    import os
+    import sys
+
+    from streamz_spark.streaming.tws import ensure_protobuf_runtime
+
+    src = ensure_protobuf_runtime()
+    if src is None:
+        pytest.skip("no protobuf runtime in this environment")
+    if src == "site-packages":
+        return  # nothing was wired; nothing to scope-check
+    entries = [p for p in sys.path if p != src and "pb_shim" in p]
+    assert entries, "bundle recovery should go through the scoped shim"
+    shim = entries[0]
+    assert sys.path.index(shim) > 0  # appended, not prepended
+    # only google.protobuf resolves through the shim — none of the
+    # bundle's other vendored packages leak into the import system
+    assert importlib.util.find_spec("google.protobuf") is not None
+    for vendored in ("google.appengine", "google.pyglib"):
+        assert importlib.util.find_spec(vendored) is None
+    # workers inherit the same scoped entry
+    assert shim in os.environ.get("PYTHONPATH", "").split(os.pathsep)

@@ -183,3 +183,21 @@ def test_streaming_duplicated_anchors_match_batch_anchor_set(spark):
     )
     # exactly-once per occurrence
     assert len(emitted) == len(set(emitted))
+
+
+def test_streaming_duplicated_anchors_rejects_cap_below_two(spark):
+    # ADVICE r5: max_occurrences=1 used to slice with -0, silently
+    # disabling the state cap — must now raise up front
+    import pytest
+
+    from streamz_spark.streaming.sources import from_iterable
+    from streamz_spark.streaming.stateful import streaming_duplicated_anchors
+
+    import pandas as pd
+
+    src = from_iterable(
+        spark, [pd.DataFrame([(1, "a b c")], columns=["doc_id", "text"])],
+        "doc_id long, text string",
+    )
+    with pytest.raises(ValueError, match="max_occurrences"):
+        streaming_duplicated_anchors(src, k=2, max_occurrences=1)
