@@ -1990,7 +1990,7 @@ def _pretrain_pipeline_oracle() -> str:
 
     bpe = BPE_PRETOKEN_PATTERN.replace("'", "''")
     return f"""
-    WITH base AS (
+    WITH RECURSIVE base AS (
         SELECT doc_id, text,
                length(text)::DOUBLE AS n,
                length(regexp_replace(text, '[^.,;:!?''"()\\[\\]{{}}-]', '', 'g'))::DOUBLE AS punct,
@@ -2036,10 +2036,74 @@ def _pretrain_pipeline_oracle() -> str:
             PARTITION BY md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'))
             ORDER BY doc_id) = 1
     ),
+    sh3 AS (
+        SELECT id, list_distinct(list_transform(
+                   generate_series(1, greatest(len(w) - 2, 0)),
+                   i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS sh
+        FROM dedup
+    ),
+    sized AS (SELECT id, len(sh) AS n_sh FROM sh3 WHERE len(sh) > 0),
+    posting3 AS (SELECT id, unnest(sh) AS shingle FROM sh3),
+    finter AS (
+        SELECT a.id AS id_a, b.id AS id_b, COUNT(*) AS n_common
+        FROM posting3 a JOIN posting3 b
+          ON a.shingle = b.shingle AND a.id < b.id
+        GROUP BY 1, 2
+    ),
+    fpairs AS (
+        SELECT id_a, id_b FROM finter
+        JOIN sized na ON na.id = id_a
+        JOIN sized nb ON nb.id = id_b
+        WHERE n_common / (na.n_sh + nb.n_sh - n_common) >= 0.5
+    ),
+    fedges AS (
+        SELECT id_a AS u, id_b AS v FROM fpairs
+        UNION SELECT id_b, id_a FROM fpairs
+    ),
+    freach AS (
+        SELECT DISTINCT u AS id, u AS r FROM fedges
+        UNION
+        SELECT e.v AS id, freach.r FROM freach JOIN fedges e ON e.u = freach.id
+    ),
+    fcomp AS (SELECT id, MIN(r) AS cluster_id FROM freach GROUP BY id),
+    fuzzy AS (
+        SELECT d.* FROM dedup d
+        WHERE NOT EXISTS (SELECT 1 FROM fcomp c
+                          WHERE c.id = d.id AND c.id <> c.cluster_id)
+    ),
+    benchsh AS (
+        SELECT DISTINCT unnest(list_transform(
+                   generate_series(1, greatest(len(w) - 6, 0)),
+                   i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2] || ' ' ||
+                        w[i+3] || ' ' || w[i+4] || ' ' || w[i+5] || ' ' || w[i+6]
+               )) AS shingle
+        FROM base WHERE doc_id % 97 = 0
+    ),
+    sh7 AS (
+        SELECT id, list_distinct(list_transform(
+                   generate_series(1, greatest(len(w) - 6, 0)),
+                   i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2] || ' ' ||
+                        w[i+3] || ' ' || w[i+4] || ' ' || w[i+5] || ' ' || w[i+6]
+               )) AS sh
+        FROM fuzzy
+    ),
+    chits AS (
+        SELECT p.id, COUNT(*) AS n_hits
+        FROM (SELECT id, unnest(sh) AS shingle FROM sh7) p
+        JOIN benchsh USING (shingle)
+        GROUP BY p.id
+    ),
+    contam AS (
+        SELECT s.id FROM sh7 s JOIN chits h USING (id)
+        WHERE len(s.sh) > 0 AND h.n_hits / len(s.sh) >= 0.5
+    ),
+    decont AS (
+        SELECT f.* FROM fuzzy f WHERE f.id NOT IN (SELECT id FROM contam)
+    ),
     kg AS (
         SELECT id, t.p - 1 AS pos,
                array_to_string(w[t.p:t.p+{_SPAN_K}-1], ' ') AS gram
-        FROM dedup, UNNEST(generate_series(1, len(w) - {_SPAN_K} + 1)) AS t(p)
+        FROM decont, UNNEST(generate_series(1, len(w) - {_SPAN_K} + 1)) AS t(p)
     ),
     freq AS (SELECT gram, COUNT(*) AS cnt FROM kg GROUP BY 1),
     anch AS (SELECT id, pos FROM kg JOIN freq USING (gram) WHERE cnt >= 2),
@@ -2061,7 +2125,7 @@ def _pretrain_pipeline_oracle() -> str:
         FROM isl GROUP BY id, span_id
     ),
     toks AS (SELECT id, t.p - 1 AS pos, w[t.p] AS term
-             FROM dedup, UNNEST(generate_series(1, len(w))) AS t(p)),
+             FROM decont, UNNEST(generate_series(1, len(w))) AS t(p)),
     keptt AS (
         SELECT t.id, t.pos, t.term FROM toks t
         WHERE NOT EXISTS (SELECT 1 FROM spans s
@@ -2080,7 +2144,7 @@ def _pretrain_pipeline_oracle() -> str:
                CAST(CASE WHEN d.id IN (SELECT id FROM spans)
                     THEN len(d.w) - COALESCE(r.n_kept, 0) ELSE 0
                END AS BIGINT) AS n_tokens_removed
-        FROM dedup d LEFT JOIN rebuilt r ON d.id = r.id
+        FROM decont d LEFT JOIN rebuilt r ON d.id = r.id
     )
     SELECT doc_id, lang_pred,
            CASE WHEN ('0x' || substr(md5('42:' || doc_id), 1, 8))::BIGINT % 10000 < 9000 THEN 'train'
@@ -2099,20 +2163,43 @@ def _pretrain_pipeline_oracle() -> str:
     doc="END-TO-END pretraining-corpus pipeline as ONE composed lazy "
         "plan, oracle-checked stage-for-stage: quality scoring + "
         "language id (narrow, zero shuffle) -> filter -> exact dedup "
-        "(one fingerprint groupBy) -> substring-level span removal "
-        "(one gram-hash exchange + doc-key window, no join) -> "
-        "deterministic md5 hash split (map-side) -> BPE token "
-        "metering of the cleaned text (narrow regex). Composition is "
-        "the point: every stage is the already-verified operator, and "
-        "Catalyst fuses the narrow stages into the surrounding "
-        "exchanges — three full-row corpus shuffles end to end (scan "
-        "fan-out, gram hash, doc key) plus two map-side-combined "
-        "fingerprint-key aggregates that shuffle only (fp, min id) "
-        "pairs; every join in the plan is a broadcast.",
+        "(one fingerprint groupBy) -> FUZZY dedup (MinHash LSH "
+        "candidates + exact-Jaccard verify + connected-component "
+        "clusters, min-id representative kept via an anti-join "
+        "drop-list) -> benchmark decontamination (7-gram overlap vs "
+        "the deterministic doc_id%97 stand-in, contaminated docs "
+        "dropped via a second anti-join drop-list) -> substring-level "
+        "span removal (one gram-hash exchange + doc-key window, no "
+        "join) -> deterministic md5 hash split (map-side) -> BPE "
+        "token metering of the cleaned text (narrow regex). This is "
+        "the full published recipe (RefinedWeb/CCNet/Lee et al.): "
+        "exact AND near-dup AND decontamination in one lazy plan. "
+        "The oracle replicates every stage independently in SQL — the "
+        "fuzzy stage as the exact Jaccard pair set + recursive-CTE "
+        "reachability (LSH recall failures surface as extra kept "
+        "docs). Both drop-lists are tiny relative to the corpus "
+        "(duplicates + contaminated docs), so the corpus-side "
+        "anti-joins broadcast; the only corpus-wide exchanges are the "
+        "shingle/gram key shuffles each dedup mode already pays "
+        "standalone.",
 )
 def pretrain_corpus_pipeline(spark, sf_dir):
+    return _build_pretrain_pipeline(spark, sf_dir, checkpoint=True)
+
+
+def _build_pretrain_pipeline(spark, sf_dir, checkpoint: bool = True):
+    """Pipeline builder; ``checkpoint=False`` keeps the whole 9-stage
+    composition in ONE lazy plan so the plan contract can inspect
+    every stage (the checkpointed production shape truncates the plan
+    at each materialization barrier)."""
     from streamz_spark.operators import text as t
-    from streamz_spark.operators.dedup import dedup_exact, remove_duplicated_spans
+    from streamz_spark.operators.components import dedup_clusters as dc
+    from streamz_spark.operators.contamination import contamination_check
+    from streamz_spark.operators.dedup import (
+        dedup_exact,
+        minhash_near_duplicates,
+        remove_duplicated_spans,
+    )
     from streamz_spark.operators.sampling import hash_split
 
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
@@ -2120,17 +2207,44 @@ def pretrain_corpus_pipeline(spark, sf_dir):
     kept = q.filter(
         (F.col("quality_score") >= 0.5) & (F.col("lang_pred") != "und")
     ).select("doc_id", "text", "lang_pred")
-    # the filtered corpus feeds FOUR consumers downstream (dedup's
-    # fingerprint aggregate + join-back, the span k-gram pass, and the
-    # span join-back): one localCheckpoint replaces four evaluations
-    # of the scan+regex subtree — measured 8.2 s -> 4.3 s at sf0.1
-    # (checkpointing after dedup instead: 5.9 s). At 100 TB this is
-    # the standard persist-vs-rescan call: the materialized frame is
-    # the post-filter corpus on executor-local disk, ~the same bytes
-    # one extra scan would read, bought once instead of three times.
-    kept = kept.localCheckpoint(eager=True)
+    # the filtered corpus feeds every downstream consumer (dedup's
+    # fingerprint aggregate + join-back, the minhash shingle pass, the
+    # contamination shingling, the span k-gram pass and join-back):
+    # one localCheckpoint replaces repeated evaluations of the
+    # scan+regex subtree. At 100 TB this is the standard
+    # persist-vs-rescan call: the materialized frame is the
+    # post-filter corpus on executor-local disk, ~the same bytes one
+    # extra scan would read, bought once instead of N times.
+    if checkpoint:
+        kept = kept.localCheckpoint(eager=True)
     deduped = dedup_exact(kept)
-    cleaned = remove_duplicated_spans(deduped, k=_SPAN_K)
+    # fuzzy near-dup stage: LSH proposes, exact Jaccard verifies, CC
+    # resolves clusters; only the drop-list (non-representative
+    # cluster members) flows into the corpus anti-join. No broadcast
+    # hint on the drop-lists: at web scale near-dup drop-lists are a
+    # double-digit percentage of the corpus, so the anti-join must be
+    # free to shuffle on the doc key — AQE converts to broadcast at
+    # runtime whenever the drop-list is actually small.
+    pairs = minhash_near_duplicates(
+        deduped, num_perm=64, k=3, bands=16, threshold=0.5
+    )
+    fuzzy_drop = dc(deduped, pairs).filter(~F.col("keep")).select("doc_id")
+    fuzzy = deduped.join(fuzzy_drop, "doc_id", "left_anti")
+    # decontamination stage: same deterministic benchmark stand-in as
+    # the standalone contamination_check entry (doc_id % 97 over the
+    # ORIGINAL corpus — decontamination screens against the benchmark
+    # regardless of whether quality filtering kept those docs)
+    bench = docs.filter(F.col("doc_id") % 97 == 0)
+    cont = contamination_check(fuzzy, bench, k=7, threshold=0.5)
+    cont_drop = cont.filter(F.col("contaminated")).select("doc_id")
+    decont = fuzzy.join(cont_drop, "doc_id", "left_anti")
+    # second barrier, A/B-measured (BENCH_NOTES.md): the decontaminated
+    # corpus feeds the span pass AND the span join-back AND the final
+    # projection — without it the fuzzy anti-join + contamination
+    # shingling subtree re-evaluates once per consumer
+    if checkpoint:
+        decont = decont.localCheckpoint(eager=True)
+    cleaned = remove_duplicated_spans(decont, k=_SPAN_K)
     out = hash_split(cleaned, "doc_id")
     return out.select(
         "doc_id",

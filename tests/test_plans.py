@@ -316,21 +316,56 @@ def test_duplicated_spans_plan_shape(spark):
 
 
 def test_pretrain_pipeline_plan_shape(spark):
-    # the composed end-to-end pipeline keeps every stage's individual
-    # contract: broadcast joins only (never sort-merge / cartesian /
-    # nested-loop on sf-scaled relations), map-side partial aggregation
-    # for the fingerprint dedup, and at most 5 exchanges total — 3
-    # full-row corpus shuffles (fan-out, gram hash, doc key) + 2
-    # fingerprint-key aggregate exchanges
+    # the composed end-to-end pipeline (now 9 stages: quality+lang-id
+    # -> filter -> exact dedup -> minhash-LSH fuzzy dedup + CC ->
+    # decontamination -> span removal -> split -> BPE meter) keeps
+    # every stage's individual contract. Two shapes are pinned:
+    #
+    # (a) the production entry truncates at two measured
+    #     materialization barriers (post-filter corpus, post-decont
+    #     corpus); its visible plan is the span/split/meter tail —
+    #     broadcast-joins-only, <= 3 exchanges (gram hash, doc key,
+    #     + the barrier's own coalesce if any);
+    # (b) the uncheckpointed composition exposes all stages in ONE
+    #     lazy plan: never a cartesian/nested-loop product, and every
+    #     sort-merge join is one of exactly two sanctioned shapes —
+    #     the cluster-size annotate on the component key (tiny
+    #     per-cluster relation, AQE-broadcast at runtime) and the
+    #     doc_id ANTI-join applying a dedup/decontamination drop-list
+    #     (the one join a web-scale dedup legitimately shuffles: the
+    #     drop-list can be 30-50% of the corpus, so it must be free
+    #     to shuffle on the doc key, with AQE broadcasting whenever
+    #     it is actually small).
+    import re
+
     from streamz_spark.plans import exchange_count, explain_string
+    from streamz_spark.queries.extra import _build_pretrain_pipeline
 
     df = q("pretrain_corpus_pipeline", spark)
     plan = explain_string(df)
     assert "CartesianProduct" not in plan
     assert "SortMergeJoin" not in plan
     assert "BroadcastHashJoin" in plan
-    assert "partial_" in plan
-    assert exchange_count(df) <= 5, exchange_count(df)
+    assert exchange_count(df) <= 3, exchange_count(df)
+
+    full = _build_pretrain_pipeline(spark, SF_DIR, checkpoint=False)
+    fplan = explain_string(full)
+    assert "CartesianProduct" not in fplan
+    assert "BroadcastNestedLoopJoin" not in fplan
+    assert "partial_" in fplan  # map-side combine on the aggregates
+    smjs = re.findall(
+        r"\(\d+\) SortMergeJoin[^\n]*\n"
+        r"Left keys \[\d+\]: \[([^\]#]*)[^\]]*\]\n"
+        r"Right keys \[\d+\]: \[[^\]]*\]\n"
+        r"Join type: (\w+)",
+        fplan,
+    )
+    assert smjs, "expected the sanctioned sort-merge joins in the full plan"
+    for key, jtype in smjs:
+        assert (key.strip(), jtype) in {
+            ("component", "Inner"),
+            ("doc_id", "LeftAnti"),
+        }, (key, jtype)
 
 
 def test_unigram_nll_auto_dispatch_counts_vocab(spark):
