@@ -554,3 +554,105 @@ def test_protobuf_recovery_scoped_to_protobuf_only():
         assert importlib.util.find_spec(vendored) is None
     # workers inherit the same scoped entry
     assert shim in os.environ.get("PYTHONPATH", "").split(os.pathsep)
+
+
+def test_streaming_pretrain_pipeline_restart_continuation(rocksdb, tmp_path):
+    # VERDICT r5 #2: the streaming pretraining-pipeline counterpart
+    # must survive a mid-corpus restart on the RocksDB provider — the
+    # LSH bucket state persists in the checkpoint, so near-dup pairs
+    # spanning the restart boundary (doc in chunk 1, its dup in chunk
+    # 3) are still detected, and the combined pair set equals a
+    # one-shot run over the whole corpus
+    import glob
+
+    from pyspark.sql import functions as F
+
+    from streamz_spark.io import load_table
+    from streamz_spark.streaming.sources import from_directory
+    from streamz_spark.streaming.stateful import streaming_minhash_neardup
+
+    from .conftest import SF_DIR
+    from .test_stream_batch_matrix import _quality_lang_filter
+
+    spark = rocksdb
+    docs = load_table(spark, SF_DIR, "documents").select("doc_id", "text")
+    lo, hi = docs.agg(F.min("doc_id"), F.max("doc_id")).first()
+    span = (int(hi) - int(lo) + 4) // 4
+    src_dir, out_dir, ckpt = (
+        str(tmp_path / "src"), str(tmp_path / "out"), str(tmp_path / "ckpt")
+    )
+    os.makedirs(src_dir)
+
+    def write_chunk(i):
+        docs.filter(
+            (F.col("doc_id") >= int(lo) + i * span)
+            & (F.col("doc_id") < int(lo) + (i + 1) * span)
+        ).coalesce(1).write.mode("overwrite").parquet(
+            os.path.join(src_dir, f"chunk={i:05d}")
+        )
+
+    def run_query():
+        stream = _quality_lang_filter(
+            from_directory(
+                spark, os.path.join(src_dir, "chunk=*"), docs.schema,
+                one_file_per_trigger=True, pathGlobFilter="*.parquet",
+            )
+        )
+        q = (
+            streaming_minhash_neardup(
+                stream, num_perm=64, bands=16, min_est_jaccard=0.0, k=3
+            )
+            .writeStream.format("parquet")
+            .option("path", out_dir)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+
+    # first half of the corpus, then STOP (availableNow drains + exits)
+    write_chunk(0); write_chunk(1)
+    run_query()
+    mid_pairs = {
+        (r.id_a, r.id_b) for r in spark.read.parquet(out_dir).collect()
+    }
+    _assert_rocksdb_artifacts(ckpt)
+
+    # second half arrives after the restart: bucket state from the
+    # checkpoint must pair new docs against pre-restart members
+    write_chunk(2); write_chunk(3)
+    run_query()
+    got = {(r.id_a, r.id_b) for r in spark.read.parquet(out_dir).collect()}
+    assert got >= mid_pairs
+
+    # one-shot reference over the same corpus (fresh state/checkpoint)
+    ref_out, ref_ckpt = str(tmp_path / "ref_out"), str(tmp_path / "ref_ckpt")
+    stream = _quality_lang_filter(
+        from_directory(
+            spark, os.path.join(src_dir, "chunk=*"), docs.schema,
+            one_file_per_trigger=True, pathGlobFilter="*.parquet",
+        )
+    )
+    q = (
+        streaming_minhash_neardup(
+            stream, num_perm=64, bands=16, min_est_jaccard=0.0, k=3
+        )
+        .writeStream.format("parquet")
+        .option("path", ref_out)
+        .option("checkpointLocation", ref_ckpt)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    want = {(r.id_a, r.id_b) for r in spark.read.parquet(ref_out).collect()}
+    assert got == want, (
+        f"restarted run found {len(got)} pairs, one-shot {len(want)}"
+    )
+    # cross-restart pairs actually exist (doc before the boundary
+    # paired with a doc after it) — otherwise this test proves nothing
+    boundary = int(lo) + 2 * span
+    assert any(a < boundary <= b for a, b in got), (
+        "corpus has no near-dup pair spanning the restart boundary"
+    )

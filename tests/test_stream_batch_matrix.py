@@ -666,6 +666,115 @@ CELLS["bpe_tokens/documents"] = _cell_bpe_tokens_documents
 CELLS["domain_mixture/documents"] = _cell_domain_mixture_documents
 
 
+def _quality_lang_filter(df):
+    from streamz_spark.operators import text as t
+
+    scored = t.language_id(t.quality_features(df, "text"), "text")
+    return scored.filter(
+        (F.col("quality_score") >= 0.5) & (F.col("lang_pred") != "und")
+    ).select("doc_id", "text")
+
+
+def _cell_pretrain_pipeline_documents(spark):
+    # streaming counterpart of the composed pretraining pipeline
+    # (queries/extra.py pretrain_corpus_pipeline): the quality+lang-id
+    # filter runs as stateless exprs ON THE STREAM, feeding the two
+    # ingest-time stateful dedup detectors — streaming_minhash_neardup
+    # (LSH bucket state -> candidate pairs, exact-Jaccard-verified
+    # downstream exactly like the batch op's verify stage) and
+    # streaming_duplicated_anchors (per-gram occurrence state ->
+    # ExactSubstr anchors). Differential, replaying the corpus in
+    # doc_id order:
+    #
+    #   ingest kept-set  (drop every doc with a verified near-dup
+    #                     pair to a smaller id)
+    # must equal
+    #   batch kept-set   (dedup_exact + minhash pairs + CC min-id
+    #                     representative — the pipeline's own stages),
+    #
+    # and per-doc duplicated-anchor counts must equal the batch
+    # anchor relation on the same filtered corpus. The kept-set
+    # equivalence holds because (a) exact duplicates have identical
+    # shingle sets, so they surface as Jaccard-1.0 pairs at ingest,
+    # and (b) near-dup clusters on this corpus are edge-to-min (every
+    # non-representative has a DIRECT verified edge to a smaller id,
+    # not just a path) — if either premise breaks on future testdata
+    # this cell fails loudly rather than silently weakening.
+    from streamz_spark.operators.components import dedup_clusters as dc
+    from streamz_spark.operators.dedup import dedup_exact, minhash_near_duplicates
+    from streamz_spark.operators.text import word_kgrams, word_shingles
+    from streamz_spark.streaming.stateful import (
+        streaming_duplicated_anchors,
+        streaming_minhash_neardup,
+    )
+
+    span_k = 8
+    # --- streaming side: two stateful queries over the ordered replay
+    cand_batches = sink_to_list(
+        streaming_minhash_neardup(
+            _quality_lang_filter(_replay_ordered(spark, "documents", "doc_id")),
+            num_perm=64, bands=16, min_est_jaccard=0.0, k=3,
+        )
+    )
+    cand = pd.concat([b for b in cand_batches if len(b)], ignore_index=True)
+    anchor_batches = sink_to_list(
+        streaming_duplicated_anchors(
+            _quality_lang_filter(_replay_ordered(spark, "documents", "doc_id")),
+            k=span_k,
+        )
+    )
+    anchors_s = pd.concat([b for b in anchor_batches if len(b)], ignore_index=True)
+
+    # exact-Jaccard verify of the streamed candidates (the batch op's
+    # verify stage, run once over the collected candidate set)
+    filtered = _quality_lang_filter(load_table(spark, SF_DIR, "documents"))
+    sh = {
+        r["doc_id"]: set(r["sh"])
+        for r in filtered.select(
+            "doc_id", word_shingles("text", 3).alias("sh")
+        ).collect()
+    }
+    drop_s = set()
+    for a, b in zip(cand.id_a, cand.id_b):
+        sa, sb = sh.get(int(a), set()), sh.get(int(b), set())
+        inter = len(sa & sb)
+        if sa and sb and inter / (len(sa) + len(sb) - inter) >= 0.5:
+            drop_s.add(int(b))  # id_a < id_b: keep the smaller id
+    kept_s = sorted(set(sh) - drop_s)
+    n_anchors_s = anchors_s.groupby("id").size().to_dict() if len(anchors_s) else {}
+    got = pd.DataFrame(
+        {"doc_id": kept_s,
+         "n_anchors": [int(n_anchors_s.get(i, 0)) for i in kept_s]}
+    )
+
+    # --- batch side: the pipeline's own dedup stages + anchor relation
+    deduped = dedup_exact(filtered)
+    pairs = minhash_near_duplicates(deduped, num_perm=64, k=3, bands=16, threshold=0.5)
+    fuzzy_drop = {
+        r["doc_id"]
+        for r in dc(deduped, pairs).filter(~F.col("keep")).select("doc_id").collect()
+    }
+    exact_kept = {r["doc_id"] for r in deduped.select("doc_id").collect()}
+    kept_b = sorted(exact_kept - fuzzy_drop)
+    kgr = filtered.select(
+        "doc_id", F.posexplode(word_kgrams("text", span_k)).alias("pos", "gram")
+    )
+    freq = kgr.groupBy("gram").agg(F.count(F.lit(1)).alias("cnt"))
+    n_anchors_b = {
+        r["doc_id"]: r["n"]
+        for r in kgr.join(freq.filter(F.col("cnt") >= 2), "gram")
+        .groupBy("doc_id").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    want = pd.DataFrame(
+        {"doc_id": kept_b,
+         "n_anchors": [int(n_anchors_b.get(i, 0)) for i in kept_b]}
+    )
+    return got, want
+
+
+CELLS["pretrain_pipeline/documents"] = _cell_pretrain_pipeline_documents
+
+
 # parametrized LAST so late-registered cells are included
 @pytest.mark.parametrize("cell", sorted(CELLS))
 def test_stream_batch_cell(cell, spark):
