@@ -114,16 +114,54 @@ def main() -> None:
     # warm the JVM + parquet footers once (not counted per-query)
     force(registry[names[0]].fn(spark, sf_dir))
 
+    repo_dir = os.path.dirname(os.path.abspath(__file__))
+    # prior-round detail for per-query deltas: the newest versioned
+    # copy if any, else the unversioned working file (pre-overwrite)
+    import re as _re
+
+    # this round's tag: env override, else one past the newest BENCH_r*
+    tag = os.environ.get("SPARK_GRAFT_BENCH_TAG")
+    if not tag:
+        rounds = [
+            int(m.group(1))
+            for f in os.listdir(repo_dir)
+            if (m := _re.fullmatch(r"BENCH_r(\d+)\.json", f))
+        ]
+        tag = f"r{(max(rounds) + 1) if rounds else 1:02d}"
+    # prior-round baseline: the newest versioned copy from an EARLIER
+    # round (a re-run within the same round must not become its own
+    # baseline), else the unversioned working file (pre-overwrite)
+    versioned = sorted(
+        f for f in os.listdir(repo_dir)
+        if _re.fullmatch(r"BENCH_DETAIL_r\d+\.json", f)
+        and f != f"BENCH_DETAIL_{tag}.json"
+    )
+    prior, prior_tag = {}, None
+    prior_path = os.path.join(
+        repo_dir, versioned[-1] if versioned else "BENCH_DETAIL.json"
+    )
+    try:
+        with open(prior_path) as f:
+            pj = json.load(f)
+        prior_tag = versioned[-1][len("BENCH_DETAIL_"):-len(".json")] if versioned else "prev"
+        prior = pj.get("queries", {}) if pj.get("sf") is not None else {}
+        prior_sf = pj.get("sf")
+    except (OSError, ValueError):
+        prior_sf = None
+
     timings: dict[str, float] = {}
+    spread: dict[str, float] = {}
     total = 0.0
     # min of N runs per query: steady-state time, not first-run JIT /
     # shuffle-file-allocation noise (single-run jitter at sub-second
-    # scale was ±30% on local[32])
+    # scale was ±30% on local[32]); the max-min spread per query is
+    # recorded so cross-round deltas inside the jitter band are
+    # distinguishable from real plan movement
     runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "2"))
     import gc
 
     for name in names:
-        best = -1.0
+        times: list[float] = []
         try:
             for _ in range(runs):
                 # clean slate per run: operators that persist query-
@@ -142,34 +180,61 @@ def main() -> None:
                 t0 = time.perf_counter()
                 df = registry[name].fn(spark, sf_dir)
                 force(df)
-                dt = time.perf_counter() - t0
-                best = dt if best < 0 else min(best, dt)
+                times.append(time.perf_counter() - t0)
         except Exception as exc:  # one bad query must not kill the bench line
             print(f"bench: {name} failed: {exc}", file=sys.stderr)
-            best = -1.0
+            times = []
+        best = min(times) if times else -1.0
         timings[name] = round(best, 4)
+        spread[name] = round(max(times) - min(times), 4) if times else -1.0
         total += max(best, 0.0)
 
     sf_val = float(sf) if sf.replace(".", "").isdigit() else sf
+    # cross-round comparison (same-SF only): a regression is real when
+    # the delta clears BOTH an absolute floor and the query's own
+    # observed run-to-run spread — sub-second scheduler jitter
+    # (±0.1-0.2 s at this scale) stays out of the list
+    deltas: dict[str, float] = {}
+    regressions: dict[str, dict] = {}
+    if prior and prior_sf == sf_val:
+        for name, t in timings.items():
+            p = prior.get(name)
+            if p is None or p < 0 or t < 0:
+                continue
+            d = round(t - p, 4)
+            deltas[name] = d
+            if d > max(0.15, 0.2 * p, spread.get(name, 0.0)):
+                regressions[name] = {"prev": p, "now": t, "delta": d}
     detail = {
         "metric": "headline_queries_total",
         "value": round(total, 4),
         "unit": "sec",
         "queries": timings,
+        "spread": spread,
         "sf": sf_val,
+        "tag": tag,
+        "prev_tag": prior_tag if deltas else None,
+        "delta_vs_prev": deltas,
+        "regressions": regressions,
     }
     # Per-query map goes to a committed artifact file: an 89-entry dict
     # on stdout exceeded the driver's tail capture and left
     # BENCH_r04.json unparseable ("parsed": null). Stdout gets ONE
     # short summary line, printed LAST, that a tail capture can never
-    # truncate; the detail file carries the full map.
+    # truncate; the detail file carries the full map. The file is ALSO
+    # written as a per-round versioned copy (BENCH_DETAIL_rNN.json) so
+    # cross-round per-query comparisons are artifact-reproducible
+    # without walking git history.
     detail_path = os.environ.get(
         "SPARK_GRAFT_BENCH_DETAIL",
-        os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json"),
+        os.path.join(repo_dir, "BENCH_DETAIL.json"),
     )
+    payload = json.dumps(detail, indent=1, sort_keys=True) + "\n"
     with open(detail_path, "w") as f:
-        json.dump(detail, f, indent=1, sort_keys=True)
-        f.write("\n")
+        f.write(payload)
+    if not os.environ.get("SPARK_GRAFT_BENCH_NO_VERSIONED"):
+        with open(os.path.join(repo_dir, f"BENCH_DETAIL_{tag}.json"), "w") as f:
+            f.write(payload)
     failed = sorted(n for n, t in timings.items() if t < 0)
     slowest = sorted(timings.items(), key=lambda kv: -kv[1])[:3]
     print(json.dumps({
@@ -178,6 +243,7 @@ def main() -> None:
         "unit": "sec",
         "n_queries": len(timings),
         "n_failed": len(failed),
+        "n_regressions": len(regressions),
         "slowest": {n: t for n, t in slowest},
         "sf": sf_val,
         "queries_detail_file": os.path.basename(detail_path),

@@ -34,17 +34,40 @@ class Aggregation:
         raise NotImplementedError
 
 
-def aggregate_updating_to_list(df: DataFrame, agg: Aggregation, timeout: int = 300) -> list:
+def _bounded_to_pandas(batch_df, batch_id, max_rows: int, harness: str):
+    """Driver-size guard for the foreachBatch harnesses: fetch at most
+    ``max_rows + 1`` rows and raise actionably when the micro-batch no
+    longer fits the driver-side fold — the sequential Aggregation
+    protocol is single-stream fidelity plumbing, not the scale path
+    (that is streaming.stateful.accumulate, keyed + distributed)."""
+    pdf = batch_df.limit(max_rows + 1).toPandas()
+    if len(pdf) > max_rows:
+        raise RuntimeError(
+            f"{harness}: micro-batch {batch_id} exceeds max_rows="
+            f"{max_rows}; the driver-side Aggregation harness cannot "
+            "hold it — use streamz_spark.streaming.stateful.accumulate "
+            "(keyed, distributed) or raise max_rows explicitly"
+        )
+    return pdf
+
+
+def aggregate_updating_to_list(
+    df: DataFrame, agg: Aggregation, timeout: int = 300, max_rows: int = 1_000_000
+) -> list:
     """Run a streaming DataFrame through a custom Aggregation, one
     on_new per micro-batch; returns the per-chunk results (reference
-    sdf.aggregate(Custom()), test_dataframes.py:974-981)."""
+    sdf.aggregate(Custom()), test_dataframes.py:974-981).
+
+    DRIVER-SIZE BOUND: the fold is sequential and driver-side by
+    design (see module docstring); ``max_rows`` caps each micro-batch
+    materialization and raises actionably beyond it."""
     from streamz_spark.streaming.sinks import run_available_now
 
     box = {"state": None, "started": False}
     out: list = []
 
     def step(batch_df, batch_id):
-        pdf = batch_df.toPandas()
+        pdf = _bounded_to_pandas(batch_df, batch_id, max_rows, "aggregate_updating_to_list")
         if not box["started"]:
             box["state"] = agg.initial(pdf)
             box["started"] = True
@@ -57,13 +80,16 @@ def aggregate_updating_to_list(df: DataFrame, agg: Aggregation, timeout: int = 3
 
 
 def windowed_aggregate_to_list(
-    df: DataFrame, agg: Aggregation, n: int, timeout: int = 300
+    df: DataFrame, agg: Aggregation, n: int, timeout: int = 300,
+    max_rows: int = 1_000_000,
 ) -> list:
     """window(n=).aggregate(Custom()) — keep the last ``n`` rows; each
     chunk triggers on_new with the arrivals, then one on_old PER
     expired chunk piece, emitting the final result — the reference's
     backlog-deque + diff_iloc split exactly (window_accumulator,
-    aggregations.py:280-320; diff_iloc, aggregations.py:173-207)."""
+    aggregations.py:280-320; diff_iloc, aggregations.py:173-207).
+    ``max_rows`` bounds the per-batch driver materialization (see
+    :func:`aggregate_updating_to_list`)."""
     from collections import deque
 
     from streamz_spark.streaming.sinks import run_available_now
@@ -72,7 +98,7 @@ def windowed_aggregate_to_list(
     out: list = []
 
     def step(batch_df, batch_id):
-        pdf = batch_df.toPandas()
+        pdf = _bounded_to_pandas(batch_df, batch_id, max_rows, "windowed_aggregate_to_list")
         if not box["started"]:
             box["state"] = agg.initial(pdf)
             box["started"] = True

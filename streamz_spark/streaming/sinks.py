@@ -52,7 +52,7 @@ def sink_to_list(
     return [pdf for _, pdf in out]
 
 
-def updating_to_list(frame, timeout: int = 300) -> list:
+def updating_to_list(frame, timeout: int = 300, max_rows: int = 1_000_000) -> list:
     """Run an *updating* StreamingFrame (a streaming aggregate, possibly
     with composed downstream ops) and collect its value after every
     micro-batch — the reference's updating-stream semantics where
@@ -69,6 +69,14 @@ def updating_to_list(frame, timeout: int = 300) -> list:
     touches the raw stream; the per-batch recompute is over #groups
     rows, which is the same cost profile as the reference's in-memory
     updating recompute.
+
+    DRIVER-SIZE BOUND: this harness materializes each complete-mode
+    result on the driver (``toPandas`` per micro-batch) — correct for
+    the reference's single-stream semantics, but an unbounded groupby
+    key space would otherwise OOM the driver silently. ``max_rows``
+    caps the per-batch materialization (only ``max_rows + 1`` rows are
+    ever fetched) and raises actionably; for a large key space use the
+    keyed distributed path, :func:`streamz_spark.streaming.stateful.accumulate`.
     """
     base = frame._base if frame._base is not None else frame.df
     post = frame._post
@@ -76,7 +84,16 @@ def updating_to_list(frame, timeout: int = 300) -> list:
 
     def handle(batch_df, batch_id):
         res = post(batch_df) if post is not None else batch_df
-        out.append((batch_id, res.toPandas()))
+        pdf = res.limit(max_rows + 1).toPandas()
+        if len(pdf) > max_rows:
+            raise RuntimeError(
+                f"updating_to_list: batch {batch_id} exceeds max_rows="
+                f"{max_rows} — the complete-mode result no longer fits "
+                "the driver-side harness; use "
+                "streamz_spark.streaming.stateful.accumulate (keyed, "
+                "distributed) or raise max_rows explicitly"
+            )
+        out.append((batch_id, pdf))
 
     writer = base.writeStream.outputMode("complete").foreachBatch(handle)
     run_available_now(writer, timeout)

@@ -108,3 +108,49 @@ def test_custom_aggregation_protocol(spark):
 
     stream2 = from_iterable(spark, [chunk] * 3, schema="x double, y double")
     assert windowed_aggregate_to_list(stream2, Custom(), n=5) == [1, -198, -397]
+
+
+def test_updating_harness_max_rows_guard(spark):
+    # VERDICT r5 #5: the driver-side harnesses (complete-mode toPandas
+    # per batch) must refuse unbounded key spaces actionably instead
+    # of silently OOMing the driver — and only ever fetch max_rows+1
+    import pandas as pd
+    import pytest
+
+    from streamz_spark.frame import StreamingFrame
+    from streamz_spark.streaming.sinks import updating_to_list
+    from streamz_spark.streaming.sources import from_iterable
+
+    chunk = pd.DataFrame({"k": range(50), "v": [1.0] * 50})
+    sdf = StreamingFrame(from_iterable(spark, [chunk], "k long, v double"))
+    agg = sdf.groupby("k").sum()
+    with pytest.raises(Exception, match="max_rows"):
+        # surfaces wrapped as StreamingQueryException from foreachBatch
+        updating_to_list(agg, max_rows=10)
+    # generous bound: same pipeline completes
+    sdf2 = StreamingFrame(from_iterable(spark, [chunk], "k long, v double"))
+    out = updating_to_list(sdf2.groupby("k").sum(), max_rows=1000)
+    assert len(out[-1]) == 50
+
+
+def test_aggregation_harness_max_rows_guard(spark):
+    import pandas as pd
+    import pytest
+
+    from streamz_spark.aggregation import Aggregation, aggregate_updating_to_list
+    from streamz_spark.streaming.sources import from_iterable
+
+    class Count(Aggregation):
+        def initial(self, new):
+            return 0
+
+        def on_new(self, state, new):
+            state += len(new)
+            return state, state
+
+    chunk = pd.DataFrame({"x": range(100)})
+    src = from_iterable(spark, [chunk], "x long")
+    with pytest.raises(Exception, match="max_rows"):
+        aggregate_updating_to_list(src, Count(), max_rows=10)
+    src2 = from_iterable(spark, [chunk], "x long")
+    assert aggregate_updating_to_list(src2, Count(), max_rows=1000) == [100]
