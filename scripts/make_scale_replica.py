@@ -1,0 +1,129 @@
+"""Synthesize an N× scale replica of a testdata SF directory.
+
+Deterministic, seed-free: replica i of a table shifts every key column
+by ``i * (max_key + 1)`` and token-salts text columns (every token of
+replica i > 0 gets an ``_i`` suffix). Salting keeps the duplicate
+*rate* realistic while scaling the true pair set exactly N× — replicas
+share no shingles, so each is an isolated shard of content and every
+dedup/contamination relation (exact dups, near-dup pairs, duplicated
+spans, benchmark hits) is exactly N copies of the base relation. This
+is the protocol behind SCALE.md's measured-scaling tables.
+
+Key consistency across tables is preserved (l_orderkey and o_orderkey
+shift by the same offset, etc.), so TPC-H joins shard cleanly. Pure
+dimension tables (region, nation) are copied once, unshifted.
+
+Usage: python scripts/make_scale_replica.py [N] [src_sf_dir] [out_dir]
+Defaults: N=10, src=/root/testdata/sf0.1, out=<repo>/.scale/sf1
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F
+
+from streamz_spark.io import load_table
+from streamz_spark.session import get_spark
+
+# key columns shifted per replica, grouped by shared key domain so
+# joins stay consistent (same offset on both sides of every equi-join)
+KEY_DOMAINS = {
+    "order": {"orders": ["o_orderkey"], "lineitem": ["l_orderkey"]},
+    "supp": {"supplier": ["s_suppkey"], "lineitem": ["l_suppkey"]},
+    "part": {"part": ["p_partkey"], "lineitem": ["l_partkey"]},
+    "cust": {"customer": ["c_custkey"], "orders": ["o_custkey"]},
+    "doc": {"documents": ["doc_id"]},
+    "emb": {"embeddings": ["vec_id"]},
+    "event": {"events": ["event_id"]},
+    "user": {"events": ["user_id"]},
+}
+# text columns token-salted per replica (replica 0 is verbatim).
+# documents.text uses STOPWORD-PRESERVING salting: the language-id
+# stopword hits must survive so the quality/lang gate keeps replica
+# docs (plain whole-token salting turned every replica doc into
+# lang='und' and silently cut language-gated pipelines back to 1x);
+# consecutive-stopword shingles are the only cross-replica overlap —
+# far below any near-dup threshold.
+SALTED = {"documents": ["text"], "part": ["p_name"]}
+LANG_PRESERVING = {"documents"}
+# pure dimensions: copied once, never replicated
+DIMENSIONS = ("region", "nation")
+TABLES = (
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings",
+)
+
+
+def replicate(spark, src: str, out: str, n: int) -> None:
+    os.makedirs(out, exist_ok=True)
+    # one offset per key domain: max over every column in the domain
+    offsets: dict[str, int] = {}
+    for dom, tabs in KEY_DOMAINS.items():
+        hi = 0
+        for tab, cols in tabs.items():
+            df = load_table(spark, src, tab)
+            for c in cols:
+                hi = max(hi, int(df.agg(F.max(c)).first()[0]))
+        offsets[dom] = hi + 1
+    for tab in TABLES:
+        base = load_table(spark, src, tab)
+        dst = os.path.join(out, f"{tab}.parquet")
+        if tab in DIMENSIONS:
+            base.write.mode("overwrite").parquet(dst)
+            continue
+        copies = []
+        for i in range(n):
+            c = base
+            for dom, tabs in KEY_DOMAINS.items():
+                for col in tabs.get(tab, []):
+                    c = c.withColumn(col, F.col(col) + F.lit(i * offsets[dom]))
+            if i > 0:
+                for col in SALTED.get(tab, []):
+                    if tab in LANG_PRESERVING:
+                        from streamz_spark.operators.text import STOPWORDS
+
+                        stop = sorted(
+                            {w for ws in STOPWORDS.values() for w in ws}
+                        )
+                        sw = F.array(*[F.lit(w) for w in stop])
+                        toks = F.split(F.col(col), r"\s+")
+                        c = c.withColumn(
+                            col,
+                            F.array_join(
+                                F.transform(
+                                    toks,
+                                    lambda t: F.when(
+                                        F.array_contains(sw, F.lower(t)), t
+                                    ).otherwise(F.concat(t, F.lit(f"_{i}"))),
+                                ),
+                                " ",
+                            ),
+                        )
+                    else:
+                        c = c.withColumn(
+                            col, F.regexp_replace(F.col(col), r"(\S+)", f"$1_{i}")
+                        )
+            copies.append(c)
+        u = copies[0]
+        for c in copies[1:]:
+            u = u.unionByName(c)
+        u.write.mode("overwrite").parquet(dst)
+        print(f"{tab}: {base.count()} -> {spark.read.parquet(dst).count()} rows", flush=True)
+
+
+def main() -> None:
+    n = int(sys.argv[1]) if len(sys.argv) > 1 else 10
+    src = sys.argv[2] if len(sys.argv) > 2 else "/root/testdata/sf0.1"
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    out = sys.argv[3] if len(sys.argv) > 3 else os.path.join(repo, ".scale", "sf1")
+    spark = get_spark("scale-replica")
+    replicate(spark, src, out, n)
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
