@@ -28,6 +28,7 @@ __all__ = [
     "simhash",
     "md5_hash60",
     "embedding_near_duplicates",
+    "semdedup",
 ]
 
 
@@ -658,4 +659,128 @@ def embedding_near_duplicates(
         cand.join(a, "id_a").join(b, "id_b")
         .select("id_a", "id_b", cosine_expr("va", "vb", "na", "nb").alias("cosine"))
         .filter(F.col("cosine") >= threshold)
+    )
+
+
+def semdedup(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_clusters: int | None = None,
+    threshold: float = 0.9,
+    seed: int = 42,
+    centroids: str = "kmeans",
+) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic
+    deduplication by clustering the embedding space and comparing
+    pairs ONLY within a cluster — the published recipe for pruning
+    web-scale corpora (LAION/C4) where near-duplicates share no exact
+    tokens but collapse to the same embedding neighborhood.
+
+    Output: one row per input vector, ``(id_col, cell, keep)`` —
+    ``keep = false`` for every vector whose cosine to a LOWER-id
+    vector in the same cluster reaches ``threshold``. (The paper keeps
+    the cluster member with the lowest centroid similarity; at dedup
+    thresholds the members are interchangeable, and the min-id rule is
+    deterministic and SQL-reproducible — the same keep rule as this
+    engine's other dedup modes.) The dedup transform is the standard
+    anti-join against ``keep = false`` rows.
+
+    Scale shape: centroid assignment is one broadcast of the packed
+    centroid array + a narrow argmin projection (NO shuffle, same
+    pattern as ivf_ann); the only corpus shuffle is the self-join on
+    the cell key, and per-cluster candidate work is O(cell_size²) with
+    cells sized n/n_clusters (``n_clusters=None`` → ⌈√n⌉, keeping
+    total verify work ~n^1.5 instead of all-pairs n²). KMeans trains
+    on a bounded 100k sample (same policy as ivf_ann);
+    ``centroids="seed"`` uses the n_clusters lowest-id vectors so the
+    whole pipeline is reproducible in a SQL oracle.
+    """
+    import math
+
+    from streamz_spark.io import ensure_scan_parallelism
+    from streamz_spark.operators.similarity import cosine_expr, with_norm
+
+    spark = df.sparkSession
+    v = with_norm(
+        ensure_scan_parallelism(df).select(
+            F.col(id_col).alias("id"), F.col(vec_col).alias("v")
+        ),
+        "v", "norm",
+    )
+    if n_clusters is None:
+        n_clusters = max(4, math.ceil(math.sqrt(v.count())))
+    if centroids == "seed":
+        seed_rows = v.orderBy("id").limit(n_clusters).select("id", "v").collect()
+        cent_rows = [(ci, [float(x) for x in r["v"]]) for ci, r in enumerate(seed_rows)]
+    else:
+        from pyspark.ml.clustering import KMeans
+        from pyspark.ml.functions import array_to_vector
+
+        max_train = 100_000
+        n = v.count()
+        train_src = (
+            v.sample(fraction=min(1.0, max_train / n), seed=seed)
+            if n > max_train else v
+        )
+        train = train_src.select("id", array_to_vector(F.col("v")).alias("features"))
+        model = KMeans(k=n_clusters, seed=seed, maxIter=10).fit(train)
+        cent_rows = [
+            (ci, [float(x) for x in c]) for ci, c in enumerate(model.clusterCenters())
+        ]
+    cent_packed = F.broadcast(
+        spark.createDataFrame(
+            [(cent_rows,)], "cents array<struct<cell:int,cvec:array<double>>>"
+        )
+    )
+    # nearest cell from ONE broadcast row: every centroid distance is
+    # scored inside a single projection and the argmin falls out of
+    # array_sort on (d2, cell) structs — no shuffle, no window
+    nearest = F.element_at(
+        F.array_sort(
+            F.transform(
+                F.col("cents"),
+                lambda c: F.struct(
+                    F.aggregate(
+                        F.zip_with(
+                            F.col("v"), c["cvec"], lambda x, y: (x - y) * (x - y)
+                        ),
+                        F.lit(0.0),
+                        lambda acc, x: acc + x,
+                    ).alias("d2"),
+                    c["cell"].alias("cell"),
+                ),
+            )
+        ),
+        1,
+    )["cell"]
+    # persist: both self-join sides and the final output read the
+    # assigned frame; without it the centroid argmin evaluates thrice
+    assigned = (
+        v.crossJoin(cent_packed)
+        .select("id", "v", "norm", nearest.alias("cell"))
+        .persist()
+    )
+    a = assigned.select(
+        F.col("id").alias("id_a"), F.col("v").alias("va"),
+        F.col("norm").alias("na"), "cell",
+    )
+    b = assigned.select(
+        F.col("id").alias("id_b"), F.col("v").alias("vb"),
+        F.col("norm").alias("nb"), "cell",
+    )
+    drop = (
+        a.join(b, "cell")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .filter(cosine_expr("va", "vb", "na", "nb") >= threshold)
+        .select(F.col("id_b").alias("id"))
+        .distinct()
+    )
+    return (
+        assigned.join(drop.withColumn("__dup", F.lit(True)), "id", "left")
+        .select(
+            F.col("id").alias(id_col),
+            "cell",
+            F.coalesce(~F.col("__dup"), F.lit(True)).alias("keep"),
+        )
     )

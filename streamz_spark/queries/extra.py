@@ -2344,3 +2344,62 @@ def unigram_nll_full_vocab(spark, sf_dir):
     from streamz_spark.operators.text import unigram_nll_quality as op
 
     return op(load_table(spark, sf_dir, "documents"), vocab_limit=None)
+
+
+@register_extra(
+    "semdedup_embedding",
+    # seed centroids (64 lowest-id vectors) make the whole pipeline —
+    # cell assignment, within-cell cosine, min-id keep rule — exactly
+    # reproducible in SQL; KMeans centroids are the production default
+    # (recall-tested path shares ivf_ann's machinery)
+    oracle="""
+        WITH v AS (
+            SELECT vec_id AS id,
+                   list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+            FROM embeddings
+        ), n AS (
+            SELECT id, v, sqrt(list_dot_product(v, v)) AS norm FROM v
+        ), cent AS (
+            SELECT CAST(ROW_NUMBER() OVER (ORDER BY id) - 1 AS INT) AS cell, v AS cvec
+            FROM (SELECT * FROM n ORDER BY id LIMIT 64)
+        ), scored AS (
+            SELECT n.id, n.v, n.norm, c.cell,
+                   list_sum(list_transform(range(1, len(n.v) + 1),
+                       i -> (n.v[i] - c.cvec[i]) * (n.v[i] - c.cvec[i]))) AS d2
+            FROM n CROSS JOIN cent c
+        ), assigned AS (
+            SELECT id, v, norm, cell FROM (
+                SELECT *, ROW_NUMBER() OVER (PARTITION BY id
+                                             ORDER BY d2 ASC, cell ASC) AS rnk
+                FROM scored
+            ) WHERE rnk = 1
+        ), dropped AS (
+            SELECT DISTINCT b.id FROM assigned a JOIN assigned b
+              ON a.cell = b.cell AND a.id < b.id
+            WHERE CASE WHEN a.norm * b.norm > 0
+                       THEN list_dot_product(a.v, b.v) / (a.norm * b.norm)
+                       ELSE 0.0 END >= 0.9
+        )
+        SELECT id AS vec_id, CAST(cell AS BIGINT) AS cell,
+               id NOT IN (SELECT id FROM dropped) AS keep
+        FROM assigned
+    """,
+    doc="SemDeDup (Abbas et al. 2023): semantic dedup by clustering "
+        "the embedding space and comparing cosines only WITHIN a "
+        "cluster — the published recipe for pruning corpora where "
+        "near-duplicates share no exact tokens. Centroid assignment "
+        "is one broadcast + narrow argmin (no shuffle); the only "
+        "corpus shuffle is the self-join on the cell key, O(cell "
+        "size^2) per cluster with sqrt-sized cells, never all-pairs. "
+        "keep=false for vectors with cosine >= 0.9 to a lower-id "
+        "vector in their cluster (min-id keep, same rule as every "
+        "other dedup mode).",
+)
+def semdedup_embedding(spark, sf_dir):
+    from streamz_spark.operators.dedup import semdedup
+
+    out = semdedup(
+        load_table(spark, sf_dir, "embeddings"),
+        n_clusters=64, threshold=0.9, centroids="seed",
+    )
+    return out.select("vec_id", F.col("cell").cast("long").alias("cell"), "keep")

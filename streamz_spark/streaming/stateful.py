@@ -416,6 +416,12 @@ def streaming_minhash_neardup(
         if ttl is not None
         else GroupStateTimeout.NoTimeout,
     )
+    # NOTE: the Filter node between the Arrow stateful exec and
+    # dropDuplicates is load-bearing beyond its predicate — it forces
+    # the ColumnarToRow conversion the planner omits, without which the
+    # dedup exchange's shuffle writer crashes on the stateful op's
+    # columnar output (ColumnarBatchRow → UnsafeRow cast; see
+    # streaming_semdedup, which hit this with no filter in between)
     return pairs.filter(pairs["est_jaccard"] >= min_est_jaccard).dropDuplicates(
         ["id_a", "id_b"]
     )
@@ -716,4 +722,141 @@ def streaming_duplicated_anchors(
         GroupStateTimeout.ProcessingTimeTimeout
         if ttl is not None
         else GroupStateTimeout.NoTimeout,
+    )
+
+
+def streaming_semdedup(
+    sdf: DataFrame,
+    centroid_rows: list,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.9,
+    ttl: float | None = None,
+) -> DataFrame:
+    """Ingest-time SemDeDup (Abbas et al. 2023): the streaming
+    counterpart of ``operators.dedup.semdedup``. Every arriving vector
+    is assigned to its nearest centroid cell by the SAME broadcast
+    packed-centroid argmin expression as the batch op (stateless,
+    narrow), then compared by exact cosine against the cell's stored
+    members — cluster-scoped state, so an arriving vector costs
+    O(cell members), never O(corpus).
+
+    ``centroid_rows`` is the fixed centroid table ``[(cell, cvec),
+    ...]`` — ingest-time semantic dedup requires centroids trained
+    ahead of the stream (the production recipe: train KMeans offline
+    on a bounded sample, pin the centroids for the ingest window).
+
+    Emits one row per detected duplicate pair ``(id_a, id_b, cosine)``
+    with ``id_a < id_b`` and ``cosine >= threshold``. Because the
+    batch op's drop rule is ALSO edge-based (drop iff cosine >=
+    threshold to a lower-id same-cell member — no transitive closure),
+    the ingest kept-set {id: no emitted pair with id_b = id} equals
+    the batch ``keep`` set exactly, independent of arrival order and
+    cluster shape.
+
+    ``ttl`` (seconds) bounds state for unbounded ingest exactly as in
+    ``streaming_minhash_neardup`` (per-member eviction + idle-cell
+    timeout sweeps).
+    """
+    import json
+    import time as _time
+
+    from pyspark.sql import functions as F
+
+    # centroids ride as a LITERAL expression, not a stream-static
+    # cross join: the joined columnar batch cannot feed the stateful
+    # exec (ColumnarBatchRow vs UnsafeRow), and a literal keeps the
+    # stream side join-free entirely. Ingest-time centroid tables are
+    # small by design (trained offline on a bounded sample); a
+    # 100k-cell deployment would switch to a stream-static equi-join
+    # on a prehashed cell key instead.
+    cents_lit = F.array(*[
+        F.struct(
+            F.lit(int(c)).alias("cell"),
+            F.array(*[F.lit(float(x)) for x in v]).alias("cvec"),
+        )
+        for c, v in centroid_rows
+    ])
+    nearest = F.element_at(
+        F.array_sort(
+            F.transform(
+                cents_lit,
+                lambda c: F.struct(
+                    F.aggregate(
+                        F.zip_with(F.col("v"), c["cvec"], lambda x, y: (x - y) * (x - y)),
+                        F.lit(0.0),
+                        lambda acc, x: acc + x,
+                    ).alias("d2"),
+                    c["cell"].alias("cell"),
+                ),
+            )
+        ),
+        1,
+    )["cell"]
+    assigned = sdf.select(
+        F.col(id_col).alias("id"),
+        F.col(vec_col).cast("array<double>").alias("v"),
+    ).select("id", "v", nearest.alias("cell"))
+
+    def step(key, pdfs, state: GroupState):
+        import math
+
+        if ttl is not None and state.hasTimedOut:
+            state.remove()
+            return
+        now = _time.time()
+        if state.exists:
+            ids, vecs, times = json.loads(state.get[0])
+        else:
+            ids, vecs, times = [], [], []
+        if ttl is not None:
+            live = [j for j, t in enumerate(times) if now - t < ttl]
+            if len(live) < len(ids):
+                ids = [ids[j] for j in live]
+                vecs = [vecs[j] for j in live]
+                times = [times[j] for j in live]
+        out_a, out_b, out_c = [], [], []
+        for pdf in pdfs:
+            for i, v in zip(pdf["id"], pdf["v"]):
+                i, v = int(i), [float(x) for x in v]
+                nv = math.sqrt(sum(x * x for x in v))
+                for oid, ov in zip(ids, vecs):
+                    if oid == i:
+                        continue
+                    no = math.sqrt(sum(x * x for x in ov))
+                    cos = (
+                        sum(x * y for x, y in zip(v, ov)) / (nv * no)
+                        if nv * no > 0 else 0.0
+                    )
+                    if cos >= threshold:
+                        out_a.append(min(i, oid))
+                        out_b.append(max(i, oid))
+                        out_c.append(cos)
+                ids.append(i)
+                vecs.append(v)
+                times.append(now)
+        state.update((json.dumps([ids, vecs, times]),))
+        if ttl is not None:
+            state.setTimeoutDuration(int(ttl * 1000))
+        if out_a:
+            yield pd.DataFrame({"id_a": out_a, "id_b": out_b, "cosine": out_c})
+
+    pairs = assigned.groupBy("cell").applyInPandasWithState(
+        step,
+        "id_a long, id_b long, cosine double",
+        "payload string",
+        "append",
+        GroupStateTimeout.ProcessingTimeTimeout
+        if ttl is not None
+        else GroupStateTimeout.NoTimeout,
+    )
+    # the filter restates the in-state threshold (always true for
+    # emitted rows) — it is REQUIRED, not belt-and-braces: the Arrow
+    # stateful exec's output is columnar, and chaining dropDuplicates'
+    # exchange directly onto it crashes the shuffle writer
+    # (ColumnarBatchRow → UnsafeRow cast); the row-based Filter node in
+    # between forces the ColumnarToRow conversion the planner omits.
+    # streaming_minhash_neardup has the same shape for the same reason.
+    return pairs.filter(pairs["cosine"] >= threshold).dropDuplicates(
+        ["id_a", "id_b"]
     )

@@ -136,3 +136,28 @@ def test_fuzzy_pairs_block_not_function_of_name(spark):
     ).collect()
     got = [(r.id_a, r.id_b) for r in out]
     assert sorted(got) == [(3, 4), (5, 6), (7, 8)]  # no dups, no cross-block
+
+
+def test_semdedup_drops_planted_semantic_duplicates(spark):
+    """SemDeDup (kmeans arm): near-identical vectors must land in the
+    same cluster and the larger-id copy must get keep=False; distinct
+    base vectors survive."""
+    import numpy as np
+
+    rng = np.random.RandomState(13)
+    base = rng.randn(30, 16).astype("float32")
+    rows = []
+    for i, v in enumerate(base):
+        rows.append((i, [float(x) for x in v]))
+        rows.append((1000 + i, [float(x) for x in (v + 0.001 * rng.randn(16).astype("float32"))]))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    out = {r.vec_id: r.keep for r in dd.semdedup(
+        df, n_clusters=6, threshold=0.9, centroids="kmeans"
+    ).collect()}
+    assert len(out) == 60  # one verdict row per input vector
+    # every base vector kept (random 16-d gaussians are far apart)
+    assert all(out[i] for i in range(30))
+    # planted copies dropped when co-clustered (kmeans puts cosine~1
+    # pairs together essentially always; allow a small miss margin)
+    dropped = sum(1 for i in range(30) if not out[1000 + i])
+    assert dropped >= 27, f"only {dropped}/30 planted duplicates dropped"

@@ -407,3 +407,25 @@ def test_dedup_exact_single_scan_single_exchange(spark):
     n_scans = len(re.findall(r"\(\d+\) Scan parquet", plan))
     assert n_scans == 1, n_scans
     assert exchange_count(df) == 1, exchange_count(df)
+
+
+def test_semdedup_plan_shape(spark):
+    # SemDeDup's contract: centroid assignment is ONE broadcast of the
+    # single packed-centroid row (plans as a 1-row BroadcastNestedLoop
+    # crossJoin — the sanctioned use: the inner side is exactly one
+    # row, so "nested loop" degenerates to a map-side projection) plus
+    # a narrow argmin; the corpus is scanned once (the assigned frame
+    # is persisted for both self-join sides); the only data shuffles
+    # are the cell-key self-join and the drop-list join-back. Never a
+    # CartesianProduct over sf-scaled relations.
+    import re
+
+    from streamz_spark.queries.extra import EXTRA_REGISTRY
+    from streamz_spark.plans import exchange_count, explain_string
+
+    df = EXTRA_REGISTRY["semdedup_embedding"].fn(spark, SF_DIR)
+    plan = explain_string(df)
+    assert "CartesianProduct" not in plan
+    n_scans = len(re.findall(r"\(\d+\) Scan parquet", plan))
+    assert n_scans == 1, n_scans
+    assert exchange_count(df) <= 5, exchange_count(df)

@@ -775,6 +775,75 @@ def _cell_pretrain_pipeline_documents(spark):
 CELLS["pretrain_pipeline/documents"] = _cell_pretrain_pipeline_documents
 
 
+def _cell_semdedup_embeddings(spark):
+    # ingest-time SemDeDup vs the batch operator, EXACT equality: both
+    # sides use the same seed centroids and the same edge-based drop
+    # rule (cosine >= threshold to a lower-id same-cell vector), so
+    # the streaming kept-set equals the batch keep flags regardless of
+    # arrival order or cluster shape — no clique-ness premise needed
+    # (unlike the minhash cell, whose batch side resolves transitive
+    # clusters). The synthetic embeddings table has NO natural near
+    # dups (max pairwise cosine ≈ 0.48), so every 5th vector is
+    # planted back as an exact copy under a shifted id — the cell then
+    # proves real drops, not a vacuous all-keep.
+    import os as os2
+    import tempfile as tf2
+
+    from pyspark.sql import functions as F2
+
+    from streamz_spark.operators.dedup import semdedup
+    from streamz_spark.streaming.sources import from_directory
+    from streamz_spark.streaming.stateful import streaming_semdedup
+
+    base = load_table(spark, SF_DIR, "embeddings").select("vec_id", "embedding")
+    planted = base.filter(F2.col("vec_id") % 5 == 0).select(
+        (F2.col("vec_id") + 100_000).alias("vec_id"), "embedding"
+    )
+    emb = base.unionByName(planted)
+    # seed centroids exactly as the batch op builds them
+    seed_rows = (
+        emb.select(F2.col("vec_id").alias("id"),
+                   F2.col("embedding").cast("array<double>").alias("v"))
+        .orderBy("id").limit(16).collect()
+    )
+    cents = [(ci, r["v"]) for ci, r in enumerate(seed_rows)]
+    # ordered replay of the augmented frame in 4 contiguous id chunks
+    lo, hi = emb.agg(F2.min("vec_id"), F2.max("vec_id")).first()
+    span = (int(hi) - int(lo) + 4) // 4
+    tmp = tf2.mkdtemp(prefix="matrix_semdedup_")
+    for i in range(4):
+        emb.filter(
+            (F2.col("vec_id") >= int(lo) + i * span)
+            & (F2.col("vec_id") < int(lo) + (i + 1) * span)
+        ).coalesce(1).write.mode("overwrite").parquet(
+            os2.path.join(tmp, f"chunk={i:05d}")
+        )
+    stream = from_directory(
+        spark, os2.path.join(tmp, "chunk=*"), emb.schema,
+        one_file_per_trigger=True, pathGlobFilter="*.parquet",
+    )
+    pair_batches = sink_to_list(streaming_semdedup(stream, cents, threshold=0.9))
+    pairs = pd.concat(
+        [b for b in pair_batches if len(b)] or [pd.DataFrame({"id_b": []})],
+        ignore_index=True,
+    )
+    drop_s = set(int(b) for b in pairs.id_b)
+    assert drop_s, "planted duplicates must produce drops"
+    all_ids = sorted(r["vec_id"] for r in emb.select("vec_id").collect())
+    got = pd.DataFrame(
+        {"vec_id": all_ids, "keep": [i not in drop_s for i in all_ids]}
+    )
+    want = (
+        semdedup(emb, n_clusters=16, threshold=0.9, centroids="seed")
+        .select("vec_id", "keep")
+        .toPandas()
+    )
+    return got, want
+
+
+CELLS["semdedup/embeddings"] = _cell_semdedup_embeddings
+
+
 # parametrized LAST so late-registered cells are included
 @pytest.mark.parametrize("cell", sorted(CELLS))
 def test_stream_batch_cell(cell, spark):
