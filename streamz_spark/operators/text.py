@@ -26,6 +26,7 @@ __all__ = [
     "BPE_PRETOKEN_PATTERN",
     "bpe_token_count",
     "unigram_nll_quality",
+    "nb_quality_classifier",
 ]
 
 # tiny deterministic stopword lists for the heuristic language id
@@ -504,4 +505,151 @@ def unigram_nll_quality(
             / F.col("n_tokens").cast("double")
         ).alias("nll_mean"),
         F.expr("nll_sum_micro div n_tokens").cast("long").alias("nll_mean_micro"),
+    )
+
+
+def nb_quality_classifier(
+    df: DataFrame,
+    label_col: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    vocab_limit: int | None = None,
+    alpha: float = 1.0,
+    lm_join: str = "auto",
+    broadcast_limit: int = 2_000_000,
+) -> DataFrame:
+    """Model-based quality filtering: train a multinomial Naive Bayes
+    text classifier on weak labels and score every document — the
+    modern corpus-curation recipe (DCLM / FineWeb-Edu filter with a
+    fastText-class linear classifier; GPT-3's WebText-vs-CommonCrawl
+    quality classifier). NB is the closed-form member of that family:
+    the "training" is two token-count aggregates, so the whole
+    pipeline is a deterministic Spark plan (no iterative optimizer)
+    and exactly reproducible in a SQL oracle.
+
+    ``label_col`` is a boolean column of weak labels (e.g. "doc is
+    from the curated source", "heuristic quality >= cut"). Model:
+    P(t|c) = (cnt_c(t) + alpha) / (N_c + alpha·(V+1)) with an OOV
+    bucket holding each class's residual mass beyond the top-V
+    vocabulary cut (``vocab_limit``, ties term-asc — the same
+    fixed-vocab shape as :func:`unigram_nll_quality`; at 100 TB an
+    uncapped vocab is 10⁸-10⁹ terms). Per-token log-likelihood ratio
+    ln P(t|pos) − ln P(t|neg) is floor-scaled to integer micro-nats
+    BEFORE summation (associative integer SUM — order-independent,
+    bit-identical across engines), and the class-prior log-odds
+    (floored once) is added per document.
+
+    Output: ``(id_col, n_tokens, score_micro, score, pred)`` where
+    ``score_micro`` is the integer micro-nat log-odds, ``score`` its
+    double form, ``pred = score_micro > 0``.
+
+    Scale shape: one (term, label) groupBy for the class counts
+    (map-side combinable, localCheckpointed), bounded top-V cut,
+    size-dispatched broadcast/shuffle-hash model join (``lm_join`` —
+    same contract as unigram_nll_quality), one doc-key groupBy. Both
+    classes must be non-empty; the plan asserts it executor-side.
+    """
+    from streamz_spark.io import ensure_scan_parallelism
+
+    if vocab_limit is not None and vocab_limit < 1:
+        raise ValueError("vocab_limit must be >= 1")
+    if lm_join not in ("auto", "broadcast", "shuffle"):
+        raise ValueError(f"lm_join must be auto|broadcast|shuffle, got {lm_join!r}")
+    if alpha <= 0:
+        raise ValueError("alpha must be > 0 (Laplace smoothing keeps every log finite)")
+
+    df = ensure_scan_parallelism(df)
+    toks = df.select(
+        F.col(id_col).alias("id"),
+        F.col(label_col).cast("boolean").alias("y"),
+        F.explode(tokenize(text_col)).alias("term"),
+    )
+    # per-term class counts in ONE corpus aggregate (conditional sums,
+    # not two passes); vocab-sized, feeds 2-3 consumers -> checkpoint
+    freq = (
+        toks.groupBy("term")
+        .agg(
+            F.sum(F.when(F.col("y"), 1).otherwise(0)).alias("cnt_pos"),
+            F.sum(F.when(~F.col("y"), 1).otherwise(0)).alias("cnt_neg"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    if vocab_limit is not None:
+        lm = freq.orderBy(
+            (F.col("cnt_pos") + F.col("cnt_neg")).desc(), F.col("term").asc()
+        ).limit(vocab_limit)
+    else:
+        lm = freq
+    totals = freq.agg(
+        F.sum("cnt_pos").alias("n_pos"), F.sum("cnt_neg").alias("n_neg")
+    )
+    in_mass = lm.agg(
+        F.count(F.lit(1)).alias("v_size"),
+        F.sum("cnt_pos").alias("in_pos"),
+        F.sum("cnt_neg").alias("in_neg"),
+    )
+    # doc-level priors from the labeled frame (one cheap aggregate)
+    priors = df.agg(
+        F.sum(F.when(F.col(label_col).cast("boolean"), 1).otherwise(0)).alias("d_pos"),
+        F.sum(F.when(~F.col(label_col).cast("boolean"), 1).otherwise(0)).alias("d_neg"),
+    )
+    scalars = (
+        totals.crossJoin(in_mass).crossJoin(priors)
+        .select(
+            F.assert_true(
+                (F.col("d_pos") > 0) & (F.col("d_neg") > 0),
+                F.lit("nb_quality_classifier needs both label classes non-empty"),
+            ).alias("__chk"),
+            (F.col("n_pos") - F.col("in_pos")).alias("oov_pos"),
+            (F.col("n_neg") - F.col("in_neg")).alias("oov_neg"),
+            (F.col("n_pos").cast("double") + F.lit(alpha) * (F.col("v_size") + 1))
+            .alias("denom_pos"),
+            (F.col("n_neg").cast("double") + F.lit(alpha) * (F.col("v_size") + 1))
+            .alias("denom_neg"),
+            F.floor(
+                (F.log(F.col("d_pos").cast("double"))
+                 - F.log(F.col("d_neg").cast("double"))) * 1000000.0
+            ).cast("long").alias("prior_micro"),
+        )
+        .drop("__chk")
+    )
+
+    if lm_join == "auto":
+        lm_size = vocab_limit if vocab_limit is not None else freq.count()
+        lm_join = "broadcast" if lm_size <= broadcast_limit else "shuffle"
+    lm_rel = F.broadcast(lm) if lm_join == "broadcast" else lm.hint("shuffle_hash")
+
+    scored = (
+        toks.join(lm_rel, "term", "left")
+        .crossJoin(F.broadcast(scalars))
+        .withColumn(
+            "llr_micro",
+            F.floor(
+                (
+                    F.log(
+                        (F.coalesce(F.col("cnt_pos"), F.col("oov_pos")).cast("double")
+                         + F.lit(alpha))
+                        / F.col("denom_pos")
+                    )
+                    - F.log(
+                        (F.coalesce(F.col("cnt_neg"), F.col("oov_neg")).cast("double")
+                         + F.lit(alpha))
+                        / F.col("denom_neg")
+                    )
+                ) * 1000000.0
+            ).cast("long"),
+        )
+    )
+    agg = scored.groupBy("id").agg(
+        F.count(F.lit(1)).alias("n_tokens"),
+        F.sum("llr_micro").alias("llr_sum_micro"),
+        F.max("prior_micro").alias("prior_micro"),
+    )
+    return agg.select(
+        F.col("id").alias(id_col),
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+        (F.col("llr_sum_micro") + F.col("prior_micro")).alias("score_micro"),
+        ((F.col("llr_sum_micro") + F.col("prior_micro")).cast("double")
+         / F.lit(1000000.0)).alias("score"),
+        ((F.col("llr_sum_micro") + F.col("prior_micro")) > 0).alias("pred"),
     )

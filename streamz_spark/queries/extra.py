@@ -2403,3 +2403,76 @@ def semdedup_embedding(spark, sf_dir):
         n_clusters=64, threshold=0.9, centroids="seed",
     )
     return out.select("vec_id", F.col("cell").cast("long").alias("cell"), "keep")
+
+
+_NBQ_VOCAB = 20  # past the OOV boundary at every SF (corpus vocab ~31)
+
+
+@register_extra(
+    "nb_quality_classifier",
+    oracle=f"""
+        WITH d AS (
+            SELECT doc_id AS id, (lang = 'en') AS y,
+                   CASE WHEN length(trim(lower(text))) = 0 THEN []::VARCHAR[]
+                        ELSE regexp_split_to_array(trim(lower(text)), '\\s+')
+                   END AS w
+            FROM documents
+        ),
+        toks AS (SELECT id, y, unnest(w) AS term FROM d),
+        freq AS (
+            SELECT term,
+                   SUM(CASE WHEN y THEN 1 ELSE 0 END) AS cnt_pos,
+                   SUM(CASE WHEN NOT y THEN 1 ELSE 0 END) AS cnt_neg
+            FROM toks GROUP BY 1
+        ),
+        lm AS (SELECT * FROM freq
+               ORDER BY (cnt_pos + cnt_neg) DESC, term ASC LIMIT {_NBQ_VOCAB}),
+        scal AS (
+            SELECT (SELECT SUM(cnt_pos) FROM freq) - (SELECT SUM(cnt_pos) FROM lm) AS oov_pos,
+                   (SELECT SUM(cnt_neg) FROM freq) - (SELECT SUM(cnt_neg) FROM lm) AS oov_neg,
+                   CAST((SELECT SUM(cnt_pos) FROM freq) AS DOUBLE)
+                       + 1.0 * ((SELECT COUNT(*) FROM lm) + 1) AS denom_pos,
+                   CAST((SELECT SUM(cnt_neg) FROM freq) AS DOUBLE)
+                       + 1.0 * ((SELECT COUNT(*) FROM lm) + 1) AS denom_neg,
+                   CAST(FLOOR((ln(CAST((SELECT COUNT(*) FROM d WHERE y) AS DOUBLE))
+                             - ln(CAST((SELECT COUNT(*) FROM d WHERE NOT y) AS DOUBLE)))
+                        * 1000000.0) AS BIGINT) AS prior_micro
+        ),
+        scored AS (
+            SELECT t.id,
+                   CAST(FLOOR((
+                       ln((CAST(COALESCE(lm.cnt_pos, s.oov_pos) AS DOUBLE) + 1.0)
+                          / s.denom_pos)
+                     - ln((CAST(COALESCE(lm.cnt_neg, s.oov_neg) AS DOUBLE) + 1.0)
+                          / s.denom_neg)
+                   ) * 1000000.0) AS BIGINT) AS llr_micro,
+                   s.prior_micro
+            FROM toks t LEFT JOIN lm USING (term) CROSS JOIN scal s
+        )
+        SELECT id AS doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+               (SUM(llr_micro) + MAX(prior_micro)) AS score_micro,
+               CAST(SUM(llr_micro) + MAX(prior_micro) AS DOUBLE) / 1000000.0 AS score,
+               (SUM(llr_micro) + MAX(prior_micro)) > 0 AS pred
+        FROM scored GROUP BY id
+    """,
+    doc="model-based quality filtering (DCLM / FineWeb-Edu /GPT-3 "
+        "recipe: train a linear text classifier on weak labels, score "
+        "the corpus): multinomial Naive Bayes — the closed-form member "
+        "of the fastText family, so 'training' is two token-count "
+        "aggregates and the whole pipeline is one deterministic plan. "
+        "Weak label here: the documents table's lang == 'en'. Top-V "
+        "vocab cut with per-class OOV residual mass, Laplace alpha=1, "
+        "per-token log-likelihood-ratio floored to integer micro-nats "
+        "before the associative SUM, class-prior log-odds added per "
+        "doc. Same size-dispatched model join and exchange budget as "
+        "unigram_nll_quality.",
+)
+def nb_quality_classifier(spark, sf_dir):
+    from streamz_spark.operators.text import nb_quality_classifier as op
+
+    docs = load_table(spark, sf_dir, "documents")
+    return op(
+        docs.withColumn("__y", F.col("lang") == "en"),
+        label_col="__y",
+        vocab_limit=_NBQ_VOCAB,
+    )

@@ -429,3 +429,32 @@ def test_semdedup_plan_shape(spark):
     n_scans = len(re.findall(r"\(\d+\) Scan parquet", plan))
     assert n_scans == 1, n_scans
     assert exchange_count(df) <= 5, exchange_count(df)
+
+
+def test_nb_classifier_plan_and_dispatch(spark):
+    # the NB classifier keeps unigram_nll's scale contract: bounded
+    # exchanges, size-dispatched model join with value identity
+    # between the broadcast and shuffle arms, no corpus sort-merge
+    from pyspark.sql import functions as F
+
+    from streamz_spark.io import load_table
+    from streamz_spark.operators.text import nb_quality_classifier
+    from streamz_spark.plans import explain_string
+
+    docs = load_table(spark, SF_DIR, "documents").withColumn(
+        "__y", F.col("lang") == "en"
+    )
+    bcast = nb_quality_classifier(docs, "__y", vocab_limit=20, lm_join="broadcast")
+    plan = explain_string(bcast)
+    assert "SortMergeJoin" not in plan
+    assert "BroadcastHashJoin" in plan
+    # vocab > broadcast_limit=1 -> auto degrades to the shuffle join
+    shuf = nb_quality_classifier(
+        docs, "__y", vocab_limit=20, lm_join="auto", broadcast_limit=1
+    )
+    splan = explain_string(shuf)
+    assert "ShuffledHashJoin" in splan, splan
+    assert "SortMergeJoin" not in splan
+    a = bcast.toPandas().sort_values("doc_id", ignore_index=True)
+    b = shuf.toPandas().sort_values("doc_id", ignore_index=True)
+    assert a.equals(b)

@@ -251,3 +251,24 @@ def test_bpe_pretoken_cross_engine_agreement(spark):
     con.close()
     assert sp == py, (sp, py)
     assert dk == py, (dk, py)
+
+
+def test_nb_classifier_separates_disjoint_vocab(spark):
+    # classifier sanity with a known answer: two classes with disjoint
+    # vocabularies must be perfectly separated on the training docs,
+    # and an unlabeled-style mixed doc scores toward its dominant class
+    from pyspark.sql import functions as F
+
+    from streamz_spark.operators.text import nb_quality_classifier
+
+    rows = [
+        (1, "good clean prose text here", True),
+        (2, "clean good text prose indeed", True),
+        (3, "spam junk noise garbage stuff", False),
+        (4, "junk spam garbage noise words", False),
+        (5, "good clean prose junk text", True),  # majority-positive tokens
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string, y boolean")
+    out = {r.doc_id: r.pred for r in nb_quality_classifier(df, "y").collect()}
+    assert out[1] and out[2] and out[5]
+    assert not out[3] and not out[4]
