@@ -2450,7 +2450,7 @@ _NBQ_VOCAB = 20  # past the OOV boundary at every SF (corpus vocab ~31)
             FROM toks t LEFT JOIN lm USING (term) CROSS JOIN scal s
         )
         SELECT id AS doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens,
-               (SUM(llr_micro) + MAX(prior_micro)) AS score_micro,
+               CAST(SUM(llr_micro) + MAX(prior_micro) AS BIGINT) AS score_micro,
                CAST(SUM(llr_micro) + MAX(prior_micro) AS DOUBLE) / 1000000.0 AS score,
                (SUM(llr_micro) + MAX(prior_micro)) > 0 AS pred
         FROM scored GROUP BY id
