@@ -30,6 +30,7 @@ __all__ = [
     "hash_split_fast",
     "stratified_sample",
     "sample_fractions",
+    "dsir_select",
 ]
 
 _BUCKETS = 10_000
@@ -128,3 +129,132 @@ def sample_fractions(
     For an exact n-per-stratum carve-out use :func:`stratified_sample`.
     """
     return df.sampleBy(strata_col, fractions=fractions, seed=seed)
+
+
+def dsir_select(
+    raw: DataFrame,
+    is_target: "Column | str",
+    k: int,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_buckets: int = 8192,
+    alpha: float = 1.0,
+    seed: str = "42",
+) -> DataFrame:
+    """DSIR — Data Selection via Importance Resampling (Xie et al.
+    2023, arXiv:2302.03169): pick the ``k`` raw documents whose hashed
+    n-gram distribution looks most like a target domain, by importance
+    weights under two bag-of-hashed-ngrams models.
+
+    The published recipe exactly: features are unigrams+bigrams hashed
+    into ``n_buckets``; the target and raw feature distributions are
+    estimated by counting (Laplace ``alpha``); a document's log
+    importance weight is Σ_occurrences ln(p_target[b]/p_raw[b]); and
+    selection is Gumbel-top-k — adding Gumbel noise to the log weight
+    and taking the k largest implements sampling WITHOUT replacement
+    proportionally to the importance weights. ``is_target`` is a
+    boolean column/expression marking the in-domain examples (both
+    classes count into the raw model; the target model uses only
+    target rows — DSIR's raw model is the full crawl).
+
+    Determinism end-to-end (reproducible in a SQL oracle): the bucket
+    hash and the Gumbel uniform both derive from md5 (bit-identical in
+    any engine — see module docstring); per-occurrence log-ratios and
+    the Gumbel perturbation are floored to integer micro-nats before
+    summation/comparison; ties in the final key break by id.
+
+    Scale shape: ONE corpus explode feeding one (bucket) groupBy with
+    conditional sums (map-side combinable, n_buckets rows out —
+    metadata-sized, always broadcastable since n_buckets is a
+    parameter, not data); the weight join-back is a broadcast; the
+    top-k is sort+limit (TakeOrderedAndProject — per-partition heaps,
+    no global window); the selected-id set (k rows, bounded) joins
+    back as a broadcast semi-join flag. No corpus self-join, no
+    unbounded relation on the build side.
+
+    Output: one row per raw doc — ``(id_col, n_grams, logw_micro,
+    gumbel_key_micro, selected)``.
+    """
+    from streamz_spark.operators.text import tokenize, word_kgrams
+
+    if k < 1:
+        raise ValueError("k must be >= 1")
+    y = F.col(is_target) if isinstance(is_target, str) else is_target
+    d = raw.select(
+        F.col(id_col).alias("id"), y.cast("boolean").alias("y"),
+        tokenize(text_col).alias("w1"), word_kgrams(text_col, 2).alias("w2"),
+    )
+    occ = d.select(
+        "id", "y",
+        F.explode(F.concat("w1", "w2")).alias("gram"),
+    ).select(
+        "id", "y",
+        F.pmod(
+            F.conv(F.substring(F.md5(F.concat(F.lit(seed + ":"), F.col("gram"))), 1, 15), 16, 10).cast("long"),
+            F.lit(n_buckets),
+        ).alias("b"),
+    )
+    counts = occ.groupBy("b").agg(
+        F.count(F.lit(1)).alias("cnt_raw"),
+        F.sum(F.when(F.col("y"), 1).otherwise(0)).alias("cnt_t"),
+    )
+    totals = counts.agg(
+        F.sum("cnt_raw").alias("n_raw"), F.sum("cnt_t").alias("n_t")
+    )
+    # per-bucket log-ratio, floored to micro-nats ONCE per bucket —
+    # n_buckets rows, broadcast to the occurrence stream
+    llr = (
+        counts.crossJoin(F.broadcast(totals))
+        .select(
+            "b",
+            F.floor(
+                (
+                    F.log(
+                        (F.col("cnt_t").cast("double") + F.lit(alpha))
+                        / (F.col("n_t").cast("double") + F.lit(alpha) * F.lit(n_buckets))
+                    )
+                    - F.log(
+                        (F.col("cnt_raw").cast("double") + F.lit(alpha))
+                        / (F.col("n_raw").cast("double") + F.lit(alpha) * F.lit(n_buckets))
+                    )
+                ) * 1000000.0
+            ).cast("long").alias("llr_micro"),
+        )
+    )
+    logw = (
+        occ.join(F.broadcast(llr), "b")
+        .groupBy("id")
+        .agg(
+            F.count(F.lit(1)).alias("n_grams"),
+            F.sum("llr_micro").alias("logw_micro"),
+        )
+    )
+    # Gumbel key: g = -ln(-ln(u)), u from the md5 of the doc id —
+    # deterministic sampling without replacement ∝ exp(logw)
+    u = (
+        F.conv(F.substring(F.md5(F.concat(F.lit(seed + ":g:"), F.col("id").cast("string"))), 1, 8), 16, 10)
+        .cast("double") + F.lit(0.5)
+    ) / F.lit(4294967296.0)
+    keyed = logw.withColumn(
+        "gumbel_key_micro",
+        (F.col("logw_micro") + F.floor(-F.log(-F.log(u)) * 1000000.0).cast("long")),
+    )
+    topk = (
+        keyed.orderBy(F.col("gumbel_key_micro").desc(), F.col("id").asc())
+        .limit(k)
+        .select(F.col("id").alias("__sel_id"))
+    )
+    return (
+        keyed.join(
+            F.broadcast(topk.withColumn("__sel", F.lit(True))),
+            keyed["id"] == F.col("__sel_id"),
+            "left",
+        )
+        .select(
+            F.col("id").alias(id_col),
+            F.col("n_grams").cast("long").alias("n_grams"),
+            "logw_micro",
+            "gumbel_key_micro",
+            F.coalesce(F.col("__sel"), F.lit(False)).alias("selected"),
+        )
+    )

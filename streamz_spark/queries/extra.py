@@ -2476,3 +2476,84 @@ def nb_quality_classifier(spark, sf_dir):
         label_col="__y",
         vocab_limit=_NBQ_VOCAB,
     )
+
+
+_DSIR_K = 100
+_DSIR_B = 4096
+
+
+@register_extra(
+    "dsir_importance_resample",
+    oracle=f"""
+        WITH d AS (
+            SELECT doc_id AS id, (lang = 'en') AS y,
+                   CASE WHEN length(trim(lower(text))) = 0 THEN []::VARCHAR[]
+                        ELSE regexp_split_to_array(trim(lower(text)), '\\s+')
+                   END AS w
+            FROM documents
+        ),
+        grams AS (
+            SELECT id, y, g FROM d,
+            UNNEST(list_concat(
+                w,
+                list_transform(generate_series(1, greatest(len(w) - 1, 0)),
+                               i -> w[i] || ' ' || w[i+1])
+            )) AS t(g)
+        ),
+        occ AS (
+            SELECT id, y,
+                   ('0x' || substr(md5('42:' || g), 1, 15))::BIGINT % {_DSIR_B} AS b
+            FROM grams
+        ),
+        counts AS (
+            SELECT b, COUNT(*) AS cnt_raw,
+                   SUM(CASE WHEN y THEN 1 ELSE 0 END) AS cnt_t
+            FROM occ GROUP BY 1
+        ),
+        tot AS (SELECT SUM(cnt_raw) AS n_raw, SUM(cnt_t) AS n_t FROM counts),
+        llr AS (
+            SELECT b,
+                   CAST(FLOOR((
+                       ln((CAST(cnt_t AS DOUBLE) + 1.0)
+                          / (CAST(t.n_t AS DOUBLE) + 1.0 * {_DSIR_B}))
+                     - ln((CAST(cnt_raw AS DOUBLE) + 1.0)
+                          / (CAST(t.n_raw AS DOUBLE) + 1.0 * {_DSIR_B}))
+                   ) * 1000000.0) AS BIGINT) AS llr_micro
+            FROM counts CROSS JOIN tot t
+        ),
+        logw AS (
+            SELECT o.id, CAST(COUNT(*) AS BIGINT) AS n_grams,
+                   CAST(SUM(l.llr_micro) AS BIGINT) AS logw_micro
+            FROM occ o JOIN llr l USING (b) GROUP BY o.id
+        ),
+        keyed AS (
+            SELECT *,
+                   logw_micro + CAST(FLOOR(-ln(-ln(
+                       (('0x' || substr(md5('42:g:' || id), 1, 8))::BIGINT + 0.5)
+                       / 4294967296.0
+                   )) * 1000000.0) AS BIGINT) AS gumbel_key_micro
+            FROM logw
+        )
+        SELECT id AS doc_id, n_grams, logw_micro, gumbel_key_micro,
+               ROW_NUMBER() OVER (ORDER BY gumbel_key_micro DESC, id ASC)
+                   <= {_DSIR_K} AS selected
+        FROM keyed
+    """,
+    doc="DSIR — Data Selection via Importance Resampling (Xie et al. "
+        "2023): hashed unigram+bigram features, target-vs-raw "
+        "bag-of-ngrams importance weights, Gumbel-top-k sampling "
+        "without replacement proportional to the weights. Target "
+        "domain: lang == 'en'. Everything md5-derived and "
+        "integer-micro-nat floored, so the sampled set is "
+        "bit-reproducible in SQL. Scale: one corpus explode into one "
+        "n_buckets-row conditional-count aggregate, broadcast weight "
+        "join-back, sort+limit top-k (per-partition heaps), broadcast "
+        "selected-flag join — no corpus self-join, no global window.",
+)
+def dsir_importance_resample(spark, sf_dir):
+    from streamz_spark.operators.sampling import dsir_select
+
+    docs = load_table(spark, sf_dir, "documents")
+    return dsir_select(
+        docs, F.col("lang") == "en", k=_DSIR_K, n_buckets=_DSIR_B, seed="42"
+    )

@@ -120,3 +120,45 @@ def test_bloom_prefilter_prunes_but_never_drops_hits(spark):
     assert set(range(200)) <= kept, "bloom dropped a true hit (false negative)"
     # 19800 non-hits at fpp=0.01 -> ~198 expected survivors; 5x slack
     assert len(kept) - 200 < 1000, f"bloom barely pruned: {len(kept)} rows survived"
+
+
+def test_dsir_prefers_target_like_documents(spark):
+    # DSIR sanity with a known answer: raw pool = target-domain docs
+    # (labeled), target-LIKE unlabeled docs, and junk-vocab docs; the
+    # importance weight must rank target-like above junk, and the
+    # Gumbel-top-k selection must be dominated by target-like docs
+    from pyspark.sql import functions as F
+
+    from streamz_spark.operators.sampling import dsir_select
+
+    rows = []
+    for i in range(20):  # labeled target domain
+        rows.append((i, "science research method experiment data result", True))
+    for i in range(20, 40):  # unlabeled, target-like vocabulary
+        rows.append((i, "data experiment science result research method", False))
+    for i in range(40, 60):  # junk vocabulary
+        rows.append((i, "zzz click buy cheap now offer deal win", False))
+    df = spark.createDataFrame(rows, "doc_id long, text string, y boolean")
+    out = dsir_select(df, "y", k=30, n_buckets=512, seed="7").toPandas()
+    assert len(out) == 60 and out.selected.sum() == 30
+    w = dict(zip(out.doc_id, out.logw_micro))
+    assert min(w[i] for i in range(40)) > max(w[i] for i in range(40, 60))
+    sel = set(out[out.selected].doc_id)
+    assert len(sel & set(range(40))) >= 28  # junk essentially never sampled
+
+
+def test_dsir_plan_has_no_global_window(spark):
+    # the selection must be sort+limit (TakeOrderedAndProject heaps) +
+    # broadcast flag join — never a global row_number window (the
+    # single-task anti-pattern operators/order.py exists to avoid)
+    from streamz_spark.plans import explain_string
+    from streamz_spark.queries.extra import EXTRA_REGISTRY
+
+    from .conftest import SF_DIR
+
+    df = EXTRA_REGISTRY["dsir_importance_resample"].fn(spark, SF_DIR)
+    plan = explain_string(df)
+    assert "TakeOrderedAndProject" in plan
+    assert "Window" not in plan, "global window crept into DSIR selection"
+    assert "CartesianProduct" not in plan
+    assert "SortMergeJoin" not in plan
