@@ -27,6 +27,8 @@ __all__ = [
     "bpe_token_count",
     "unigram_nll_quality",
     "nb_quality_classifier",
+    "nb_quality_train",
+    "nb_quality_apply",
 ]
 
 # tiny deterministic stopword lists for the heuristic language id
@@ -638,6 +640,147 @@ def nb_quality_classifier(
                     )
                 ) * 1000000.0
             ).cast("long"),
+        )
+    )
+    agg = scored.groupBy("id").agg(
+        F.count(F.lit(1)).alias("n_tokens"),
+        F.sum("llr_micro").alias("llr_sum_micro"),
+        F.max("prior_micro").alias("prior_micro"),
+    )
+    return agg.select(
+        F.col("id").alias(id_col),
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+        (F.col("llr_sum_micro") + F.col("prior_micro")).alias("score_micro"),
+        ((F.col("llr_sum_micro") + F.col("prior_micro")).cast("double")
+         / F.lit(1000000.0)).alias("score"),
+        ((F.col("llr_sum_micro") + F.col("prior_micro")) > 0).alias("pred"),
+    )
+
+
+def nb_quality_train(
+    df: DataFrame,
+    label_col: str,
+    text_col: str = "text",
+    vocab_limit: int | None = None,
+    alpha: float = 1.0,
+):
+    """Train the :func:`nb_quality_classifier` model and return it as
+    two relations — ``(model, scalars)`` where ``model`` is
+    ``(term, llr_micro)`` (vocab-bounded: at most ``vocab_limit``
+    rows) and ``scalars`` is ONE row ``(oov_llr_micro, prior_micro)``.
+
+    Splitting train from apply is what production curation actually
+    does: fit once on a labeled snapshot, then score any corpus — or
+    any STREAM (apply is stateless exprs + a broadcast join, legal in
+    a streaming plan). Per-term log-likelihood ratios are
+    pre-collapsed to integer micro-nats at train time, so apply-side
+    scoring is a join + integer sum with no floating-point work that
+    could diverge between engines or runs.
+    """
+    from streamz_spark.io import ensure_scan_parallelism
+
+    if vocab_limit is not None and vocab_limit < 1:
+        raise ValueError("vocab_limit must be >= 1")
+    if alpha <= 0:
+        raise ValueError("alpha must be > 0 (Laplace smoothing keeps every log finite)")
+    df = ensure_scan_parallelism(df)
+    toks = df.select(
+        F.col(label_col).cast("boolean").alias("y"),
+        F.explode(tokenize(text_col)).alias("term"),
+    )
+    freq = (
+        toks.groupBy("term")
+        .agg(
+            F.sum(F.when(F.col("y"), 1).otherwise(0)).alias("cnt_pos"),
+            F.sum(F.when(~F.col("y"), 1).otherwise(0)).alias("cnt_neg"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    if vocab_limit is not None:
+        lm = freq.orderBy(
+            (F.col("cnt_pos") + F.col("cnt_neg")).desc(), F.col("term").asc()
+        ).limit(vocab_limit)
+    else:
+        lm = freq
+    totals = freq.agg(
+        F.sum("cnt_pos").alias("n_pos"), F.sum("cnt_neg").alias("n_neg")
+    )
+    in_mass = lm.agg(
+        F.count(F.lit(1)).alias("v_size"),
+        F.sum("cnt_pos").alias("in_pos"),
+        F.sum("cnt_neg").alias("in_neg"),
+    )
+    priors = df.agg(
+        F.sum(F.when(F.col(label_col).cast("boolean"), 1).otherwise(0)).alias("d_pos"),
+        F.sum(F.when(~F.col(label_col).cast("boolean"), 1).otherwise(0)).alias("d_neg"),
+    )
+    base = (
+        totals.crossJoin(in_mass).crossJoin(priors)
+        .select(
+            F.assert_true(
+                (F.col("d_pos") > 0) & (F.col("d_neg") > 0),
+                F.lit("nb_quality_train needs both label classes non-empty"),
+            ).alias("__chk"),
+            (F.col("n_pos") - F.col("in_pos")).alias("oov_pos"),
+            (F.col("n_neg") - F.col("in_neg")).alias("oov_neg"),
+            (F.col("n_pos").cast("double") + F.lit(alpha) * (F.col("v_size") + 1))
+            .alias("denom_pos"),
+            (F.col("n_neg").cast("double") + F.lit(alpha) * (F.col("v_size") + 1))
+            .alias("denom_neg"),
+            F.floor(
+                (F.log(F.col("d_pos").cast("double"))
+                 - F.log(F.col("d_neg").cast("double"))) * 1000000.0
+            ).cast("long").alias("prior_micro"),
+        )
+        .drop("__chk")
+    )
+
+    def _llr(pos_cnt, neg_cnt):
+        return F.floor(
+            (
+                F.log((pos_cnt.cast("double") + F.lit(alpha)) / F.col("denom_pos"))
+                - F.log((neg_cnt.cast("double") + F.lit(alpha)) / F.col("denom_neg"))
+            ) * 1000000.0
+        ).cast("long")
+
+    model = lm.crossJoin(F.broadcast(base)).select(
+        "term", _llr(F.col("cnt_pos"), F.col("cnt_neg")).alias("llr_micro")
+    )
+    scalars = base.select(
+        _llr(F.col("oov_pos"), F.col("oov_neg")).alias("oov_llr_micro"),
+        "prior_micro",
+    )
+    return model, scalars
+
+
+def nb_quality_apply(
+    df: DataFrame,
+    model,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    lm_join: str = "broadcast",
+) -> DataFrame:
+    """Score a corpus — or a stream — against a trained
+    :func:`nb_quality_train` model. Stateless per-token exprs + one
+    model join + one doc-key aggregate; on a streaming frame the model
+    join is a stream-static broadcast join and the per-doc aggregate
+    is the (watermarkable) streaming aggregation. Output schema equals
+    :func:`nb_quality_classifier`.
+    """
+    lm, scalars = model
+    if lm_join not in ("broadcast", "shuffle"):
+        raise ValueError(f"lm_join must be broadcast|shuffle, got {lm_join!r}")
+    lm_rel = F.broadcast(lm) if lm_join == "broadcast" else lm.hint("shuffle_hash")
+    toks = df.select(
+        F.col(id_col).alias("id"), F.explode(tokenize(text_col)).alias("term")
+    )
+    scored = (
+        toks.join(lm_rel, "term", "left")
+        .crossJoin(F.broadcast(scalars))
+        .select(
+            "id",
+            F.coalesce(F.col("llr_micro"), F.col("oov_llr_micro")).alias("llr_micro"),
+            "prior_micro",
         )
     )
     agg = scored.groupBy("id").agg(

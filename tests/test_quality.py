@@ -272,3 +272,29 @@ def test_nb_classifier_separates_disjoint_vocab(spark):
     out = {r.doc_id: r.pred for r in nb_quality_classifier(df, "y").collect()}
     assert out[1] and out[2] and out[5]
     assert not out[3] and not out[4]
+
+
+def test_nb_train_apply_equals_monolithic(spark):
+    # the split train/apply path must be value-identical to
+    # nb_quality_classifier (per-term LLRs pre-collapsed to micro-nats
+    # at train time — same floors, same sums)
+    from pyspark.sql import functions as F
+
+    from streamz_spark.io import load_table
+    from streamz_spark.operators.text import (
+        nb_quality_apply,
+        nb_quality_classifier,
+        nb_quality_train,
+    )
+
+    from .conftest import SF_DIR
+
+    docs = load_table(spark, SF_DIR, "documents").withColumn(
+        "__y", F.col("lang") == "en"
+    )
+    mono = nb_quality_classifier(docs, "__y", vocab_limit=20).toPandas()
+    model = nb_quality_train(docs, "__y", vocab_limit=20)
+    split = nb_quality_apply(docs, model).toPandas()
+    a = mono.sort_values("doc_id", ignore_index=True)
+    b = split.sort_values("doc_id", ignore_index=True)
+    assert a.equals(b)

@@ -844,6 +844,34 @@ def _cell_semdedup_embeddings(spark):
 CELLS["semdedup/embeddings"] = _cell_semdedup_embeddings
 
 
+def _cell_nb_classifier_scoring_documents(spark):
+    # model-apply-on-stream: a Naive Bayes quality model trained on
+    # the static corpus scores the same corpus replayed as a stream
+    # (stream-static broadcast model join + streaming doc-key
+    # aggregate in complete mode) — the per-doc scores must be
+    # IDENTICAL to the batch apply (integer micro-nat sums are
+    # order/batching-independent by construction; this cell is the
+    # proof that holds across the batch/stream boundary)
+    from streamz_spark.operators.text import nb_quality_apply, nb_quality_train
+    from streamz_spark.streaming.sources import replay_table
+
+    docs = load_table(spark, SF_DIR, "documents").withColumn(
+        "__y", F.col("lang") == "en"
+    )
+    model = nb_quality_train(docs, "__y", vocab_limit=20)
+    got = sink_to_list(
+        nb_quality_apply(
+            replay_table(spark, SF_DIR, "documents", chunk_col="doc_id"), model
+        ),
+        output_mode="complete",
+    )[-1]
+    want = nb_quality_apply(docs, model).toPandas()
+    return got, want
+
+
+CELLS["nb_classifier_scoring/documents"] = _cell_nb_classifier_scoring_documents
+
+
 # parametrized LAST so late-registered cells are included
 @pytest.mark.parametrize("cell", sorted(CELLS))
 def test_stream_batch_cell(cell, spark):
