@@ -174,6 +174,13 @@ def dsir_select(
 
     Output: one row per raw doc — ``(id_col, n_grams, logw_micro,
     gumbel_key_micro, selected)``.
+
+    ``k`` is the one scale knob: the selected-id relation is k rows
+    and broadcasts for the flag join. For k beyond broadcast comfort
+    (~10⁷ ids), swap the flag join for a key threshold — take the
+    k-th largest ``gumbel_key_micro`` from an approx-quantile pass
+    and flag ``key >= threshold`` map-side; everything upstream is
+    unchanged.
     """
     from streamz_spark.operators.text import tokenize, word_kgrams
 

@@ -576,3 +576,75 @@ def test_fuzzy_pairs_exact_under_planted_hot_block(spark, data):
         ).collect()
     }
     assert got == want
+
+
+@st.composite
+def labeled_corpus(draw):
+    vocab = ["alpha", "beta", "gamma", "delta", "eps", "zeta", "eta", "theta"]
+    n = draw(st.integers(min_value=4, max_value=24))
+    rows = []
+    has = {True: False, False: False}
+    for i in range(n):
+        y = draw(st.booleans())
+        k = draw(st.integers(min_value=1, max_value=8))
+        toks = [draw(st.sampled_from(vocab)) for _ in range(k)]
+        rows.append((i, " ".join(toks), y))
+        has[y] = True
+    # both classes non-empty (operator contract)
+    if not has[True]:
+        rows.append((n, "alpha beta", True))
+    if not has[False]:
+        rows.append((n + 1, "gamma delta", False))
+    return rows
+
+
+@given(rows=labeled_corpus(), vlim=st.one_of(st.none(), st.integers(2, 6)))
+@settings(max_examples=15, deadline=None)
+def test_nb_classifier_matches_independent_python_nb(spark, rows, vlim):
+    # differential vs a from-scratch Python multinomial NB with the
+    # same top-V/OOV/Laplace construction — the Spark plan's integer
+    # micro-nat scores must floor the identical real-valued model
+    import math
+
+    from streamz_spark.operators.text import nb_quality_classifier
+
+    alpha = 1.0
+    toks = {i: t.lower().split() for i, t, _ in rows}
+    labels = {i: y for i, _, y in rows}
+    cnt_pos, cnt_neg = {}, {}
+    for i, ts in toks.items():
+        for t in ts:
+            d = cnt_pos if labels[i] else cnt_neg
+            d[t] = d.get(t, 0) + 1
+    vocab = sorted(
+        set(cnt_pos) | set(cnt_neg),
+        key=lambda t: (-(cnt_pos.get(t, 0) + cnt_neg.get(t, 0)), t),
+    )
+    lm = set(vocab[:vlim]) if vlim is not None else set(vocab)
+    n_pos, n_neg = sum(cnt_pos.values()), sum(cnt_neg.values())
+    in_pos = sum(cnt_pos.get(t, 0) for t in lm)
+    in_neg = sum(cnt_neg.get(t, 0) for t in lm)
+    v = len(lm)
+    dpos = float(n_pos) + alpha * (v + 1)
+    dneg = float(n_neg) + alpha * (v + 1)
+    d_pos = sum(1 for y in labels.values() if y)
+    d_neg = sum(1 for y in labels.values() if not y)
+    prior = math.floor((math.log(float(d_pos)) - math.log(float(d_neg))) * 1e6)
+
+    def llr(t):
+        cp = cnt_pos.get(t, 0) if t in lm else n_pos - in_pos
+        cn = cnt_neg.get(t, 0) if t in lm else n_neg - in_neg
+        return math.floor(
+            (math.log((float(cp) + alpha) / dpos)
+             - math.log((float(cn) + alpha) / dneg)) * 1e6
+        )
+
+    want = {
+        i: sum(llr(t) for t in ts) + prior for i, ts in toks.items() if ts
+    }
+    df = spark.createDataFrame(rows, "doc_id long, text string, y boolean")
+    got = {
+        r.doc_id: r.score_micro
+        for r in nb_quality_classifier(df, "y", vocab_limit=vlim).collect()
+    }
+    assert got == want
