@@ -163,17 +163,21 @@ def dsir_select(
     the Gumbel perturbation are floored to integer micro-nats before
     summation/comparison; ties in the final key break by id.
 
-    Scale shape: ONE corpus explode feeding one (bucket) groupBy with
-    conditional sums (map-side combinable, n_buckets rows out —
-    metadata-sized, always broadcastable since n_buckets is a
-    parameter, not data); the weight join-back is a broadcast; the
+    Scale shape: ONE corpus explode, pre-aggregated to (doc, bucket)
+    counts and checkpointed — both the model estimate (a bucket-key
+    rollup to n_buckets rows: metadata-sized, always broadcastable
+    since n_buckets is a parameter, not data) and the per-doc weight
+    sum read that one materialization, so the corpus is exploded and
+    hashed exactly once; the weight join-back is a broadcast; the
     top-k is sort+limit (TakeOrderedAndProject — per-partition heaps,
     no global window); the selected-id set (k rows, bounded) joins
     back as a broadcast semi-join flag. No corpus self-join, no
     unbounded relation on the build side.
 
-    Output: one row per raw doc — ``(id_col, n_grams, logw_micro,
-    gumbel_key_micro, selected)``.
+    Output: one row per raw doc with ≥1 token — ``(id_col, n_grams,
+    logw_micro, gumbel_key_micro, selected)``. Empty docs carry no
+    features, hence no weight, and are excluded (published pipelines
+    drop them upstream).
 
     ``k`` is the one scale knob: the selected-id relation is k rows
     and broadcasts for the flag join. For k beyond broadcast comfort
@@ -201,9 +205,18 @@ def dsir_select(
             F.lit(n_buckets),
         ).alias("b"),
     )
-    counts = occ.groupBy("b").agg(
-        F.count(F.lit(1)).alias("cnt_raw"),
-        F.sum(F.when(F.col("y"), 1).otherwise(0)).alias("cnt_t"),
+    # (doc, bucket) pre-aggregate, checkpointed: the model counts AND
+    # the per-doc weight sum both read it, so the corpus explode+hash
+    # runs exactly once and the second pass is over the (much smaller)
+    # doc×bucket relation instead of raw occurrences
+    doc_bucket = (
+        occ.groupBy("id", "y", "b")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .localCheckpoint(eager=True)
+    )
+    counts = doc_bucket.groupBy("b").agg(
+        F.sum("c").alias("cnt_raw"),
+        F.sum(F.when(F.col("y"), F.col("c")).otherwise(0)).alias("cnt_t"),
     )
     totals = counts.agg(
         F.sum("cnt_raw").alias("n_raw"), F.sum("cnt_t").alias("n_t")
@@ -229,11 +242,11 @@ def dsir_select(
         )
     )
     logw = (
-        occ.join(F.broadcast(llr), "b")
+        doc_bucket.join(F.broadcast(llr), "b")
         .groupBy("id")
         .agg(
-            F.count(F.lit(1)).alias("n_grams"),
-            F.sum("llr_micro").alias("logw_micro"),
+            F.sum("c").alias("n_grams"),
+            F.sum(F.col("c") * F.col("llr_micro")).alias("logw_micro"),
         )
     )
     # Gumbel key: g = -ln(-ln(u)), u from the md5 of the doc id —
