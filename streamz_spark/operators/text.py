@@ -529,132 +529,26 @@ def nb_quality_classifier(
     pipeline is a deterministic Spark plan (no iterative optimizer)
     and exactly reproducible in a SQL oracle.
 
-    ``label_col`` is a boolean column of weak labels (e.g. "doc is
-    from the curated source", "heuristic quality >= cut"). Model:
-    P(t|c) = (cnt_c(t) + alpha) / (N_c + alpha·(V+1)) with an OOV
-    bucket holding each class's residual mass beyond the top-V
-    vocabulary cut (``vocab_limit``, ties term-asc — the same
-    fixed-vocab shape as :func:`unigram_nll_quality`; at 100 TB an
-    uncapped vocab is 10⁸-10⁹ terms). Per-token log-likelihood ratio
-    ln P(t|pos) − ln P(t|neg) is floor-scaled to integer micro-nats
-    BEFORE summation (associative integer SUM — order-independent,
-    bit-identical across engines), and the class-prior log-odds
-    (floored once) is added per document.
+    Convenience composition of :func:`nb_quality_train` +
+    :func:`nb_quality_apply` on the same frame (see those for the
+    model construction, determinism contract, and scale shape).
+    ``lm_join="auto"`` dispatches broadcast vs ``shuffle_hash`` on the
+    model size vs ``broadcast_limit`` — the same size-dispatch
+    contract as :func:`unigram_nll_quality`.
 
     Output: ``(id_col, n_tokens, score_micro, score, pred)`` where
     ``score_micro`` is the integer micro-nat log-odds, ``score`` its
     double form, ``pred = score_micro > 0``.
-
-    Scale shape: one (term, label) groupBy for the class counts
-    (map-side combinable, localCheckpointed), bounded top-V cut,
-    size-dispatched broadcast/shuffle-hash model join (``lm_join`` —
-    same contract as unigram_nll_quality), one doc-key groupBy. Both
-    classes must be non-empty; the plan asserts it executor-side.
     """
-    from streamz_spark.io import ensure_scan_parallelism
-
-    if vocab_limit is not None and vocab_limit < 1:
-        raise ValueError("vocab_limit must be >= 1")
     if lm_join not in ("auto", "broadcast", "shuffle"):
         raise ValueError(f"lm_join must be auto|broadcast|shuffle, got {lm_join!r}")
-    if alpha <= 0:
-        raise ValueError("alpha must be > 0 (Laplace smoothing keeps every log finite)")
-
-    df = ensure_scan_parallelism(df)
-    toks = df.select(
-        F.col(id_col).alias("id"),
-        F.col(label_col).cast("boolean").alias("y"),
-        F.explode(tokenize(text_col)).alias("term"),
+    model = nb_quality_train(
+        df, label_col, text_col=text_col, vocab_limit=vocab_limit, alpha=alpha
     )
-    # per-term class counts in ONE corpus aggregate (conditional sums,
-    # not two passes); vocab-sized, feeds 2-3 consumers -> checkpoint
-    freq = (
-        toks.groupBy("term")
-        .agg(
-            F.sum(F.when(F.col("y"), 1).otherwise(0)).alias("cnt_pos"),
-            F.sum(F.when(~F.col("y"), 1).otherwise(0)).alias("cnt_neg"),
-        )
-        .localCheckpoint(eager=True)
-    )
-    if vocab_limit is not None:
-        lm = freq.orderBy(
-            (F.col("cnt_pos") + F.col("cnt_neg")).desc(), F.col("term").asc()
-        ).limit(vocab_limit)
-    else:
-        lm = freq
-    totals = freq.agg(
-        F.sum("cnt_pos").alias("n_pos"), F.sum("cnt_neg").alias("n_neg")
-    )
-    in_mass = lm.agg(
-        F.count(F.lit(1)).alias("v_size"),
-        F.sum("cnt_pos").alias("in_pos"),
-        F.sum("cnt_neg").alias("in_neg"),
-    )
-    # doc-level priors from the labeled frame (one cheap aggregate)
-    priors = df.agg(
-        F.sum(F.when(F.col(label_col).cast("boolean"), 1).otherwise(0)).alias("d_pos"),
-        F.sum(F.when(~F.col(label_col).cast("boolean"), 1).otherwise(0)).alias("d_neg"),
-    )
-    scalars = (
-        totals.crossJoin(in_mass).crossJoin(priors)
-        .select(
-            F.assert_true(
-                (F.col("d_pos") > 0) & (F.col("d_neg") > 0),
-                F.lit("nb_quality_classifier needs both label classes non-empty"),
-            ).alias("__chk"),
-            (F.col("n_pos") - F.col("in_pos")).alias("oov_pos"),
-            (F.col("n_neg") - F.col("in_neg")).alias("oov_neg"),
-            (F.col("n_pos").cast("double") + F.lit(alpha) * (F.col("v_size") + 1))
-            .alias("denom_pos"),
-            (F.col("n_neg").cast("double") + F.lit(alpha) * (F.col("v_size") + 1))
-            .alias("denom_neg"),
-            F.floor(
-                (F.log(F.col("d_pos").cast("double"))
-                 - F.log(F.col("d_neg").cast("double"))) * 1000000.0
-            ).cast("long").alias("prior_micro"),
-        )
-        .drop("__chk")
-    )
-
     if lm_join == "auto":
-        lm_size = vocab_limit if vocab_limit is not None else freq.count()
-        lm_join = "broadcast" if lm_size <= broadcast_limit else "shuffle"
-    lm_rel = F.broadcast(lm) if lm_join == "broadcast" else lm.hint("shuffle_hash")
-
-    scored = (
-        toks.join(lm_rel, "term", "left")
-        .crossJoin(F.broadcast(scalars))
-        .withColumn(
-            "llr_micro",
-            F.floor(
-                (
-                    F.log(
-                        (F.coalesce(F.col("cnt_pos"), F.col("oov_pos")).cast("double")
-                         + F.lit(alpha))
-                        / F.col("denom_pos")
-                    )
-                    - F.log(
-                        (F.coalesce(F.col("cnt_neg"), F.col("oov_neg")).cast("double")
-                         + F.lit(alpha))
-                        / F.col("denom_neg")
-                    )
-                ) * 1000000.0
-            ).cast("long"),
-        )
-    )
-    agg = scored.groupBy("id").agg(
-        F.count(F.lit(1)).alias("n_tokens"),
-        F.sum("llr_micro").alias("llr_sum_micro"),
-        F.max("prior_micro").alias("prior_micro"),
-    )
-    return agg.select(
-        F.col("id").alias(id_col),
-        F.col("n_tokens").cast("long").alias("n_tokens"),
-        (F.col("llr_sum_micro") + F.col("prior_micro")).alias("score_micro"),
-        ((F.col("llr_sum_micro") + F.col("prior_micro")).cast("double")
-         / F.lit(1000000.0)).alias("score"),
-        ((F.col("llr_sum_micro") + F.col("prior_micro")) > 0).alias("pred"),
-    )
+        size = vocab_limit if vocab_limit is not None else model[0].count()
+        lm_join = "broadcast" if size <= broadcast_limit else "shuffle"
+    return nb_quality_apply(df, model, id_col=id_col, text_col=text_col, lm_join=lm_join)
 
 
 def nb_quality_train(
