@@ -656,3 +656,76 @@ def test_streaming_pretrain_pipeline_restart_continuation(rocksdb, tmp_path):
     assert any(a < boundary <= b for a, b in got), (
         "corpus has no near-dup pair spanning the restart boundary"
     )
+
+
+def test_streaming_semdedup_rocksdb_cross_batch_and_ttl(rocksdb, tmp_path):
+    # ingest-time SemDeDup on the production provider: a duplicate
+    # arriving BATCHES after its original must pair via the cell state
+    # (cross-batch detection), and with a ttl an idle member must be
+    # evicted so a later duplicate does NOT pair (bounded state under
+    # unbounded ingest — the same contract as streaming_minhash_neardup)
+    import json
+
+    import pandas as pd
+
+    from streamz_spark.streaming.datasources import filelog_append, from_filelog
+    from streamz_spark.streaming.sinks import sink_to_list
+    from streamz_spark.streaming.sources import from_iterable
+    from streamz_spark.streaming.stateful import streaming_semdedup
+
+    spark = rocksdb
+    base = [1.0] * 8
+    off = [0.0] * 7 + [30.0]
+    cents = [(0, base), (1, off)]
+    chunks = [
+        pd.DataFrame({"vec_id": [1, 2], "embedding": [base, off]}),
+        pd.DataFrame({"vec_id": [3], "embedding": [[0.0] * 8]}),  # no dup
+        pd.DataFrame({"vec_id": [4], "embedding": [base]}),       # dup of 1
+    ]
+    out = sink_to_list(
+        streaming_semdedup(
+            from_iterable(spark, chunks, "vec_id long, embedding array<double>"),
+            cents, threshold=0.95,
+        )
+    )
+    pairs = {(int(r.id_a), int(r.id_b)) for b in out if len(b)
+             for r in b.itertuples(index=False)}
+    assert (1, 4) in pairs  # cross-batch via RocksDB cell state
+    assert all(a == 1 and b == 4 for a, b in pairs), pairs
+
+    # TTL arm: ProcessingTimeTimeout means availableNow never settles
+    # (same caveat as test_rocksdb_neardup_ttl_cross_batch), so drive
+    # with a processingTime trigger and real wall-clock between docs
+    log = str(tmp_path / "sd_log")
+    filelog_append(log, [json.dumps({"vec_id": 10, "v": base})])
+    src = from_filelog(spark, log).selectExpr(
+        "cast(get_json_object(value, '$.vec_id') as long) as vec_id",
+        "from_json(get_json_object(value, '$.v'), 'array<double>') as embedding",
+    )
+    rows: list = []
+    q = (
+        streaming_semdedup(src, cents, threshold=0.95, ttl=1.0)
+        .writeStream.outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "sd_ckpt"))
+        .foreachBatch(lambda b, i: rows.extend(b.collect()))
+        .trigger(processingTime="300 milliseconds")
+        .start()
+    )
+
+    def wait_processed(n, timeout=120):
+        t0 = time.time()
+        while time.time() - t0 < timeout:
+            if sum(int(p["numInputRows"]) for p in q.recentProgress) >= n:
+                return
+            time.sleep(0.2)
+        raise TimeoutError(f"stream never processed {n} input rows")
+
+    try:
+        wait_processed(1)
+        time.sleep(2.5)  # let doc 10 age past the 1 s TTL
+        filelog_append(log, [json.dumps({"vec_id": 11, "v": base})])
+        wait_processed(2)
+        time.sleep(1.5)  # a few more triggers so any pair would surface
+    finally:
+        q.stop()
+    assert not rows, f"TTL-expired member must not pair: {rows}"
