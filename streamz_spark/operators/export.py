@@ -21,6 +21,7 @@ from pyspark.sql.types import LongType, StructField, StructType
 __all__ = [
     "deterministic_shuffle",
     "pack_sequences",
+    "chunk_documents",
 ]
 
 
@@ -112,3 +113,61 @@ def pack_sequences(
         yield pdf
 
     return slim.mapInPandas(pack, schema=schema)
+
+
+def chunk_documents(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_tokens: int = 512,
+    overlap: int = 0,
+    out_col: str = "chunk_text",
+) -> DataFrame:
+    """Split long documents into training-window chunks of at most
+    ``max_tokens`` tokens with ``overlap`` tokens of context carried
+    between consecutive chunks — the upstream step
+    :func:`pack_sequences` documents for over-budget docs, and the
+    standard long-document treatment in every pretraining tokenizer
+    pipeline (stride = max_tokens − overlap).
+
+    Pure narrow transform: the token array is sliced at the stride
+    positions inside one projection (sequence → transform → slice) and
+    ``posexplode`` emits one row per chunk — no shuffle, no UDF, and
+    the explode's output is bounded by total tokens / stride. Docs
+    with no tokens produce no chunks (they carry nothing to train on).
+
+    Output: ``(id_col, chunk_idx, n_chunk_tokens, out_col)`` with
+    0-based ``chunk_idx``; every chunk except possibly the last has
+    ``max_tokens`` tokens when the doc is long enough.
+    """
+    from streamz_spark.io import ensure_scan_parallelism
+    from streamz_spark.operators.text import tokenize
+
+    if max_tokens < 1:
+        raise ValueError("max_tokens must be >= 1")
+    if not 0 <= overlap < max_tokens:
+        raise ValueError("overlap must satisfy 0 <= overlap < max_tokens")
+    stride = max_tokens - overlap
+    df = ensure_scan_parallelism(df)
+    toks = tokenize(text_col)
+    n = F.size(toks)
+    # start positions: 0, stride, 2*stride, ... bounded so every chunk
+    # past the first contributes at least one NEW token (a start s > 0
+    # with s + overlap >= n would emit a chunk made entirely of the
+    # previous chunk's overlap — redundant coverage)
+    chunks = F.when(
+        n > 0,
+        F.transform(
+            F.sequence(F.lit(0), F.greatest(n - overlap - 1, F.lit(0)), F.lit(stride)),
+            lambda s: F.slice(toks, s + 1, max_tokens),
+        ),
+    ).otherwise(F.array().cast("array<array<string>>"))
+    return (
+        df.select(F.col(id_col), F.posexplode(chunks).alias("chunk_idx", "__c"))
+        .select(
+            id_col,
+            F.col("chunk_idx").cast("long").alias("chunk_idx"),
+            F.size("__c").cast("long").alias("n_chunk_tokens"),
+            F.array_join("__c", " ").alias(out_col),
+        )
+    )

@@ -2557,3 +2557,46 @@ def dsir_importance_resample(spark, sf_dir):
     return dsir_select(
         docs, F.col("lang") == "en", k=_DSIR_K, n_buckets=_DSIR_B, seed="42"
     )
+
+
+_CHUNK_MAX = 32
+_CHUNK_OVERLAP = 8
+
+
+@register_extra(
+    "chunk_documents",
+    oracle=f"""
+        WITH d AS (
+            SELECT doc_id,
+                   CASE WHEN length(trim(lower(text))) = 0 THEN []::VARCHAR[]
+                        ELSE regexp_split_to_array(trim(lower(text)), '\\s+')
+                   END AS w
+            FROM documents
+        ),
+        ch AS (
+            SELECT doc_id,
+                   CAST((s - 1) / {_CHUNK_MAX - _CHUNK_OVERLAP} AS BIGINT) AS chunk_idx,
+                   w[s : s + {_CHUNK_MAX} - 1] AS c
+            FROM d, UNNEST(generate_series(1, greatest(len(w) - {_CHUNK_OVERLAP}, 1), {_CHUNK_MAX - _CHUNK_OVERLAP})) AS t(s)
+            WHERE len(w) > 0
+        )
+        SELECT doc_id, chunk_idx,
+               CAST(len(c) AS BIGINT) AS n_chunk_tokens,
+               array_to_string(c, ' ') AS chunk_text
+        FROM ch
+    """,
+    doc="long-document chunking into training windows: at most "
+        "max_tokens per chunk with overlap tokens of carried context "
+        "(stride = max - overlap) — the upstream step pack_sequences "
+        "defers for over-budget docs. Pure narrow transform: stride "
+        "positions + slices computed in ONE projection, posexplode "
+        "emits chunks; no shuffle, no UDF, output bounded by "
+        "total_tokens/stride.",
+)
+def chunk_documents(spark, sf_dir):
+    from streamz_spark.operators.export import chunk_documents as op
+
+    return op(
+        load_table(spark, sf_dir, "documents"),
+        max_tokens=_CHUNK_MAX, overlap=_CHUNK_OVERLAP,
+    )

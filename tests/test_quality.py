@@ -298,3 +298,49 @@ def test_nb_train_apply_equals_monolithic(spark):
     a = mono.sort_values("doc_id", ignore_index=True)
     b = split.sort_values("doc_id", ignore_index=True)
     assert a.equals(b)
+
+
+def test_chunk_documents_then_pack_fits_budget(spark):
+    # chunking is the documented upstream fix for over-budget docs:
+    # after chunk_documents(max_tokens=B) every pack_sequences(budget=B)
+    # pack fits the budget exactly — no singleton overflow packs —
+    # and chunk coverage reconstructs every token with the right
+    # stride/overlap structure
+    from pyspark.sql import functions as F
+
+    from streamz_spark.io import load_table
+    from streamz_spark.operators import export as ex
+
+    from .conftest import SF_DIR
+
+    docs = load_table(spark, SF_DIR, "documents")
+    chunks = ex.chunk_documents(docs, max_tokens=32, overlap=8)
+    rows = chunks.collect()
+    assert rows and all(r.n_chunk_tokens <= 32 for r in rows)
+    # chunk 0 starts at token 0; consecutive chunks advance by stride
+    per_doc = {}
+    for r in rows:
+        per_doc.setdefault(r.doc_id, []).append((r.chunk_idx, r.n_chunk_tokens))
+    for doc_id, cs in per_doc.items():
+        idxs = sorted(i for i, _ in cs)
+        assert idxs == list(range(len(idxs))), doc_id  # dense 0..k
+        # every chunk but the last is full
+        full = [n for i, n in sorted(cs)][:-1]
+        assert all(n == 32 for n in full), (doc_id, cs)
+    # total coverage: sum of (stride for all but last) + last chunk len
+    n_tokens = {
+        r["doc_id"]: r["n"]
+        for r in docs.select(
+            "doc_id", F.size(F.split(F.lower(F.trim("text")), r"\s+")).alias("n")
+        ).collect()
+    }
+    for doc_id, cs in per_doc.items():
+        last_n = sorted(cs)[-1][1]
+        assert 24 * (len(cs) - 1) + last_n == n_tokens[doc_id], doc_id
+    # packing chunks with the same budget: every pack fits
+    ch_ids = chunks.select(
+        F.concat_ws("#", "doc_id", "chunk_idx").alias("cid"),
+        F.col("n_chunk_tokens").alias("n_tokens"),
+    )
+    packed = ex.pack_sequences(ch_ids, id_col="cid", budget=32, num_shards=4)
+    assert packed.filter(F.col("pack_tokens") > 32).count() == 0
