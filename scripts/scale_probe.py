@@ -40,6 +40,10 @@ DEFAULT_QUERIES = [
     "tpch_q21_waiting_suppliers",
     "ann_ivf_topk",
     "unigram_nll_quality",
+    "nb_quality_classifier",
+    "dsir_importance_resample",
+    "semdedup_embedding",
+    "chunk_documents",
 ]
 
 
