@@ -708,8 +708,9 @@ def semdedup(
         ),
         "v", "norm",
     )
+    n = v.count() if (n_clusters is None or centroids != "seed") else None
     if n_clusters is None:
-        n_clusters = max(4, math.ceil(math.sqrt(v.count())))
+        n_clusters = max(4, math.ceil(math.sqrt(n)))
     if centroids == "seed":
         seed_rows = v.orderBy("id").limit(n_clusters).select("id", "v").collect()
         cent_rows = [(ci, [float(x) for x in r["v"]]) for ci, r in enumerate(seed_rows)]
@@ -718,7 +719,6 @@ def semdedup(
         from pyspark.ml.functions import array_to_vector
 
         max_train = 100_000
-        n = v.count()
         train_src = (
             v.sample(fraction=min(1.0, max_train / n), seed=seed)
             if n > max_train else v
