@@ -20,6 +20,7 @@ __all__ = [
     "dedup_exact",
     "duplicated_spans",
     "remove_duplicated_spans",
+    "dedup_paragraphs",
     "fuzzy_levenshtein_pairs",
     "ngram_jaccard_pairs",
     "minhash_signatures",
@@ -232,6 +233,86 @@ def remove_duplicated_spans(
             ).cast("long"),
         )
         .drop("__spans")
+    )
+
+
+def dedup_paragraphs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    window: int = 20,
+    out_col: str = "text_deduped",
+) -> DataFrame:
+    """Paragraph-level exact dedup — the intermediate granularity
+    between doc-level (:func:`dedup_exact`) and token-span-level
+    (:func:`remove_duplicated_spans`): CCNet dedups at paragraph
+    granularity over shard hashes and MassiveText (Gopher appendix)
+    removes repeated paragraphs across documents; the reference's
+    `unique` op (streamz/core.py:1121) is the same first-occurrence
+    rule one element at a time. Corpora without explicit paragraph
+    breaks (this testdata) use fixed ``window``-token segments — the
+    same convention :func:`chunk_documents` applies to training
+    windows; with real newline-delimited text, split on the break
+    instead (the plan shape is identical).
+
+    Rule: a paragraph is kept iff it is the corpus-wide FIRST
+    occurrence of its (normalized) text, ordering by
+    ``(id_col, paragraph index)`` — so one copy of every boilerplate
+    block survives in the lowest-id document carrying it, and every
+    later copy is cut from its document.
+
+    Shape: ONE corpus scan; segmenting is a narrow
+    sequence→slice→array_join projection (no UDF); then exactly TWO
+    exchanges and ZERO joins — a window rank over the md5(paragraph)
+    key picks first occurrences (same rank-1 single-exchange shape as
+    :func:`dedup_exact`, and the same reasoning: a groupBy-min +
+    join-back re-scans and re-shuffles the corpus once the min table
+    outgrows broadcast), and the per-doc reassembly groupBy shuffles
+    on the doc key. A boilerplate paragraph repeated 10⁶ times is 10⁶
+    rows under one md5 key — a Tungsten sort spill, never a buffer
+    blowup, and never a pair expansion.
+
+    Output: one row per document with ≥1 token —
+    ``(id_col, out_col, n_paras, n_paras_dropped)``; a fully
+    duplicated document comes back with an empty string (callers drop
+    or keep it by policy).
+    """
+    from pyspark.sql import Window as W
+
+    from streamz_spark.operators.text import tokenize
+
+    if window < 1:
+        raise ValueError("window must be >= 1")
+    toks = tokenize(text_col)
+    # empty docs produce no paragraphs (posexplode of NULL emits no
+    # rows), so they drop from the output in every engine identically
+    paras = F.when(
+        F.size(toks) > 0,
+        F.transform(
+            F.sequence(F.lit(0), F.size(toks) - 1, F.lit(window)),
+            lambda s: F.array_join(F.slice(toks, s + 1, window), " "),
+        ),
+    )
+    ex = df.select(
+        F.col(id_col), F.posexplode(paras).alias("__pidx", "__ptext")
+    )
+    w = W.partitionBy(fingerprint("__ptext", "__fp")).orderBy(id_col, "__pidx")
+    ranked = ex.withColumn("__keep", F.row_number().over(w) == 1)
+    parts = F.array_sort(
+        F.collect_list(F.struct("__pidx", "__keep", "__ptext"))
+    )
+    return ranked.groupBy(id_col).agg(
+        F.array_join(
+            F.transform(
+                F.filter(parts, lambda s: s["__keep"]),
+                lambda s: s["__ptext"],
+            ),
+            " ",
+        ).alias(out_col),
+        F.count(F.lit(1)).alias("n_paras"),
+        F.sum(F.when(F.col("__keep"), 0).otherwise(1))
+        .cast("long")
+        .alias("n_paras_dropped"),
     )
 
 

@@ -2600,3 +2600,53 @@ def chunk_documents(spark, sf_dir):
         load_table(spark, sf_dir, "documents"),
         max_tokens=_CHUNK_MAX, overlap=_CHUNK_OVERLAP,
     )
+
+
+_PARA_WINDOW = 20
+
+
+@register_extra(
+    "dedup_paragraphs",
+    oracle=f"""
+        WITH d AS (
+            SELECT doc_id,
+                   CASE WHEN length(trim(lower(text))) = 0 THEN []::VARCHAR[]
+                        ELSE regexp_split_to_array(trim(lower(text)), '\\s+')
+                   END AS w
+            FROM documents
+        ),
+        ex AS (
+            SELECT doc_id, generate_subscripts(w, 1) AS i, unnest(w) AS t
+            FROM d WHERE len(w) > 0
+        ),
+        paras AS (
+            SELECT doc_id, CAST(FLOOR((i - 1) / {_PARA_WINDOW}) AS BIGINT) AS pidx,
+                   string_agg(t, ' ' ORDER BY i) AS ptext
+            FROM ex GROUP BY 1, 2
+        ),
+        ranked AS (
+            SELECT *, ROW_NUMBER() OVER (
+                PARTITION BY ptext ORDER BY doc_id, pidx) = 1 AS keep
+            FROM paras
+        )
+        SELECT doc_id,
+               COALESCE(string_agg(CASE WHEN keep THEN ptext END,
+                                   ' ' ORDER BY pidx), '') AS text_deduped,
+               CAST(COUNT(*) AS BIGINT) AS n_paras,
+               CAST(SUM(CASE WHEN keep THEN 0 ELSE 1 END) AS BIGINT)
+                   AS n_paras_dropped
+        FROM ranked GROUP BY doc_id
+    """,
+    doc="paragraph-level exact dedup (CCNet shard-hash dedup / "
+        "MassiveText repeated-paragraph removal): keep each "
+        "paragraph's corpus-wide first occurrence by (doc_id, "
+        "position), cut every later copy from its document; fixed "
+        "20-token segments stand in for paragraph breaks on this "
+        "corpus. ONE scan, TWO exchanges (window rank on the md5 "
+        "paragraph key — dedup_exact's rank-1 shape — then the "
+        "per-doc reassembly groupBy), ZERO joins.",
+)
+def dedup_paragraphs(spark, sf_dir):
+    from streamz_spark.operators.dedup import dedup_paragraphs as op
+
+    return op(load_table(spark, sf_dir, "documents"), window=_PARA_WINDOW)

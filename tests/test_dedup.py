@@ -161,3 +161,31 @@ def test_semdedup_drops_planted_semantic_duplicates(spark):
     # pairs together essentially always; allow a small miss margin)
     dropped = sum(1 for i in range(30) if not out[1000 + i])
     assert dropped >= 27, f"only {dropped}/30 planted duplicates dropped"
+
+
+def test_dedup_paragraphs_planted_boilerplate(spark):
+    """A shared 5-token block at an aligned window position survives
+    only in the lowest-id doc; a fully duplicated doc empties; empty
+    docs vanish; unique content is untouched."""
+    boiler = "one two three four five"
+    rows = [
+        (1, boiler + " alpha beta gamma delta epsilon"),
+        (2, boiler + " zeta eta theta iota kappa"),
+        (3, boiler),          # nothing but the boilerplate: empties
+        (4, "wholly unique words here"),
+        (5, ""),              # no tokens: no output row
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {
+        r.doc_id: r
+        for r in dd.dedup_paragraphs(df, window=5).collect()
+    }
+    assert set(out) == {1, 2, 3, 4}
+    assert out[1].text_deduped == boiler + " alpha beta gamma delta epsilon"
+    assert out[1].n_paras_dropped == 0
+    assert out[2].text_deduped == "zeta eta theta iota kappa"
+    assert out[2].n_paras_dropped == 1
+    assert out[3].text_deduped == ""
+    assert (out[3].n_paras, out[3].n_paras_dropped) == (1, 1)
+    assert out[4].text_deduped == "wholly unique words here"
+    assert out[4].n_paras_dropped == 0

@@ -458,3 +458,21 @@ def test_nb_classifier_plan_and_dispatch(spark):
     a = bcast.toPandas().sort_values("doc_id", ignore_index=True)
     b = shuf.toPandas().sort_values("doc_id", ignore_index=True)
     assert a.equals(b)
+
+
+def test_dedup_paragraphs_single_scan_two_exchanges(spark):
+    # paragraph dedup must keep dedup_exact's rank-1 shape at paragraph
+    # granularity: one corpus scan, the md5(paragraph)-key window
+    # exchange plus the doc-key reassembly exchange, and NO join — a
+    # first-occurrence min-table joined back would re-scan and
+    # re-shuffle the exploded paragraph relation
+    import re
+
+    from streamz_spark.plans import explain_string
+
+    df = q("dedup_paragraphs", spark)
+    plan = explain_string(df)
+    assert "Join" not in plan, plan
+    n_scans = len(re.findall(r"\(\d+\) Scan parquet", plan))
+    assert n_scans == 1, n_scans
+    assert exchange_count(df) == 2, exchange_count(df)
