@@ -31,6 +31,7 @@ __all__ = [
     "stratified_sample",
     "sample_fractions",
     "dsir_select",
+    "temperature_mixture_sample",
 ]
 
 _BUCKETS = 10_000
@@ -277,4 +278,110 @@ def dsir_select(
             "gumbel_key_micro",
             F.coalesce(F.col("__sel"), F.lit(False)).alias("selected"),
         )
+    )
+
+
+def temperature_mixture_sample(
+    df: DataFrame,
+    domain_col: str,
+    id_col: str = "doc_id",
+    alpha: float = 0.5,
+    budget: int | None = None,
+    seed: str = "tmix",
+    repeat: bool = False,
+    copy_col: str = "copy_idx",
+    rate_col: str = "rate_ppm",
+) -> DataFrame:
+    """Temperature-scaled domain resampling — the multilingual /
+    multi-source mixing rule (mBERT, XLM-R, mT5, PaLM data mixing):
+    sample domain ``d`` with probability ``p_d ∝ n_d^alpha``, which
+    flattens the natural distribution toward uniform as ``alpha → 0``
+    (``alpha = 1`` keeps the natural mix, ``alpha = 0`` is uniform).
+    The reference has no model-training data path at all; this is the
+    standard knob every large-scale pretraining mix turns.
+
+    Mechanics: per-domain doc counts ``n_d`` (one tiny
+    map-side-combinable groupBy); integer micro-weights
+    ``w_d = floor(n_d^alpha * 1e6)``; target per-domain share
+    ``w_d / W``; acceptance rate for a total document budget ``B``
+    (default: corpus size ``N``, i.e. re-mix at constant size)
+    ``rate = B * w_d / (W * n_d)``, floored to integer ppm. Every row
+    draws a uniform ppm from md5(seed ':' id) — the engine-portable
+    hash the rest of this module uses — and keeps iff
+    ``draw < rate_ppm``.
+
+    With ``repeat=True`` rates above 1 *upsample by repetition* (the
+    way low-resource domains actually get their temperature share:
+    epochs, not magic): a row yields ``rate_ppm // 1e6`` full copies
+    plus one more iff ``draw < rate_ppm % 1e6``, each tagged with
+    ``copy_col``. With ``repeat=False`` rates cap at 1 (pure
+    downsampling of over-represented domains).
+
+    Determinism / oracle-portability: ``alpha = 0.5`` uses IEEE-exact
+    ``sqrt`` so ``w_d`` is bit-identical in every engine; other alphas
+    go through ``pow`` (floored to micro-units, so a last-ulp
+    difference would need to land exactly on an integer boundary to
+    diverge). All sums are integer sums; the rate is one
+    multiply-divide chain over exactly-represented integer doubles,
+    identical parenthesization on both sides.
+
+    Scale shape (100 TB): the per-domain table is domain-cardinality
+    rows (dozens), broadcast back — the corpus itself sees one narrow
+    projection, a broadcast-joined rate lookup, and a map-side
+    filter/explode. No corpus shuffle at all.
+    """
+    dom = F.col(domain_col)
+    per = df.groupBy(dom.alias("__domain")).agg(F.count(F.lit(1)).alias("__n_d"))
+    if alpha == 0.5:
+        raw_w = F.sqrt(F.col("__n_d").cast("double"))
+    else:
+        raw_w = F.pow(F.col("__n_d").cast("double"), F.lit(float(alpha)))
+    per = per.withColumn(
+        "__w_d", F.floor(raw_w * F.lit(1_000_000.0)).cast("long")
+    )
+    tot = per.agg(
+        F.sum("__n_d").alias("__N"), F.sum("__w_d").alias("__W")
+    )
+    b_expr = F.lit(int(budget)).cast("double") if budget is not None else F.col("__N").cast("double")
+    rates = (
+        per.crossJoin(F.broadcast(tot))
+        .withColumn(
+            rate_col,
+            F.floor(
+                (b_expr * F.col("__w_d").cast("double"))
+                / (F.col("__W").cast("double") * F.col("__n_d").cast("double"))
+                * F.lit(1_000_000.0)
+            ).cast("long"),
+        )
+        .select("__domain", rate_col)
+    )
+    draw = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit(seed + ":"), F.col(id_col).cast("string"))),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("long")
+        % 1_000_000
+    )
+    joined = df.join(F.broadcast(rates), dom == F.col("__domain")).drop("__domain")
+    if not repeat:
+        capped = F.least(F.col(rate_col), F.lit(1_000_000).cast("long"))
+        return joined.withColumn(rate_col, capped).filter(draw < F.col(rate_col))
+    n_copies = (F.col(rate_col) / F.lit(1_000_000)).cast("long") + F.when(
+        draw < F.col(rate_col) % 1_000_000, F.lit(1)
+    ).otherwise(F.lit(0)).cast("long")
+    # sequence(0, n-1) with n = 0 would run DESCENDING in Spark
+    # (inferred step -1) — filter zero-copy rows out first
+    return (
+        joined.withColumn("__n_copies", n_copies)
+        .filter(F.col("__n_copies") >= 1)
+        .withColumn(
+            copy_col,
+            F.explode(F.sequence(F.lit(0).cast("long"), F.col("__n_copies") - 1)),
+        )
+        .drop("__n_copies")
     )

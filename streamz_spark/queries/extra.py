@@ -2650,3 +2650,63 @@ def dedup_paragraphs(spark, sf_dir):
     from streamz_spark.operators.dedup import dedup_paragraphs as op
 
     return op(load_table(spark, sf_dir, "documents"), window=_PARA_WINDOW)
+
+
+@register_extra(
+    "temperature_mixture_resample",
+    oracle="""
+        WITH per AS (
+            SELECT lang AS domain, COUNT(*) AS n_d FROM documents GROUP BY 1
+        ),
+        w AS (
+            SELECT domain, n_d,
+                   CAST(FLOOR(sqrt(CAST(n_d AS DOUBLE)) * 1000000.0) AS BIGINT)
+                       AS w_d
+            FROM per
+        ),
+        tot AS (SELECT SUM(n_d) AS n_total, SUM(w_d) AS w_total FROM w),
+        rates AS (
+            SELECT domain,
+                   CAST(FLOOR(
+                       (CAST(n_total AS DOUBLE) * CAST(w_d AS DOUBLE))
+                       / (CAST(w_total AS DOUBLE) * CAST(n_d AS DOUBLE))
+                       * 1000000.0) AS BIGINT) AS rate_ppm
+            FROM w CROSS JOIN tot
+        ),
+        drawn AS (
+            SELECT d.doc_id, r.domain, r.rate_ppm,
+                   r.rate_ppm // 1000000
+                   + CASE WHEN ('0x' || substr(md5('tmix:' || d.doc_id), 1, 8))::BIGINT
+                               % 1000000 < r.rate_ppm % 1000000
+                          THEN 1 ELSE 0 END AS n_copies
+            FROM documents d JOIN rates r ON d.lang = r.domain
+        )
+        SELECT doc_id, domain, rate_ppm,
+               CAST(unnest(generate_series(0, CAST(n_copies AS BIGINT) - 1))
+                    AS BIGINT) AS copy_idx
+        FROM drawn WHERE n_copies >= 1
+    """,
+    doc="temperature-scaled domain resampling (mBERT/XLM-R/mT5 mixing "
+        "rule, p_d ∝ n_d^alpha at alpha=0.5) WITH repetition: "
+        "over-represented languages Bernoulli-downsample, low-resource "
+        "languages upsample by epoch repetition (full copies + one "
+        "fractional Bernoulli copy, each tagged copy_idx), holding the "
+        "total document budget at corpus size. alpha=0.5 keeps the "
+        "per-domain weights bit-portable (IEEE sqrt, floored to "
+        "micro-units); rates are one multiply-divide chain over "
+        "exactly-represented integer doubles with identical "
+        "parenthesization in both engines; the per-row draw is the "
+        "module's md5 ppm hash. Scale: one domain-cardinality groupBy, "
+        "rates broadcast back, map-side filter/explode — the corpus "
+        "never shuffles.",
+)
+def temperature_mixture_resample(spark, sf_dir):
+    from streamz_spark.operators.sampling import temperature_mixture_sample
+
+    docs = load_table(spark, sf_dir, "documents")
+    out = temperature_mixture_sample(
+        docs, "lang", id_col="doc_id", alpha=0.5, repeat=True
+    )
+    return out.select(
+        "doc_id", F.col("lang").alias("domain"), "rate_ppm", "copy_idx"
+    )

@@ -162,3 +162,97 @@ def test_dsir_plan_has_no_global_window(spark):
     assert "Window" not in plan, "global window crept into DSIR selection"
     assert "CartesianProduct" not in plan
     assert "SortMergeJoin" not in plan
+
+
+class TestTemperatureMixture:
+    def _docs(self, spark, n=400):
+        # skewed domains: 'a' 4x over-represented
+        rows = [(i, "a" if i % 8 < 5 else ("b" if i % 8 < 7 else "c")) for i in range(n)]
+        return spark.createDataFrame(rows, "doc_id long, domain string")
+
+    @staticmethod
+    def _py_expected(rows, repeat, seed="tmix"):
+        import math
+        from collections import Counter
+
+        n = Counter(d for _, d in rows)
+        total = sum(n.values())
+        w = {d: math.floor(math.sqrt(c) * 1e6) for d, c in n.items()}
+        wt = sum(w.values())
+        rate = {d: math.floor((total * w[d]) / (wt * n[d]) * 1e6) for d in n}
+
+        def draw(i):
+            return int(hashlib.md5(f"{seed}:{i}".encode()).hexdigest()[:8], 16) % 1_000_000
+
+        if not repeat:
+            return {i for i, d in rows if draw(i) < min(rate[d], 1_000_000)}
+        out = {}
+        for i, d in rows:
+            nc = rate[d] // 1_000_000 + (1 if draw(i) < rate[d] % 1_000_000 else 0)
+            if nc:
+                out[i] = nc
+        return out
+
+    def test_bernoulli_matches_python(self, spark):
+        from streamz_spark.operators.sampling import temperature_mixture_sample
+
+        df = self._docs(spark)
+        rows = [(r.doc_id, r.domain) for r in df.collect()]
+        got = {r.doc_id for r in temperature_mixture_sample(df, "domain").collect()}
+        assert got == self._py_expected(rows, repeat=False)
+
+    def test_repeat_matches_python_and_flattens_mix(self, spark):
+        from streamz_spark.operators.sampling import temperature_mixture_sample
+
+        df = self._docs(spark)
+        rows = [(r.doc_id, r.domain) for r in df.collect()]
+        out = temperature_mixture_sample(df, "domain", repeat=True)
+        got = {r.doc_id: r["count"] for r in out.groupBy("doc_id").count().collect()}
+        exp = self._py_expected(rows, repeat=True)
+        assert got == exp
+        # the temperature mix flattens: over-represented domain shrinks,
+        # under-represented grows, total stays ~budget
+        from collections import Counter
+
+        dom = dict(rows)
+        natural = Counter(d for _, d in rows)
+        mixed = Counter()
+        for i, c in exp.items():
+            mixed[dom[i]] += c
+        assert mixed["a"] < natural["a"]
+        assert mixed["c"] > natural["c"]
+        assert abs(sum(mixed.values()) - len(rows)) < 0.1 * len(rows)
+
+    def test_copy_idx_dense_per_doc(self, spark):
+        from streamz_spark.operators.sampling import temperature_mixture_sample
+
+        df = self._docs(spark)
+        out = temperature_mixture_sample(df, "domain", repeat=True)
+        bad = (
+            out.groupBy("doc_id")
+            .agg(
+                F.count("*").alias("n"),
+                F.min("copy_idx").alias("lo"),
+                F.max("copy_idx").alias("hi"),
+            )
+            .filter((F.col("lo") != 0) | (F.col("hi") != F.col("n") - 1))
+            .count()
+        )
+        assert bad == 0
+
+    def test_corpus_never_shuffles(self, spark):
+        # the only exchanges allowed are for the domain-cardinality rate
+        # table (groupBy + its 1-row rollup); the corpus path itself is a
+        # broadcast-joined narrow filter/explode
+        from streamz_spark.operators.sampling import temperature_mixture_sample
+        from streamz_spark.plans.inspect import (
+            broadcast_join_count,
+            exchange_count,
+            sort_merge_join_count,
+        )
+
+        df = self._docs(spark)
+        out = temperature_mixture_sample(df, "domain", repeat=True)
+        assert sort_merge_join_count(out) == 0
+        assert broadcast_join_count(out) >= 1
+        assert exchange_count(out) <= 3
