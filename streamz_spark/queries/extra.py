@@ -2187,11 +2187,21 @@ def pretrain_corpus_pipeline(spark, sf_dir):
     return _build_pretrain_pipeline(spark, sf_dir, checkpoint=True)
 
 
-def _build_pretrain_pipeline(spark, sf_dir, checkpoint: bool = True):
+def _build_pretrain_pipeline(
+    spark, sf_dir, checkpoint: bool = True, first_barrier: str = "filter"
+):
     """Pipeline builder; ``checkpoint=False`` keeps the whole 9-stage
     composition in ONE lazy plan so the plan contract can inspect
     every stage (the checkpointed production shape truncates the plan
-    at each materialization barrier)."""
+    at each materialization barrier).
+
+    ``first_barrier`` places the first materialization: ``"filter"``
+    (post-quality-filter — wins at sf0.1 where the exact-dedup window
+    is cheaper than a localCheckpoint round-trip, see BENCH_NOTES) or
+    ``"dedup"`` (post-exact-dedup — the 100 TB shape: the rank-1
+    window is a full-corpus exchange+sort there, and its three
+    consumers should read a materialization, not recompute it).
+    """
     from streamz_spark.operators import text as t
     from streamz_spark.operators.components import dedup_clusters as dc
     from streamz_spark.operators.contamination import contamination_check
@@ -2215,9 +2225,11 @@ def _build_pretrain_pipeline(spark, sf_dir, checkpoint: bool = True):
     # persist-vs-rescan call: the materialized frame is the
     # post-filter corpus on executor-local disk, ~the same bytes one
     # extra scan would read, bought once instead of N times.
-    if checkpoint:
+    if checkpoint and first_barrier == "filter":
         kept = kept.localCheckpoint(eager=True)
     deduped = dedup_exact(kept)
+    if checkpoint and first_barrier == "dedup":
+        deduped = deduped.localCheckpoint(eager=True)
     # fuzzy near-dup stage: LSH proposes, exact Jaccard verifies, CC
     # resolves clusters; only the drop-list (non-representative
     # cluster members) flows into the corpus anti-join. No broadcast

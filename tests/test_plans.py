@@ -476,3 +476,23 @@ def test_dedup_paragraphs_single_scan_two_exchanges(spark):
     n_scans = len(re.findall(r"\(\d+\) Scan parquet", plan))
     assert n_scans == 1, n_scans
     assert exchange_count(df) == 2, exchange_count(df)
+
+
+def test_pretrain_pipeline_barrier_shapes_agree(spark):
+    # BENCH_NOTES round-6 follow-up A/B: the production entry keeps the
+    # post-filter first barrier (wins at sf0.1); the 100 TB shape moves
+    # it post-dedup so the rank-1 window's three consumers read a
+    # materialization. Both one flag apart, and bit-identical.
+    from streamz_spark.queries.extra import _build_pretrain_pipeline
+
+    a = (
+        _build_pretrain_pipeline(spark, SF_DIR, first_barrier="filter")
+        .toPandas()
+        .sort_values("doc_id", ignore_index=True)
+    )
+    b = (
+        _build_pretrain_pipeline(spark, SF_DIR, first_barrier="dedup")
+        .toPandas()
+        .sort_values("doc_id", ignore_index=True)
+    )
+    assert a.equals(b)
