@@ -32,6 +32,8 @@ __all__ = [
     "sample_fractions",
     "dsir_select",
     "temperature_mixture_sample",
+    "temperature_mixture_rates",
+    "apply_mixture_rates",
 ]
 
 _BUCKETS = 10_000
@@ -329,9 +331,46 @@ def temperature_mixture_sample(
     rows (dozens), broadcast back — the corpus itself sees one narrow
     projection, a broadcast-joined rate lookup, and a map-side
     filter/explode. No corpus shuffle at all.
+
+    Split form for profile-once/apply-at-ingest pipelines:
+    :func:`temperature_mixture_rates` computes the rate table from a
+    (batch) profile corpus; :func:`apply_mixture_rates` is the
+    stateless per-row apply — it also accepts a *streaming* DataFrame
+    (stream-static broadcast join + map-side filter/explode), which is
+    how a production mix runs: rates from yesterday's profile, applied
+    to today's ingest.
+    """
+    rates = temperature_mixture_rates(
+        df, domain_col, alpha=alpha, budget=budget, rate_col=rate_col
+    )
+    return apply_mixture_rates(
+        df,
+        rates,
+        domain_col,
+        id_col=id_col,
+        seed=seed,
+        repeat=repeat,
+        copy_col=copy_col,
+        rate_col=rate_col,
+    )
+
+
+def temperature_mixture_rates(
+    profile: DataFrame,
+    domain_col: str,
+    alpha: float = 0.5,
+    budget: int | None = None,
+    rate_col: str = "rate_ppm",
+) -> DataFrame:
+    """Per-domain acceptance-rate table (ppm) for
+    :func:`temperature_mixture_sample` — see there for the math. The
+    output is domain-cardinality rows ``(__domain, rate_col)``, meant
+    to be broadcast into the apply side.
     """
     dom = F.col(domain_col)
-    per = df.groupBy(dom.alias("__domain")).agg(F.count(F.lit(1)).alias("__n_d"))
+    per = profile.groupBy(dom.alias("__domain")).agg(
+        F.count(F.lit(1)).alias("__n_d")
+    )
     if alpha == 0.5:
         raw_w = F.sqrt(F.col("__n_d").cast("double"))
     else:
@@ -343,7 +382,7 @@ def temperature_mixture_sample(
         F.sum("__n_d").alias("__N"), F.sum("__w_d").alias("__W")
     )
     b_expr = F.lit(int(budget)).cast("double") if budget is not None else F.col("__N").cast("double")
-    rates = (
+    return (
         per.crossJoin(F.broadcast(tot))
         .withColumn(
             rate_col,
@@ -355,6 +394,26 @@ def temperature_mixture_sample(
         )
         .select("__domain", rate_col)
     )
+
+
+def apply_mixture_rates(
+    df: DataFrame,
+    rates: DataFrame,
+    domain_col: str,
+    id_col: str = "doc_id",
+    seed: str = "tmix",
+    repeat: bool = False,
+    copy_col: str = "copy_idx",
+    rate_col: str = "rate_ppm",
+) -> DataFrame:
+    """Apply a :func:`temperature_mixture_rates` table to a batch OR
+    streaming DataFrame: broadcast rate lookup + deterministic md5-ppm
+    draw + filter (or tagged repetition explode). Stateless per row,
+    so the streaming form needs no state store and no watermark, and
+    batching can never change the kept-set (the draw depends only on
+    the row id).
+    """
+    dom = F.col(domain_col)
     draw = (
         F.conv(
             F.substring(

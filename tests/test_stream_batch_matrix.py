@@ -872,6 +872,36 @@ def _cell_nb_classifier_scoring_documents(spark):
 CELLS["nb_classifier_scoring/documents"] = _cell_nb_classifier_scoring_documents
 
 
+def _cell_temperature_mixture_documents(spark):
+    # profile-once/apply-at-ingest mixing: temperature rates computed
+    # on the static corpus, applied to the same corpus replayed as a
+    # stream (stream-static broadcast rate join + stateless md5-ppm
+    # draw + repetition explode). The kept multiset must be IDENTICAL
+    # to the batch apply — the draw depends only on the row id, so
+    # micro-batching cannot move it
+    from streamz_spark.operators.sampling import (
+        apply_mixture_rates,
+        temperature_mixture_rates,
+    )
+    from streamz_spark.streaming.sources import replay_table
+
+    docs = load_table(spark, SF_DIR, "documents")
+    rates = temperature_mixture_rates(docs, "lang")
+    shape = lambda df: apply_mixture_rates(
+        df, rates, "lang", repeat=True
+    ).select("doc_id", "lang", "rate_ppm", "copy_idx")
+    got = pd.concat(
+        sink_to_list(shape(replay_table(spark, SF_DIR, "documents", chunk_col="doc_id"))),
+        ignore_index=True,
+    )
+    want = shape(docs).toPandas()
+    return got, want
+
+
+CELLS["temperature_mixture/documents"] = _cell_temperature_mixture_documents
+
+
+
 # parametrized LAST so late-registered cells are included
 @pytest.mark.parametrize("cell", sorted(CELLS))
 def test_stream_batch_cell(cell, spark):
