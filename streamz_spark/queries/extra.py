@@ -2722,3 +2722,33 @@ def temperature_mixture_resample(spark, sf_dir):
     return out.select(
         "doc_id", F.col("lang").alias("domain"), "rate_ppm", "copy_idx"
     )
+
+
+@register_extra(
+    "bpe_learned_tokenizer",
+    oracle=None,
+    doc="ITERATIVE (rows-only + determinism bar): learn a 24-merge BPE "
+        "vocabulary from the corpus (Sennrich et al. 2016 on word-TYPE "
+        "frequencies — the one corpus-sized stage is a "
+        "map-side-combinable pre-token groupBy; merge learning runs on "
+        "the compact type table, driver arm under 2M types with an "
+        "identical distributed merge-round arm above, "
+        "differential-tested), then meter the corpus under the learned "
+        "tokenizer: explode + per-doc word pre-aggregate + "
+        "size-dispatched segmentation join + doc-key sum. Global-argmax-"
+        "per-iteration learning is not expressible in one SQL query, so "
+        "this entry carries no DuckDB oracle; correctness is pinned by "
+        "tests/test_tokenizer.py (textbook vectors, hypothesis "
+        "reconstruction property, arm differential, python meter "
+        "differential) and the harness requires two runs to be "
+        "bit-identical.",
+)
+def bpe_learned_tokenizer(spark, sf_dir):
+    from streamz_spark.operators.tokenizer import (
+        bpe_learned_token_meter,
+        bpe_train,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    merges = bpe_train(docs, num_merges=24)
+    return bpe_learned_token_meter(docs, merges)
