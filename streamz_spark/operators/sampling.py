@@ -293,6 +293,7 @@ def temperature_mixture_sample(
     repeat: bool = False,
     copy_col: str = "copy_idx",
     rate_col: str = "rate_ppm",
+    weight_col: str | None = None,
 ) -> DataFrame:
     """Temperature-scaled domain resampling — the multilingual /
     multi-source mixing rule (mBERT, XLM-R, mT5, PaLM data mixing):
@@ -341,7 +342,12 @@ def temperature_mixture_sample(
     to today's ingest.
     """
     rates = temperature_mixture_rates(
-        df, domain_col, alpha=alpha, budget=budget, rate_col=rate_col
+        df,
+        domain_col,
+        alpha=alpha,
+        budget=budget,
+        rate_col=rate_col,
+        weight_col=weight_col,
     )
     return apply_mixture_rates(
         df,
@@ -361,15 +367,29 @@ def temperature_mixture_rates(
     alpha: float = 0.5,
     budget: int | None = None,
     rate_col: str = "rate_ppm",
+    weight_col: str | None = None,
 ) -> DataFrame:
     """Per-domain acceptance-rate table (ppm) for
     :func:`temperature_mixture_sample` — see there for the math. The
     output is domain-cardinality rows ``(__domain, rate_col)``, meant
     to be broadcast into the apply side.
+
+    ``weight_col`` switches the budget unit from documents to that
+    column's mass — pass a token-count column to get TOKEN-budget
+    temperature mixing (``p_d ∝ tokens_d^alpha``, the unit production
+    mixes actually fix: a domain of few huge docs and a domain of many
+    tiny ones are the same "size" when their token masses match).
+    Acceptance stays per-row, so expected *mass* per domain meets the
+    temperature share while the draw stays a stateless row property.
     """
     dom = F.col(domain_col)
+    mass = (
+        F.count(F.lit(1))
+        if weight_col is None
+        else F.sum(F.col(weight_col).cast("long"))
+    )
     per = profile.groupBy(dom.alias("__domain")).agg(
-        F.count(F.lit(1)).alias("__n_d")
+        mass.alias("__n_d")
     )
     if alpha == 0.5:
         raw_w = F.sqrt(F.col("__n_d").cast("double"))

@@ -256,3 +256,35 @@ class TestTemperatureMixture:
         assert sort_merge_join_count(out) == 0
         assert broadcast_join_count(out) >= 1
         assert exchange_count(out) <= 3
+
+    def test_token_budget_rates(self, spark):
+        # weight_col switches the budget unit to token mass: a domain
+        # of few huge docs and one of many tiny docs with equal token
+        # mass must get equal rates
+        import math
+
+        from streamz_spark.operators.sampling import temperature_mixture_rates
+
+        rows = (
+            [(i, "big", 1000) for i in range(10)]          # 10 docs x 1000 tok
+            + [(100 + i, "small", 10) for i in range(1000)]  # 1000 docs x 10 tok
+        )
+        df = spark.createDataFrame(rows, "doc_id long, domain string, n_tok long")
+        got = {
+            r["__domain"]: r["rate_ppm"]
+            for r in temperature_mixture_rates(df, "domain", weight_col="n_tok").collect()
+        }
+        # equal token mass -> equal weights -> equal rates (= budget/2
+        # tokens per domain over 10_000 actual tokens each -> 1.0)
+        assert got["big"] == got["small"] == 1_000_000
+        # python reference for a skewed-mass case
+        rows2 = [(1, "a", 900), (2, "b", 100)]
+        df2 = spark.createDataFrame(rows2, "doc_id long, domain string, n_tok long")
+        got2 = {
+            r["__domain"]: r["rate_ppm"]
+            for r in temperature_mixture_rates(df2, "domain", weight_col="n_tok").collect()
+        }
+        w = {d: math.floor(math.sqrt(m) * 1e6) for d, m in (("a", 900), ("b", 100))}
+        W = sum(w.values())
+        exp = {d: math.floor((1000 * w[d]) / (W * m) * 1e6) for d, m in (("a", 900), ("b", 100))}
+        assert got2 == exp

@@ -901,6 +901,56 @@ def _cell_temperature_mixture_documents(spark):
 CELLS["temperature_mixture/documents"] = _cell_temperature_mixture_documents
 
 
+def _cell_bpe_meter_documents(spark):
+    # batch-trained tokenizer metering a stream: merges learned on the
+    # static corpus, the replayed corpus metered at ingest. The
+    # streaming shape skips the (doc, word) pre-aggregate (one
+    # stateful aggregate per streaming query) — explode, stream-static
+    # broadcast segmentation join, per-doc sum in complete mode. Piece
+    # counts are integers summed per doc, so batching cannot move them
+    from streamz_spark.operators.text import BPE_PRETOKEN_PATTERN
+    from streamz_spark.operators.tokenizer import (
+        bpe_learned_token_meter,
+        bpe_segment_types,
+        bpe_train,
+    )
+    from streamz_spark.streaming.sources import replay_table
+
+    docs = load_table(spark, SF_DIR, "documents")
+    merges = bpe_train(docs, num_merges=16)
+    seg = bpe_segment_types(
+        docs.select(
+            F.explode(
+                F.regexp_extract_all("text", F.lit(BPE_PRETOKEN_PATTERN), 0)
+            ).alias("word")
+        ).distinct(),
+        merges,
+    ).select("word", "n_pieces")
+
+    stream = replay_table(spark, SF_DIR, "documents", chunk_col="doc_id")
+    toks = stream.select(
+        "doc_id",
+        F.explode(
+            F.regexp_extract_all("text", F.lit(BPE_PRETOKEN_PATTERN), 0)
+        ).alias("word"),
+    )
+    got = sink_to_list(
+        toks.join(F.broadcast(seg), "word")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_words"),
+            F.sum("n_pieces").cast("long").alias("n_pieces"),
+        ),
+        output_mode="complete",
+    )[-1]
+    want = bpe_learned_token_meter(docs, merges).toPandas()
+    return got, want
+
+
+CELLS["bpe_meter/documents"] = _cell_bpe_meter_documents
+
+
+
 
 # parametrized LAST so late-registered cells are included
 @pytest.mark.parametrize("cell", sorted(CELLS))

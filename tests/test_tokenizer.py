@@ -128,3 +128,22 @@ class TestSparkArms:
         assert "BroadcastHashJoin" not in explain_string(s)
         with pytest.raises(ValueError):
             bpe_learned_token_meter(docs, merges, seg_join="nope")
+
+
+class TestDistributedArmScale:
+    def test_arms_agree_on_synthetic_rich_vocab(self, spark):
+        # 61 corpus types is a soft workout; force a 2k-type vocabulary
+        # with collision-prone prefixes so merge ranks genuinely contend
+        import random
+
+        rng = random.Random(7)
+        syll = ["ab", "ba", "ca", "ad", "da", "be", "eb", "ce", "ec", "fa"]
+        words = {
+            " " + "".join(rng.choice(syll) for _ in range(rng.randint(1, 4)))
+            for _ in range(2500)
+        }
+        rows = [(i, w) for i, w in enumerate(sorted(words))]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        d = bpe_train(df, num_merges=20, mode="driver")
+        x = bpe_train(df, num_merges=20, mode="distributed")
+        assert [tuple(r) for r in d.collect()] == [tuple(r) for r in x.collect()]
