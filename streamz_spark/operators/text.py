@@ -26,6 +26,7 @@ __all__ = [
     "BPE_PRETOKEN_PATTERN",
     "bpe_token_count",
     "unigram_nll_quality",
+    "stupid_backoff_nll_quality",
     "nb_quality_classifier",
     "nb_quality_train",
     "nb_quality_apply",
@@ -490,6 +491,185 @@ def unigram_nll_quality(
                 -F.log(
                     F.coalesce(F.col("cnt"), F.col("oov_cnt")).cast("double")
                     / F.col("n_total").cast("double")
+                )
+                * 1000000.0
+            ).cast("long"),
+        )
+    )
+    agg = scored.groupBy("id").agg(
+        F.count(F.lit(1)).alias("n_tokens"),
+        F.sum("nll_micro").alias("nll_sum_micro"),
+    )
+    return agg.select(
+        F.col("id").alias(id_col),
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+        (
+            (F.col("nll_sum_micro").cast("double") / F.lit(1000000.0))
+            / F.col("n_tokens").cast("double")
+        ).alias("nll_mean"),
+        F.expr("nll_sum_micro div n_tokens").cast("long").alias("nll_mean_micro"),
+    )
+
+
+def stupid_backoff_nll_quality(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    vocab_limit: int | None = None,
+    bigram_limit: int | None = None,
+    alpha: float = 0.4,
+    lm_join: str = "auto",
+    broadcast_limit: int = 2_000_000,
+) -> DataFrame:
+    """Per-document mean NLL under a bigram **stupid-backoff** LM
+    trained on the corpus itself — Brants et al. 2007 ("Large Language
+    Models in Machine Translation"), the backoff scheme DESIGNED for
+    distributed MapReduce-scale LM estimation (no discounting pass, no
+    normalization — plain relative frequencies plus a fixed backoff
+    factor), which makes it the natural order-1 upgrade of
+    :func:`unigram_nll_quality` for CCNet-style perplexity filtering:
+
+    * ``S(w_i | w_{i-1}) = cnt2(w_{i-1} w_i) / cnt1(w_{i-1})`` when the
+      bigram was observed (and both terms are in-vocab),
+    * else ``S(w_i | w_{i-1}) = alpha * S(w_i)`` with ``alpha = 0.4``
+      (the paper's constant),
+    * ``S(w) = cnt1(w) / N`` (unigram relative frequency; out-of-vocab
+      tokens score through the lumped residual mass exactly as in
+      :func:`unigram_nll_quality`),
+    * the first token of a document has no context and scores
+      ``S(w_1)`` un-backed-off.
+
+    **One corpus aggregate.** Every token is emitted once as
+    ``(prev, cur)`` with ``prev = NULL`` for document-initial tokens,
+    so a single corpus-sized ``groupBy(prev, cur)`` yields the bigram
+    type table AND — because each token occurs exactly once as
+    ``cur`` — the unigram counts fall out as a bigram-TYPE-sized
+    re-aggregation ``cnt1(w) = Σ_prev cnt2(prev, w)``. The corpus
+    shuffles once for LM estimation, not twice.
+
+    **Caps** (the 100 TB story): ``vocab_limit`` cuts the unigram LM to
+    the top-V terms (ties → term asc) with OOV scored through the
+    residual mass; ``bigram_limit`` cuts the bigram table to the top-B
+    pairs (ties → prev asc, cur asc) — a *missing* bigram simply backs
+    off, which is exactly stupid backoff's contract, so the cap
+    degrades quality smoothly instead of changing semantics. At 100 TB
+    the uncapped bigram type table is ~1e10 rows; the caps bound both
+    join relations and make the plan scale-invariant.
+
+    **Join dispatch**: ``lm_join`` = ``"broadcast"`` | ``"shuffle"`` |
+    ``"auto"`` with the same size-dispatch contract as
+    :func:`unigram_nll_quality` — auto broadcasts each LM relation
+    when its (statically known or counted) size is ≤
+    ``broadcast_limit`` rows and degrades to ``shuffle_hash`` joins
+    (never a sort of the exploded corpus) otherwise.
+
+    **Determinism**: per-token NLL is floored to integer micro-nats
+    before summation (associative integer SUM, bit-identical across
+    engines); the backoff factor multiplies INSIDE the log argument
+    (``-ln(alpha * p)``) so both engines evaluate one ``ln`` per
+    token. Output schema matches :func:`unigram_nll_quality`:
+    ``(id_col, n_tokens, nll_mean, nll_mean_micro)``.
+    """
+    from streamz_spark.io import ensure_scan_parallelism
+
+    if vocab_limit is not None and vocab_limit < 1:
+        raise ValueError("vocab_limit must be >= 1")
+    if bigram_limit is not None and bigram_limit < 1:
+        raise ValueError("bigram_limit must be >= 1")
+    if not (0.0 < alpha <= 1.0):
+        raise ValueError("alpha must be in (0, 1]")
+    if lm_join not in ("auto", "broadcast", "shuffle"):
+        raise ValueError(f"lm_join must be auto|broadcast|shuffle, got {lm_join!r}")
+
+    df = ensure_scan_parallelism(df)
+    # (prev, cur) per token, prev = NULL at position 0 — narrow: the
+    # pair comes from the token array itself (element_at is 1-based,
+    # posexplode's pos is 0-based, so element_at(arr, pos) IS arr[pos-1])
+    toks = (
+        df.select(F.col(id_col).alias("id"), tokenize(text_col).alias("__arr"))
+        .select("id", "__arr", F.posexplode("__arr").alias("pos", "cur"))
+        .select(
+            "id",
+            F.when(F.col("pos") == 0, F.lit(None).cast("string"))
+            .otherwise(F.element_at("__arr", F.col("pos")))
+            .alias("prev"),
+            "cur",
+        )
+    )
+    # the ONE corpus-sized aggregate; bigram-TYPE-sized result feeds
+    # the unigram re-aggregation and the top-B cut, so it runs once
+    pc = (
+        toks.groupBy("prev", "cur")
+        .agg(F.count(F.lit(1)).alias("cnt2"))
+        .localCheckpoint(eager=True)
+    )
+    # unigram counts derived (every token occurs exactly once as cur)
+    cnt1 = (
+        pc.groupBy(F.col("cur").alias("term"))
+        .agg(F.sum("cnt2").alias("cnt"))
+        .localCheckpoint(eager=True)
+    )
+    total = cnt1.agg(F.sum("cnt").alias("n_total"))
+
+    if vocab_limit is not None:
+        lm1 = cnt1.orderBy(F.col("cnt").desc(), F.col("term").asc()).limit(vocab_limit)
+        in_mass = lm1.agg(F.sum("cnt").alias("in_vocab_mass"))
+        scalars = total.crossJoin(in_mass).select(
+            "n_total",
+            (F.col("n_total") - F.col("in_vocab_mass")).alias("oov_cnt"),
+        )
+    else:
+        lm1 = cnt1
+        scalars = total.select("n_total", F.lit(None).cast("long").alias("oov_cnt"))
+
+    lm2 = pc.where(F.col("prev").isNotNull())
+    if bigram_limit is not None:
+        lm2 = lm2.orderBy(
+            F.col("cnt2").desc(), F.col("prev").asc(), F.col("cur").asc()
+        ).limit(bigram_limit)
+
+    if lm_join == "auto":
+        lm1_size = vocab_limit if vocab_limit is not None else cnt1.count()
+        lm2_size = bigram_limit if bigram_limit is not None else pc.count()
+        join1 = "broadcast" if lm1_size <= broadcast_limit else "shuffle"
+        join2 = "broadcast" if lm2_size <= broadcast_limit else "shuffle"
+    else:
+        join1 = join2 = lm_join
+
+    def _hint(rel: DataFrame, mode: str) -> DataFrame:
+        return F.broadcast(rel) if mode == "broadcast" else rel.hint("shuffle_hash")
+
+    c1 = _hint(lm1.select(F.col("term").alias("cur"), F.col("cnt").alias("cnt_cur")), join1)
+    p1 = _hint(lm1.select(F.col("term").alias("prev"), F.col("cnt").alias("cnt_prev")), join1)
+    l2 = _hint(lm2, join2)
+
+    bigram_ok = (
+        F.col("prev").isNotNull()
+        & F.col("cnt2").isNotNull()
+        & F.col("cnt_prev").isNotNull()
+        & F.col("cnt_cur").isNotNull()
+    )
+    backoff = F.when(F.col("prev").isNull(), F.lit(1.0)).otherwise(F.lit(alpha))
+    scored = (
+        toks.join(c1, "cur", "left")
+        .join(p1, "prev", "left")
+        .join(l2, ["prev", "cur"], "left")
+        .crossJoin(F.broadcast(scalars))
+        .withColumn(
+            "nll_micro",
+            F.floor(
+                F.when(
+                    bigram_ok,
+                    -F.log(
+                        F.col("cnt2").cast("double")
+                        / F.col("cnt_prev").cast("double")
+                    ),
+                ).otherwise(
+                    -F.log(
+                        backoff
+                        * F.coalesce(F.col("cnt_cur"), F.col("oov_cnt")).cast("double")
+                        / F.col("n_total").cast("double")
+                    )
                 )
                 * 1000000.0
             ).cast("long"),

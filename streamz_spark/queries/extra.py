@@ -2343,6 +2343,122 @@ def unigram_nll_quality(spark, sf_dir):
     return op(load_table(spark, sf_dir, "documents"), vocab_limit=_UNLL_VOCAB)
 
 
+def _stupid_backoff_oracle(
+    vocab_limit: int | None, bigram_limit: int | None, alpha: float = 0.4
+) -> str:
+    lm1_cte = (
+        f"(SELECT term, cnt FROM cnt1 "
+        f"ORDER BY cnt DESC, term ASC LIMIT {vocab_limit})"
+        if vocab_limit is not None
+        else "(SELECT term, cnt FROM cnt1)"
+    )
+    lm2_cte = (
+        f"(SELECT prev, cur, cnt2 FROM pc WHERE prev IS NOT NULL "
+        f"ORDER BY cnt2 DESC, prev ASC, cur ASC LIMIT {bigram_limit})"
+        if bigram_limit is not None
+        else "(SELECT prev, cur, cnt2 FROM pc WHERE prev IS NOT NULL)"
+    )
+    return f"""
+        WITH d AS (
+            SELECT doc_id AS id,
+                   CASE WHEN length(trim(lower(text))) = 0 THEN []::VARCHAR[]
+                        ELSE regexp_split_to_array(trim(lower(text)), '\\s+')
+                   END AS w
+            FROM documents
+        ),
+        idx AS (
+            SELECT id, w, unnest(generate_series(1, len(w))) AS pos FROM d
+        ),
+        toks AS (
+            SELECT id,
+                   CASE WHEN pos = 1 THEN NULL ELSE w[pos - 1] END AS prev,
+                   w[pos] AS cur
+            FROM idx
+        ),
+        pc AS (SELECT prev, cur, COUNT(*) AS cnt2 FROM toks GROUP BY 1, 2),
+        cnt1 AS (SELECT cur AS term, SUM(cnt2) AS cnt FROM pc GROUP BY 1),
+        tot AS (SELECT SUM(cnt) AS n_total FROM cnt1),
+        lm1 AS {lm1_cte},
+        lm2 AS {lm2_cte},
+        scalars AS (
+            SELECT n_total,
+                   n_total - (SELECT SUM(cnt) FROM lm1) AS oov_cnt
+            FROM tot
+        ),
+        scored AS (
+            SELECT t.id,
+                   CAST(FLOOR((CASE
+                       WHEN t.prev IS NOT NULL AND l2.cnt2 IS NOT NULL
+                            AND p1.cnt IS NOT NULL AND c1.cnt IS NOT NULL
+                       THEN -ln(CAST(l2.cnt2 AS DOUBLE)
+                                / CAST(p1.cnt AS DOUBLE))
+                       ELSE -ln(
+                           (CASE WHEN t.prev IS NULL THEN CAST(1.0 AS DOUBLE)
+                                 ELSE CAST({alpha!r} AS DOUBLE) END)
+                           * CAST(COALESCE(c1.cnt, s.oov_cnt) AS DOUBLE)
+                           / CAST(s.n_total AS DOUBLE))
+                       END) * 1000000.0)
+                   AS BIGINT) AS nll_micro
+            FROM toks t
+            LEFT JOIN lm1 c1 ON c1.term = t.cur
+            LEFT JOIN lm1 p1 ON p1.term = t.prev
+            LEFT JOIN lm2 l2 ON l2.prev = t.prev AND l2.cur = t.cur
+            CROSS JOIN scalars s
+        )
+        SELECT id AS doc_id,
+               CAST(COUNT(*) AS BIGINT) AS n_tokens,
+               (CAST(SUM(nll_micro) AS DOUBLE) / 1000000.0)
+                   / CAST(COUNT(*) AS DOUBLE) AS nll_mean,
+               CAST(SUM(nll_micro) // COUNT(*) AS BIGINT) AS nll_mean_micro
+        FROM scored GROUP BY id
+    """
+
+
+_SB_VOCAB, _SB_BIGRAMS = 50, 500
+
+
+@register_extra(
+    "stupid_backoff_nll",
+    oracle=_stupid_backoff_oracle(_SB_VOCAB, _SB_BIGRAMS),
+    doc="Bigram stupid-backoff LM quality score (Brants et al. 2007 — "
+        "the backoff designed for distributed MapReduce-scale LM "
+        "estimation: relative frequencies + fixed 0.4 factor, no "
+        "discounting or normalization pass). Order-1 upgrade of "
+        "unigram_nll_quality for CCNet-style perplexity filtering. "
+        "ONE corpus-sized aggregate: every token emits (prev, cur) "
+        "with NULL prev at position 0, groupBy(prev, cur) gives the "
+        "bigram type table and the unigram counts fall out as a "
+        "bigram-TYPE-sized re-aggregation (each token occurs exactly "
+        "once as cur). Top-V unigram cap with lumped-OOV residual "
+        "mass + top-B bigram cap (a missing bigram just backs off — "
+        "the cap degrades smoothly by construction). Size-dispatched "
+        "broadcast/shuffle-hash LM joins; integer micro-nat floors "
+        "before summation keep both engines bit-identical.",
+)
+def stupid_backoff_nll(spark, sf_dir):
+    from streamz_spark.operators.text import stupid_backoff_nll_quality as op
+
+    return op(
+        load_table(spark, sf_dir, "documents"),
+        vocab_limit=_SB_VOCAB,
+        bigram_limit=_SB_BIGRAMS,
+    )
+
+
+@register_extra(
+    "stupid_backoff_nll_full",
+    oracle=_stupid_backoff_oracle(None, None),
+    doc="uncapped arm of stupid_backoff_nll (full corpus LM, every "
+        "observed bigram eligible): pins that the capped operator "
+        "degenerates to the exact stupid-backoff score when both caps "
+        "are off. Same integer-micro-nat determinism contract.",
+)
+def stupid_backoff_nll_full(spark, sf_dir):
+    from streamz_spark.operators.text import stupid_backoff_nll_quality as op
+
+    return op(load_table(spark, sf_dir, "documents"))
+
+
 @register_extra(
     "unigram_nll_full_vocab",
     oracle=_unigram_nll_oracle(None),

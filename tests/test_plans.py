@@ -496,3 +496,56 @@ def test_pretrain_pipeline_barrier_shapes_agree(spark):
         .sort_values("doc_id", ignore_index=True)
     )
     assert a.equals(b)
+
+
+def test_stupid_backoff_plan_shape_broadcast_arm(spark):
+    # capped-LM arm: the bigram pair table and the derived unigram
+    # table are localCheckpointed (the corpus aggregates once), the
+    # three LM joins back by BROADCAST, the per-doc total is a
+    # map-side-combinable groupBy — no sort-merge of the exploded
+    # corpus, no cartesian, exchanges bounded
+    from streamz_spark.plans import explain_string
+
+    plan = explain_string(q("stupid_backoff_nll", spark))
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastHashJoin" in plan
+    assert "partial_" in plan
+    n_ex = plan.count("Exchange hashpartitioning")
+    assert n_ex <= 3, n_ex
+
+
+def test_stupid_backoff_plan_shape_shuffle_arm(spark):
+    # uncappable-LM arm (a 100 TB bigram type table is ~1e10 rows —
+    # past any broadcast): every LM join degrades to SHUFFLED HASH
+    # (never a sort of the exploded corpus, never cartesian). This is
+    # the documented safety arm; the production configuration caps
+    # both LMs and broadcasts.
+    from streamz_spark.io import load_table
+    from streamz_spark.operators.text import stupid_backoff_nll_quality
+    from streamz_spark.plans import explain_string
+
+    df = stupid_backoff_nll_quality(
+        load_table(spark, SF_DIR, "documents"), lm_join="shuffle"
+    )
+    plan = explain_string(df)
+    assert "ShuffledHashJoin" in plan, plan
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert "partial_" in plan
+
+
+def test_stupid_backoff_shuffle_arm_matches_broadcast_arm(spark):
+    # both dispatch arms are the same function — integer micro-nats
+    # make this an exact compare
+    from streamz_spark.io import load_table
+    from streamz_spark.operators.text import stupid_backoff_nll_quality
+
+    docs = load_table(spark, SF_DIR, "documents")
+    kw = dict(vocab_limit=50, bigram_limit=500)
+    a = stupid_backoff_nll_quality(docs, lm_join="broadcast", **kw).toPandas()
+    b = stupid_backoff_nll_quality(docs, lm_join="shuffle", **kw).toPandas()
+    cols = sorted(a.columns)
+    a = a.reindex(cols, axis=1).sort_values(cols, ignore_index=True)
+    b = b.reindex(cols, axis=1).sort_values(cols, ignore_index=True)
+    assert a.equals(b)

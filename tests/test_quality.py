@@ -344,3 +344,102 @@ def test_chunk_documents_then_pack_fits_budget(spark):
     )
     packed = ex.pack_sequences(ch_ids, id_col="cid", budget=32, num_shards=4)
     assert packed.filter(F.col("pack_tokens") > 32).count() == 0
+
+
+class TestStupidBackoff:
+    """Bigram stupid-backoff NLL (Brants et al. 2007) vs a pure-Python
+    reference — exercises all four scoring paths: first-token unigram,
+    observed-bigram, backoff (unseen pair), and OOV-through-residual."""
+
+    CORPUS = [
+        (1, "the cat sat on the mat"),
+        (2, "the cat ran"),
+        (3, "a dog sat"),
+        (4, "the mat the cat"),
+        (5, ""),
+        (6, "zzz"),  # singleton -> OOV under a small vocab cap
+    ]
+
+    @staticmethod
+    def _reference(rows, vocab_limit=None, bigram_limit=None, alpha=0.4):
+        import math
+        from collections import Counter
+
+        pc, first = Counter(), Counter()
+        docs = {}
+        for i, text in rows:
+            toks = _tokens(text)
+            docs[i] = toks
+            for p, w in enumerate(toks):
+                pc[(toks[p - 1] if p else None, w)] += 1
+        cnt1 = Counter()
+        for (prev, cur), c in pc.items():
+            cnt1[cur] += c
+        n_total = sum(cnt1.values())
+        lm1 = dict(
+            sorted(cnt1.items(), key=lambda kv: (-kv[1], kv[0]))[:vocab_limit]
+            if vocab_limit is not None
+            else cnt1.items()
+        )
+        oov = n_total - sum(lm1.values()) if vocab_limit is not None else None
+        lm2 = {
+            k: c for k, c in pc.items() if k[0] is not None
+        }
+        if bigram_limit is not None:
+            lm2 = dict(
+                sorted(lm2.items(), key=lambda kv: (-kv[1], kv[0]))[:bigram_limit]
+            )
+        out = {}
+        for i, toks in docs.items():
+            if not toks:
+                continue
+            s = 0
+            for p, w in enumerate(toks):
+                prev = toks[p - 1] if p else None
+                if (
+                    prev is not None
+                    and (prev, w) in lm2
+                    and prev in lm1
+                    and w in lm1
+                ):
+                    nll = -math.log(lm2[(prev, w)] / lm1[prev])
+                else:
+                    a = 1.0 if prev is None else alpha
+                    c = lm1.get(w, oov)
+                    nll = -math.log(a * c / n_total)
+                s += math.floor(nll * 1e6)
+            out[i] = (len(toks), s // len(toks))
+        return out
+
+    def _run(self, spark, **kw):
+        from streamz_spark.operators.text import stupid_backoff_nll_quality
+
+        df = spark.createDataFrame(self.CORPUS, "doc_id long, text string")
+        got = {
+            r["doc_id"]: (r["n_tokens"], r["nll_mean_micro"])
+            for r in stupid_backoff_nll_quality(df, **kw).collect()
+        }
+        return got
+
+    def test_uncapped_matches_reference(self, spark):
+        assert self._run(spark) == self._reference(self.CORPUS)
+
+    def test_capped_matches_reference(self, spark):
+        # vocab cap of 4 makes 'zzz' (and other tail terms) OOV; bigram
+        # cap of 3 forces backoff on real observed pairs
+        kw = dict(vocab_limit=4, bigram_limit=3)
+        assert self._run(spark, **kw) == self._reference(self.CORPUS, **kw)
+
+    def test_empty_doc_dropped(self, spark):
+        assert 5 not in self._run(spark)
+
+    def test_rejects_bad_args(self, spark):
+        from streamz_spark.operators.text import stupid_backoff_nll_quality
+
+        df = spark.createDataFrame(self.CORPUS, "doc_id long, text string")
+        with pytest.raises(ValueError):
+            stupid_backoff_nll_quality(df, vocab_limit=0)
+        with pytest.raises(ValueError):
+            stupid_backoff_nll_quality(df, alpha=0.0)
+        with pytest.raises(ValueError):
+            stupid_backoff_nll_quality(df, lm_join="nope")
