@@ -2868,3 +2868,165 @@ def bpe_learned_tokenizer(spark, sf_dir):
     docs = load_table(spark, sf_dir, "documents")
     merges = bpe_train(docs, num_merges=24)
     return bpe_learned_token_meter(docs, merges)
+
+
+# --------------------------------------------------------------------------
+# corpus data card — the per-source profile a pretraining team publishes
+# --------------------------------------------------------------------------
+
+_DATA_CARD_ORACLE = r"""
+    WITH perdoc AS (
+        SELECT source, lang,
+               CASE WHEN length(trim(lower(text))) = 0 THEN 0
+                    ELSE len(regexp_split_to_array(trim(lower(text)), '\s+'))
+               END AS n_tok,
+               CAST(length(text) AS BIGINT) AS n_ch,
+               CAST(length(text) AS DOUBLE)
+                   - CAST(length(regexp_replace(text, '[^ \t\n]', '', 'g')) AS DOUBLE)
+                   AS spaces
+        FROM documents
+    ),
+    pd2 AS (
+        SELECT source, lang, n_tok, n_ch,
+               CAST(FLOOR(
+                   (CASE WHEN n_tok > 0
+                         THEN (CAST(n_ch AS DOUBLE) - spaces)
+                              / CAST(n_tok AS DOUBLE)
+                         ELSE 0.0 END) * 1000000.0)
+               AS BIGINT) AS mwl_micro
+        FROM perdoc
+    ),
+    slc AS (
+        SELECT source, lang,
+               COUNT(*) AS n,
+               SUM(n_tok) AS tok,
+               SUM(n_ch) AS ch,
+               SUM(mwl_micro) AS mwl
+        FROM pd2 GROUP BY 1, 2
+    ),
+    src AS (
+        SELECT source,
+               CAST(SUM(n) AS BIGINT) AS n_docs,
+               CAST(SUM(tok) AS BIGINT) AS n_tokens,
+               CAST(SUM(ch) AS BIGINT) AS n_chars,
+               CAST(SUM(mwl) AS BIGINT) AS mwl_sum,
+               CAST(COUNT(*) AS BIGINT) AS n_langs
+        FROM slc GROUP BY 1
+    ),
+    top AS (
+        SELECT source, lang AS top_lang, CAST(n AS BIGINT) AS top_lang_docs
+        FROM (SELECT source, lang, n,
+                     ROW_NUMBER() OVER (PARTITION BY source
+                                        ORDER BY n DESC, lang ASC) AS rk
+              FROM slc)
+        WHERE rk = 1
+    ),
+    pctl AS (
+        SELECT source, quantile_cont(n_tok, 0.5) AS tokens_per_doc_p50
+        FROM pd2 GROUP BY 1
+    )
+    SELECT s.source, s.n_docs, s.n_tokens, s.n_chars,
+           CAST(s.n_tokens AS DOUBLE) / CAST(s.n_docs AS DOUBLE)
+               AS tokens_per_doc_mean,
+           p.tokens_per_doc_p50,
+           CAST(s.mwl_sum // s.n_docs AS BIGINT) AS mean_word_len_micro,
+           s.n_langs, t.top_lang, t.top_lang_docs
+    FROM src s
+    JOIN top t ON s.source = t.source
+    JOIN pctl p ON s.source = p.source
+"""
+
+
+@register_extra(
+    "corpus_data_card",
+    oracle=_DATA_CARD_ORACLE,
+    doc="per-source corpus profile (the 'data card' a pretraining team "
+        "publishes): doc/token/char totals, exact median tokens-per-doc, "
+        "mean word length (integer micro units — associative sums, no "
+        "float-order exposure), language count and the dominant language "
+        "with a DETERMINISTIC tie-break (docs desc, lang asc). Shape: one "
+        "narrow per-doc projection feeds a (source, lang) map-side-"
+        "combinable aggregate; every source-level stat except the median "
+        "derives from that tiny table, so the corpus shuffles only the "
+        "doc-level token counts for the exact percentile (kept exact for "
+        "oracle reproducibility — the 100 TB call swaps percentile for "
+        "the mergeable KLL sketch already benched in approx_sketches). "
+        "All joins are source-cardinality.",
+)
+def corpus_data_card(spark, sf_dir):
+    from pyspark.sql import Window
+
+    from streamz_spark.io import ensure_scan_parallelism
+    from streamz_spark.operators.text import token_count
+
+    docs = ensure_scan_parallelism(load_table(spark, sf_dir, "documents"))
+    perdoc = docs.select(
+        "source",
+        "lang",
+        token_count("text").alias("n_tok"),
+        F.length("text").cast("long").alias("n_ch"),
+        (
+            F.length("text").cast("double")
+            - F.length(F.regexp_replace("text", r"[^ \t\n]", "")).cast("double")
+        ).alias("spaces"),
+    ).withColumn(
+        "mwl_micro",
+        F.floor(
+            F.when(
+                F.col("n_tok") > 0,
+                (F.col("n_ch").cast("double") - F.col("spaces"))
+                / F.col("n_tok").cast("double"),
+            ).otherwise(F.lit(0.0))
+            * 1000000.0
+        ).cast("long"),
+    )
+    slc = perdoc.groupBy("source", "lang").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("n_tok").alias("tok"),
+        F.sum("n_ch").alias("ch"),
+        F.sum("mwl_micro").alias("mwl"),
+    )
+    src = slc.groupBy("source").agg(
+        F.sum("n").cast("long").alias("n_docs"),
+        F.sum("tok").cast("long").alias("n_tokens"),
+        F.sum("ch").cast("long").alias("n_chars"),
+        F.sum("mwl").cast("long").alias("mwl_sum"),
+        F.count(F.lit(1)).cast("long").alias("n_langs"),
+    )
+    top = (
+        slc.withColumn(
+            "rk",
+            F.row_number().over(
+                Window.partitionBy("source").orderBy(
+                    F.col("n").desc(), F.col("lang").asc()
+                )
+            ),
+        )
+        .where(F.col("rk") == 1)
+        .select(
+            "source",
+            F.col("lang").alias("top_lang"),
+            F.col("n").cast("long").alias("top_lang_docs"),
+        )
+    )
+    pctl = perdoc.groupBy("source").agg(
+        F.percentile("n_tok", F.lit(0.5)).alias("tokens_per_doc_p50")
+    )
+    return (
+        src.join(F.broadcast(top), "source")
+        .join(F.broadcast(pctl), "source")
+        .select(
+            "source",
+            "n_docs",
+            "n_tokens",
+            "n_chars",
+            (
+                F.col("n_tokens").cast("double") / F.col("n_docs").cast("double")
+            ).alias("tokens_per_doc_mean"),
+            "tokens_per_doc_p50",
+            F.expr("mwl_sum div n_docs").cast("long").alias("mean_word_len_micro"),
+            "n_langs",
+            "top_lang",
+            "top_lang_docs",
+        )
+    )

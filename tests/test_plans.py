@@ -549,3 +549,19 @@ def test_stupid_backoff_shuffle_arm_matches_broadcast_arm(spark):
     a = a.reindex(cols, axis=1).sort_values(cols, ignore_index=True)
     b = b.reindex(cols, axis=1).sort_values(cols, ignore_index=True)
     assert a.equals(b)
+
+
+def test_corpus_data_card_plan_shape(spark):
+    # data card contract: the corpus feeds two map-side-combinable
+    # aggregates ((source, lang) stats + the exact-percentile pass);
+    # everything downstream is source-cardinality — broadcast joins
+    # only, no sort-merge of the corpus, no cartesian
+    from streamz_spark.plans import explain_string
+
+    plan = explain_string(q("corpus_data_card", spark))
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastHashJoin" in plan
+    assert "partial_" in plan
+    n_ex = plan.count("Exchange hashpartitioning")
+    assert n_ex <= 4, n_ex
