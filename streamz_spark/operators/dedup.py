@@ -26,6 +26,7 @@ __all__ = [
     "minhash_signatures",
     "minhash_lsh_candidates",
     "minhash_near_duplicates",
+    "incremental_dedup",
     "simhash",
     "md5_hash60",
     "embedding_near_duplicates",
@@ -576,6 +577,116 @@ def minhash_near_duplicates(
         .filter(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", "jaccard")
     )
+
+
+def incremental_dedup(
+    incoming: DataFrame,
+    index: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_perm: int = 64,
+    k: int = 3,
+    bands: int = 16,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Deduplicate an ``incoming`` batch AGAINST a historical ``index``
+    corpus — the daily-crawl production mode: the index is the 100 TB
+    accumulated corpus, incoming is today's ingest, and the output is
+    the incoming rows that survive both exact and near-dup screening
+    against the index. (Duplicates *within* incoming are deliberately
+    kept — self-dedup is :func:`dedup_exact` / cluster drop-lists,
+    composable before or after.)
+
+    Two screens, both asymmetric joins (never an index self-join):
+
+    1. **Exact**: normalized-md5 fingerprint anti-join — incoming is
+       dropped when its fingerprint exists in the index. Both sides
+       exchange on the md5 key; the index side is a 2-column
+       projection of the historical corpus.
+    2. **Fuzzy**: MinHash signatures + LSH banding on BOTH sides, a
+       band-bucket equi-join ``incoming_bands ⋈ index_bands`` on
+       ``(band, bhash)`` — candidate fan-out is bounded by bucket
+       collisions, never |incoming| × |index| — then the exact-Jaccard
+       verify against index shingles drops incoming ids with any
+       verified match ≥ ``threshold``.
+
+    At 100 TB the index's banded signature table and shingle sets are
+    the stored index artifact (recomputing them per batch is the cost
+    of this lazy formulation — persist ``minhash_signatures`` +
+    banding output of the index once and the per-batch cost is
+    incoming-sized). Output recall follows the LSH banding exactly as
+    in :func:`minhash_near_duplicates`; the verify step makes every
+    emitted drop exact.
+    """
+    from streamz_spark.io import ensure_scan_parallelism
+
+    rows_per_band = num_perm // bands
+    incoming = ensure_scan_parallelism(incoming)
+    index = ensure_scan_parallelism(index)
+
+    # exact screen: anti-join on the normalized fingerprint
+    idx_fp = index.select(fingerprint(text_col, "__fp"))
+    inc_fp = incoming.withColumn("__fp", fingerprint(text_col, "__fp"))
+    after_exact = inc_fp.join(idx_fp, "__fp", "left_anti").drop("__fp")
+
+    # fuzzy screen: band join incoming x index, exact-Jaccard verify
+    def _shingles(df: DataFrame) -> DataFrame:
+        return df.select(
+            F.col(id_col).alias("id"), word_shingles(text_col, k).alias("sh")
+        ).filter(F.size("sh") > 0)
+
+    def _banded(sigs: DataFrame) -> DataFrame:
+        return sigs.select(
+            "id",
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(b).alias("band"),
+                            F.xxhash64(
+                                *[
+                                    F.element_at(
+                                        "signature", b * rows_per_band + r + 1
+                                    )
+                                    for r in range(rows_per_band)
+                                ]
+                            ).alias("bhash"),
+                        )
+                        for b in range(bands)
+                    ]
+                )
+            ).alias("bh"),
+        ).select("id", "bh.band", "bh.bhash")
+
+    sh_inc = _shingles(incoming).persist()
+    sh_idx = _shingles(index).persist()
+    band_inc = _banded(_minhash_signatures_from_shingles(sh_inc, num_perm))
+    band_idx = _banded(_minhash_signatures_from_shingles(sh_idx, num_perm))
+    cand = (
+        band_inc.withColumnRenamed("id", "inc_id")
+        .join(band_idx.withColumnRenamed("id", "idx_id"), ["band", "bhash"])
+        .select("inc_id", "idx_id")
+        .distinct()
+    )
+    fuzzy_dropped = (
+        cand.join(
+            sh_inc.select(F.col("id").alias("inc_id"), F.col("sh").alias("sh_i")),
+            "inc_id",
+        )
+        .join(
+            sh_idx.select(F.col("id").alias("idx_id"), F.col("sh").alias("sh_x")),
+            "idx_id",
+        )
+        .withColumn("n_common", F.size(F.array_intersect("sh_i", "sh_x")))
+        .where(
+            F.col("n_common")
+            / (F.size("sh_i") + F.size("sh_x") - F.col("n_common"))
+            >= threshold
+        )
+        .select(F.col("inc_id").alias(id_col))
+        .distinct()
+    )
+    return after_exact.join(fuzzy_dropped, id_col, "left_anti")
 
 
 def md5_hash60(col) -> F.Column:

@@ -3030,3 +3030,86 @@ def corpus_data_card(spark, sf_dir):
             "top_lang_docs",
         )
     )
+
+
+# --------------------------------------------------------------------------
+# incremental dedup: today's ingest screened against the historical index
+# --------------------------------------------------------------------------
+
+_INCR_DEDUP_ORACLE = r"""
+    WITH inc AS (SELECT * FROM documents WHERE doc_id % 10 < 2),
+    idx AS (SELECT * FROM documents WHERE doc_id % 10 >= 2),
+    exact_drop AS (
+        SELECT DISTINCT i.doc_id
+        FROM inc i JOIN idx x
+          ON md5(regexp_replace(lower(trim(i.text)), '\s+', ' ', 'g'))
+           = md5(regexp_replace(lower(trim(x.text)), '\s+', ' ', 'g'))
+    ),
+    shi AS (
+        SELECT doc_id AS id,
+               list_distinct(list_transform(
+                   generate_series(1, greatest(len(w) - 2, 0)),
+                   i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS sh
+        FROM (
+            SELECT doc_id,
+                   CASE WHEN length(trim(lower(text))) = 0 THEN []::VARCHAR[]
+                        ELSE regexp_split_to_array(trim(lower(text)), '\s+')
+                   END AS w
+            FROM inc
+        )
+    ),
+    shx AS (
+        SELECT doc_id AS id,
+               list_distinct(list_transform(
+                   generate_series(1, greatest(len(w) - 2, 0)),
+                   i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS sh
+        FROM (
+            SELECT doc_id,
+                   CASE WHEN length(trim(lower(text))) = 0 THEN []::VARCHAR[]
+                        ELSE regexp_split_to_array(trim(lower(text)), '\s+')
+                   END AS w
+            FROM idx
+        )
+    ),
+    sized_i AS (SELECT id, len(sh) AS n_sh FROM shi WHERE len(sh) > 0),
+    sized_x AS (SELECT id, len(sh) AS n_sh FROM shx WHERE len(sh) > 0),
+    posting_i AS (SELECT id, unnest(sh) AS shingle FROM shi WHERE len(sh) > 0),
+    posting_x AS (SELECT id, unnest(sh) AS shingle FROM shx WHERE len(sh) > 0),
+    inter AS (
+        SELECT i.id AS inc_id, x.id AS idx_id, COUNT(*) AS n_common
+        FROM posting_i i JOIN posting_x x ON i.shingle = x.shingle
+        GROUP BY 1, 2
+    ),
+    fuzzy_drop AS (
+        SELECT DISTINCT inc_id AS doc_id
+        FROM inter
+        JOIN sized_i ni ON ni.id = inter.inc_id
+        JOIN sized_x nx ON nx.id = inter.idx_id
+        WHERE n_common / (ni.n_sh + nx.n_sh - n_common) >= 0.5
+    )
+    SELECT * FROM inc
+    WHERE doc_id NOT IN (SELECT doc_id FROM exact_drop)
+      AND doc_id NOT IN (SELECT doc_id FROM fuzzy_drop)
+"""
+
+
+@register_extra(
+    "incremental_dedup_vs_index",
+    oracle=_INCR_DEDUP_ORACLE,
+    doc="the daily-crawl production mode: a 20% incoming slice screened "
+        "against the 80% historical index — exact (normalized-md5 "
+        "anti-join) plus MinHash-LSH near-dup (band-bucket equi-join "
+        "incoming x index, NEVER an index self-join, exact-Jaccard "
+        "verify). Duplicates within incoming are kept by contract "
+        "(self-dedup composes separately). Like minhash_near_duplicates, "
+        "the oracle computes the exact incoming-vs-index pair set "
+        "independently, so a banding recall drop shows up as extra "
+        "kept rows.",
+)
+def incremental_dedup_vs_index(spark, sf_dir):
+    from streamz_spark.operators.dedup import incremental_dedup
+
+    docs = load_table(spark, sf_dir, "documents")
+    inc = docs.where(F.col("doc_id") % 10 < 2)
+    idx = docs.where(F.col("doc_id") % 10 >= 2)
+    return incremental_dedup(inc, idx, num_perm=64, k=3, bands=16, threshold=0.5)

@@ -189,3 +189,57 @@ def test_dedup_paragraphs_planted_boilerplate(spark):
     assert (out[3].n_paras, out[3].n_paras_dropped) == (1, 1)
     assert out[4].text_deduped == "wholly unique words here"
     assert out[4].n_paras_dropped == 0
+
+
+class TestIncrementalDedup:
+    """incoming-vs-index screening: exact drop, fuzzy drop, and the
+    kept-by-contract within-incoming duplicate."""
+
+    BASE = "the quick brown fox jumps over the lazy dog again and again today"
+
+    def _frames(self, spark):
+        index = spark.createDataFrame(
+            [
+                (100, self.BASE),
+                (101, "completely different historical content about ships"),
+                (102, "another indexed doc with its own distinct words"),
+            ],
+            "doc_id long, text string",
+        )
+        near = self.BASE.replace("lazy", "sleepy")  # high-jaccard variant
+        incoming = spark.createDataFrame(
+            [
+                (1, "  THE quick   brown fox jumps over the lazy dog again and again today "),  # exact dup of 100 after normalization
+                (2, near),  # near-dup of 100
+                (3, "fresh unseen incoming text that matches nothing at all"),
+                (4, "fresh unseen incoming text that matches nothing at all"),  # dup WITHIN incoming -> kept
+                (5, ""),  # empty: no shingles, survives fuzzy, no exact match
+            ],
+            "doc_id long, text string",
+        )
+        return incoming, index
+
+    def test_screens_and_contract(self, spark):
+        incoming, index = self._frames(spark)
+        kept = sorted(
+            r.doc_id
+            for r in dd.incremental_dedup(
+                incoming, index, num_perm=64, k=3, bands=16, threshold=0.5
+            ).collect()
+        )
+        # 1 dropped (exact vs index), 2 dropped (fuzzy vs index),
+        # 3 and 4 kept (within-incoming dup is NOT screened), 5 kept
+        assert kept == [3, 4, 5]
+
+    def test_output_keeps_all_columns(self, spark):
+        incoming, index = self._frames(spark)
+        out = dd.incremental_dedup(incoming, index)
+        assert out.columns == incoming.columns
+
+    def test_plan_no_cartesian(self, spark):
+        from streamz_spark.plans import explain_string
+
+        incoming, index = self._frames(spark)
+        plan = explain_string(dd.incremental_dedup(incoming, index))
+        assert "CartesianProduct" not in plan
+        assert "BroadcastNestedLoopJoin" not in plan
