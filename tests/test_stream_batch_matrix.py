@@ -952,6 +952,144 @@ CELLS["bpe_meter/documents"] = _cell_bpe_meter_documents
 
 
 
+
+def _cell_incremental_dedup_documents(spark):
+    # the daily-crawl mode AS A STREAM: the historical index is a
+    # static relation (fingerprints + shingles + banded signatures —
+    # production's stored index artifact), today's ingest is replayed
+    # as micro-batches, and every screen is a stream-static join:
+    # exact = left join on the normalized fingerprint, fuzzy = LSH
+    # band-bucket left join + exact-Jaccard verify, per-doc max flags
+    # in complete mode. Kept-set must equal batch incremental_dedup.
+    from streamz_spark.operators.dedup import (
+        _minhash_signatures_from_shingles,
+        incremental_dedup,
+    )
+    from streamz_spark.operators.text import fingerprint, word_shingles
+    from streamz_spark.streaming.sources import replay_table
+
+    NUM_PERM, BANDS, RPB = 64, 16, 4
+    docs = load_table(spark, SF_DIR, "documents")
+    inc_b = docs.where(F.col("doc_id") % 10 < 2)
+    idx = docs.where(F.col("doc_id") % 10 >= 2)
+    want = (
+        incremental_dedup(inc_b, idx, num_perm=NUM_PERM, bands=BANDS)
+        .select("doc_id")
+        .toPandas()
+    )
+
+    # static index artifacts
+    idx_fp = idx.select(fingerprint("text", "fp")).distinct()
+    sh_idx = idx.select(
+        F.col("doc_id").alias("id"), word_shingles("text", 3).alias("sh")
+    ).where(F.size("sh") > 0)
+    band_idx = (
+        _minhash_signatures_from_shingles(sh_idx, NUM_PERM)
+        .select(
+            F.col("id").alias("idx_id"),
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(b).alias("band"),
+                            F.xxhash64(
+                                *[
+                                    F.element_at("signature", b * RPB + r + 1)
+                                    for r in range(RPB)
+                                ]
+                            ).alias("bhash"),
+                        )
+                        for b in range(BANDS)
+                    ]
+                )
+            ).alias("bh"),
+        )
+        .select("idx_id", "bh.band", "bh.bhash")
+    )
+    sh_idx_named = sh_idx.select(
+        F.col("id").alias("idx_id"), F.col("sh").alias("sh_x")
+    )
+
+    stream = replay_table(spark, SF_DIR, "documents", chunk_col="doc_id").where(
+        F.col("doc_id") % 10 < 2
+    )
+    s = stream.select(
+        "doc_id", fingerprint("text", "fp"), word_shingles("text", 3).alias("sh")
+    )
+    # exact screen: stream-static left join on the fingerprint
+    s = s.join(idx_fp.withColumn("ex", F.lit(1)), "fp", "left")
+    # per-row narrow signature (two selects — same two-stage hash shape
+    # as the batch operator), empty-shingle docs get an empty band array
+    s = s.select(
+        "doc_id", "ex", "sh",
+        F.transform("sh", lambda x: F.xxhash64(x)).alias("hs"),
+    ).select(
+        "doc_id", "ex", "sh",
+        F.when(
+            F.size("sh") > 0,
+            F.array(
+                *[
+                    F.array_min(
+                        F.transform("hs", lambda h: F.xxhash64(h, F.lit(i)))
+                    )
+                    for i in range(NUM_PERM)
+                ]
+            ),
+        ).alias("signature"),
+    )
+    banded = s.select(
+        "doc_id", "ex", "sh",
+        F.explode_outer(
+            F.when(
+                F.col("signature").isNotNull(),
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(b).alias("band"),
+                            F.xxhash64(
+                                *[
+                                    F.element_at("signature", b * RPB + r + 1)
+                                    for r in range(RPB)
+                                ]
+                            ).alias("bhash"),
+                        )
+                        for b in range(BANDS)
+                    ]
+                ),
+            )
+        ).alias("bh"),
+    ).select("doc_id", "ex", "sh", F.col("bh.band").alias("band"), F.col("bh.bhash").alias("bhash"))
+    ver = (
+        banded.join(band_idx, ["band", "bhash"], "left")
+        .join(sh_idx_named, "idx_id", "left")
+        .withColumn(
+            "fz",
+            F.when(
+                F.col("sh_x").isNotNull()
+                & (
+                    F.size(F.array_intersect("sh", "sh_x"))
+                    / (
+                        F.size("sh")
+                        + F.size("sh_x")
+                        - F.size(F.array_intersect("sh", "sh_x"))
+                    )
+                    >= 0.5
+                ),
+                F.lit(1),
+            ),
+        )
+    )
+    flags = ver.groupBy("doc_id").agg(
+        F.max("ex").alias("ex"), F.max("fz").alias("fz")
+    )
+    got_flags = sink_to_list(flags, output_mode="complete")[-1]
+    kept = got_flags[got_flags["ex"].isna() & got_flags["fz"].isna()][["doc_id"]]
+    return kept.reset_index(drop=True), want
+
+
+CELLS["incremental_dedup/documents"] = _cell_incremental_dedup_documents
+
+
 # parametrized LAST so late-registered cells are included
 @pytest.mark.parametrize("cell", sorted(CELLS))
 def test_stream_batch_cell(cell, spark):
