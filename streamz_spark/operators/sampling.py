@@ -31,6 +31,7 @@ __all__ = [
     "stratified_sample",
     "sample_fractions",
     "dsir_select",
+    "select_top_quality",
     "temperature_mixture_sample",
     "temperature_mixture_rates",
     "apply_mixture_rates",
@@ -280,6 +281,63 @@ def dsir_select(
             "gumbel_key_micro",
             F.coalesce(F.col("__sel"), F.lit(False)).alias("selected"),
         )
+    )
+
+
+def select_top_quality(
+    df: DataFrame,
+    frac: float,
+    score_col: str = "quality_score",
+    by: str = "source",
+    id_col: str = "doc_id",
+    method: str = "rank",
+) -> DataFrame:
+    """Per-group quality pruning — keep the best ``frac`` of documents
+    in each ``by`` group ranked by ``score_col`` (the FineWeb-style
+    "keep the classifier's top slice per source" selection; also the
+    within-domain half of quality-curriculum ordering).
+
+    ``method="rank"`` (default): exact per-group top-``ceil(frac·n_g)``
+    via ``row_number`` with a DETERMINISTIC tie-break (score desc, id
+    asc) — reproducible in any engine. The cost is a per-group window
+    sort of that group's rows: fine when groups are bounded, and the
+    honest price of an exact k.
+
+    ``method="threshold"``: per-group exact ``(1−frac)`` percentile
+    cutoff (interpolated), keep ``score ≥ cutoff`` — NO corpus window
+    sort (one doc-level aggregate exchange, then a broadcast
+    group-cardinality cutoff join and a map-side filter). Ties at the
+    cutoff inflate the kept count past ``frac·n_g`` — that and the
+    interpolated cutoff's last-ulp sensitivity are why the oracle-
+    hashed entry pins the rank arm and this arm is property-tested
+    (superset-of-rank on ties, per-group fraction within tolerance).
+    At 100 TB swap the exact percentile for the mergeable KLL sketch
+    (`approx_sketches` benches it) and the cutoff join is unchanged.
+    """
+    if not (0.0 < frac <= 1.0):
+        raise ValueError("frac must be in (0, 1]")
+    if method not in ("rank", "threshold"):
+        raise ValueError(f"method must be rank|threshold, got {method!r}")
+    if method == "rank":
+        counts = df.groupBy(F.col(by).alias("__by")).agg(
+            F.count(F.lit(1)).alias("__n")
+        )
+        rn = F.row_number().over(
+            W.partitionBy(by).orderBy(F.col(score_col).desc(), F.col(id_col).asc())
+        )
+        return (
+            df.withColumn("__rn", rn)
+            .join(F.broadcast(counts), F.col(by) == F.col("__by"))
+            .where(F.col("__rn") <= F.ceil(F.lit(frac) * F.col("__n")))
+            .drop("__rn", "__by", "__n")
+        )
+    cuts = df.groupBy(F.col(by).alias("__by")).agg(
+        F.percentile(score_col, F.lit(1.0 - frac)).alias("__cut")
+    )
+    return (
+        df.join(F.broadcast(cuts), F.col(by) == F.col("__by"))
+        .where(F.col(score_col) >= F.col("__cut"))
+        .drop("__by", "__cut")
     )
 
 

@@ -3113,3 +3113,63 @@ def incremental_dedup_vs_index(spark, sf_dir):
     inc = docs.where(F.col("doc_id") % 10 < 2)
     idx = docs.where(F.col("doc_id") % 10 >= 2)
     return incremental_dedup(inc, idx, num_perm=64, k=3, bands=16, threshold=0.5)
+
+
+# --------------------------------------------------------------------------
+# per-source quality pruning (FineWeb-style top-slice selection)
+# --------------------------------------------------------------------------
+
+_TOP_QUALITY_ORACLE = r"""
+    WITH base AS (
+        SELECT doc_id, source,
+               length(text)::DOUBLE AS n,
+               length(regexp_replace(text, '[^.,;:!?''"()\[\]{}-]', '', 'g'))::DOUBLE AS punct,
+               length(regexp_replace(text, '[^0-9]', '', 'g'))::DOUBLE AS digits,
+               length(regexp_replace(text, '[^ ' || chr(9) || chr(10) || ']', '', 'g'))::DOUBLE AS spaces,
+               CASE WHEN length(trim(lower(text))) = 0 THEN []::VARCHAR[]
+                    ELSE regexp_split_to_array(trim(lower(text)), '\s+')
+               END AS w
+        FROM documents
+    ),
+    scored AS (
+        SELECT doc_id, source,
+               GREATEST(1.0
+                 - LEAST(1.0, (CASE WHEN n > 0 THEN punct / n ELSE 0.0 END) * 4) * 0.25
+                 - LEAST(1.0, (CASE WHEN n > 0 THEN digits / n ELSE 0.0 END) * 4) * 0.25
+                 - (CASE WHEN (CASE WHEN len(w) > 0 THEN (n - spaces) / len(w) ELSE 0.0 END) < 2
+                          OR (CASE WHEN len(w) > 0 THEN (n - spaces) / len(w) ELSE 0.0 END) > 12
+                     THEN 0.25 ELSE 0.0 END)
+                 - (CASE WHEN len(w) < 5 THEN 0.25 ELSE 0.0 END),
+                 0.0) AS quality_score
+        FROM base
+    ),
+    counted AS (SELECT source, COUNT(*) AS n_src FROM scored GROUP BY 1)
+    SELECT doc_id, source, quality_score
+    FROM scored JOIN counted USING (source)
+    QUALIFY ROW_NUMBER() OVER (
+        PARTITION BY source ORDER BY quality_score DESC, doc_id ASC
+    ) <= CEIL(0.3 * n_src)
+"""
+
+
+@register_extra(
+    "select_top_quality_per_source",
+    oracle=_TOP_QUALITY_ORACLE,
+    doc="FineWeb-style per-source quality pruning: keep the top 30% of "
+        "each source by the composite quality score, exact "
+        "ceil(frac*n_g) per group with a deterministic tie-break "
+        "(score desc, doc_id asc). Rank arm — per-group window sort is "
+        "the honest exact-k cost; the no-sort threshold arm (percentile "
+        "cutoff broadcast join) is property-tested in "
+        "tests/test_sampling_contamination.py.",
+)
+def select_top_quality_per_source(spark, sf_dir):
+    from streamz_spark.io import ensure_scan_parallelism
+    from streamz_spark.operators.sampling import select_top_quality
+    from streamz_spark.operators.text import quality_features
+
+    docs = ensure_scan_parallelism(load_table(spark, sf_dir, "documents"))
+    scored = quality_features(docs, "text").select(
+        "doc_id", "source", "quality_score"
+    )
+    return select_top_quality(scored, frac=0.3, method="rank")

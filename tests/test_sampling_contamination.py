@@ -288,3 +288,81 @@ class TestTemperatureMixture:
         W = sum(w.values())
         exp = {d: math.floor((1000 * w[d]) / (W * m) * 1e6) for d, m in (("a", 900), ("b", 100))}
         assert got2 == exp
+
+
+class TestSelectTopQuality:
+    def _scored(self, spark):
+        from streamz_spark.io import load_table
+        from streamz_spark.operators.text import quality_features
+
+        from .conftest import SF_DIR
+
+        docs = load_table(spark, SF_DIR, "documents")
+        return quality_features(docs, "text").select(
+            "doc_id", "source", "quality_score"
+        )
+
+    def test_rank_arm_exact_fraction(self, spark):
+        import math
+
+        from streamz_spark.operators.sampling import select_top_quality
+
+        scored = self._scored(spark)
+        n_by = {r["source"]: r["n"] for r in
+                scored.groupBy("source").agg(F.count(F.lit(1)).alias("n")).collect()}
+        kept = select_top_quality(scored, frac=0.3, method="rank")
+        k_by = {r["source"]: r["n"] for r in
+                kept.groupBy("source").agg(F.count(F.lit(1)).alias("n")).collect()}
+        assert k_by == {s: math.ceil(0.3 * n) for s, n in n_by.items()}
+
+    def test_threshold_arm_superset_of_rank_on_ties(self, spark):
+        # the percentile cutoff keeps every row tied AT the cutoff, so
+        # the threshold kept-set contains the rank kept-set whenever the
+        # rank cut falls inside a tie run; counts are >= exact k and the
+        # per-group overshoot is bounded by the cutoff tie count
+        from streamz_spark.operators.sampling import select_top_quality
+
+        scored = self._scored(spark)
+        rank_ids = {r["doc_id"] for r in
+                    select_top_quality(scored, frac=0.3, method="rank")
+                    .select("doc_id").collect()}
+        thr = select_top_quality(scored, frac=0.3, method="threshold")
+        thr_ids = {r["doc_id"] for r in thr.select("doc_id").collect()}
+        # rank breaks score-ties by id; threshold keeps all tied rows.
+        # every rank-kept row's SCORE is >= the threshold cutoff, so the
+        # only allowed difference is tie inflation: thr ⊇ rank
+        assert rank_ids <= thr_ids
+        # and the inflation is ties-only: every extra doc's score equals
+        # some kept doc's score at the boundary (check via score sets)
+        import pandas as pd
+
+        sc = scored.toPandas().set_index("doc_id")
+        extra = thr_ids - rank_ids
+        if extra:
+            min_kept_by_src = (
+                sc.loc[sorted(rank_ids)].groupby("source")["quality_score"].min()
+            )
+            for d in extra:
+                src, s = sc.loc[d, "source"], sc.loc[d, "quality_score"]
+                assert s <= min_kept_by_src[src] + 1e-12
+
+    def test_validation(self, spark):
+        from streamz_spark.operators.sampling import select_top_quality
+
+        scored = self._scored(spark)
+        with pytest.raises(ValueError):
+            select_top_quality(scored, frac=0.0)
+        with pytest.raises(ValueError):
+            select_top_quality(scored, frac=0.3, method="nope")
+
+    def test_threshold_arm_no_window_sort(self, spark):
+        # the scale arm's contract: no Window operator in the plan —
+        # one doc-level aggregate + broadcast cutoff join + filter
+        from streamz_spark.operators.sampling import select_top_quality
+        from streamz_spark.plans import explain_string
+
+        plan = explain_string(
+            select_top_quality(self._scored(spark), frac=0.3, method="threshold")
+        )
+        assert "Window" not in plan, plan
+        assert "BroadcastHashJoin" in plan
