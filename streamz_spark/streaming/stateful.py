@@ -860,3 +860,75 @@ def streaming_semdedup(
     return pairs.filter(pairs["cosine"] >= threshold).dropDuplicates(
         ["id_a", "id_b"]
     )
+
+
+def streaming_topk_similarity(
+    sdf: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "vec_id",
+) -> DataFrame:
+    """Ingest-time exact top-k cosine neighbors per query over a vector
+    STREAM with BOUNDED state — the streaming counterpart of
+    ``similarity.brute_force_topk`` (and the shape of incremental
+    top-k similarity search over arriving data; cf. the retrieved
+    EDBT'19/'20 streaming-similarity-search papers).
+
+    Scoring is JVM-side per micro-batch: the (small, static) query set
+    broadcasts into a stream-static join and the cosine folds in
+    Catalyst exprs — Python sees only the scored (qid, cid, cosine)
+    rows. The keyed state holds exactly the current top-k (id, score)
+    pairs per query — corpus-size-INDEPENDENT, so an unbounded stream
+    never grows state. Each micro-batch emits the refreshed top-k for
+    the queries it touched (update mode); the final emission equals
+    the batch operator's result on the same corpus (same cosine
+    expression, same deterministic tie-break: score desc, id asc).
+    Self-matches (cid == qid) are excluded, as in the batch operator.
+    """
+    from pyspark.sql import functions as F
+
+    from streamz_spark.operators.similarity import cosine_expr, with_norm
+
+    q = with_norm(
+        queries.select(
+            F.col(query_id_col).alias("qid"), F.col(vec_col).alias("qv")
+        ),
+        "qv",
+        "qnorm",
+    )
+    c = with_norm(
+        sdf.select(F.col(id_col).alias("cid"), F.col(vec_col).alias("cv")),
+        "cv",
+        "cnorm",
+    )
+    scored = c.join(F.broadcast(q), F.col("cid") != F.col("qid")).select(
+        "qid", "cid", cosine_expr("qv", "cv", "qnorm", "cnorm").alias("cosine")
+    )
+
+    def step(state, pdf):
+        ids = list(state[0]) if state else []
+        scores = list(state[1]) if state else []
+        ids.extend(int(x) for x in pdf["cid"])
+        scores.extend(float(x) for x in pdf["cosine"])
+        order = sorted(range(len(ids)), key=lambda i: (-scores[i], ids[i]))[:k]
+        ids = [ids[i] for i in order]
+        scores = [scores[i] for i in order]
+        out = pd.DataFrame(
+            {
+                "qid": pdf["qid"].iloc[0],
+                "cid": ids,
+                "cosine": scores,
+                "rank": range(1, len(ids) + 1),
+            }
+        )
+        return (ids, scores), out
+
+    return accumulate(
+        scored,
+        ["qid"],
+        step,
+        state_schema="ids array<long>, scores array<double>",
+        output_schema="qid long, cid long, cosine double, rank int",
+    )

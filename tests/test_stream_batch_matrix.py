@@ -1090,6 +1090,40 @@ def _cell_incremental_dedup_documents(spark):
 CELLS["incremental_dedup/documents"] = _cell_incremental_dedup_documents
 
 
+
+def _cell_topk_similarity_embeddings(spark):
+    # ingest-time exact top-k similarity with BOUNDED per-query state:
+    # cosine scoring runs JVM-side in a stream-static broadcast join,
+    # the keyed state holds exactly k (id, score) pairs per query. The
+    # last emitted top-k per query must equal the batch brute-force
+    # operator (same cosine expression, same deterministic tie-break).
+    from streamz_spark.operators.similarity import brute_force_topk
+    from streamz_spark.streaming.sources import replay_table
+    from streamz_spark.streaming.stateful import streaming_topk_similarity
+
+    emb = load_table(spark, SF_DIR, "embeddings")
+    queries = emb.where(F.col("vec_id") < 5)
+    want = brute_force_topk(emb, queries, k=5).toPandas()
+
+    stream = replay_table(spark, SF_DIR, "embeddings", chunk_col="vec_id")
+    batches = sink_to_list(
+        streaming_topk_similarity(stream, queries, k=5), output_mode="update"
+    )
+    allb = pd.concat(
+        [b.assign(__b=i) for i, b in enumerate(batches) if len(b)],
+        ignore_index=True,
+    )
+    got = (
+        allb[allb.groupby("qid")["__b"].transform("max") == allb["__b"]]
+        .drop(columns="__b")
+        .reset_index(drop=True)
+    )
+    return got, want
+
+
+CELLS["topk_similarity/embeddings"] = _cell_topk_similarity_embeddings
+
+
 # parametrized LAST so late-registered cells are included
 @pytest.mark.parametrize("cell", sorted(CELLS))
 def test_stream_batch_cell(cell, spark):
