@@ -32,6 +32,7 @@ __all__ = [
     "sample_fractions",
     "dsir_select",
     "select_top_quality",
+    "select_to_token_budget",
     "temperature_mixture_sample",
     "temperature_mixture_rates",
     "apply_mixture_rates",
@@ -338,6 +339,75 @@ def select_top_quality(
         df.join(F.broadcast(cuts), F.col(by) == F.col("__by"))
         .where(F.col(score_col) >= F.col("__cut"))
         .drop("__by", "__cut")
+    )
+
+
+def select_to_token_budget(
+    df: DataFrame,
+    budget_tokens: int,
+    tokens_col: str,
+    score_col: str = "quality_score",
+    by: str | None = None,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Greedy best-first corpus selection under a TOKEN budget — "fill
+    a 1T-token training budget with the best documents": rank by
+    ``score_col`` (desc, deterministic id tie-break) and keep documents
+    while the running token total stays ≤ ``budget_tokens``. With
+    ``by`` set, each group gets its own ``budget_tokens`` (the
+    per-source variant that pairs with temperature mixing: compute the
+    per-source token budgets from
+    :func:`temperature_mixture_rates` ppm × total budget, then call
+    this per group).
+
+    The running total is an integer cumulative SUM over the quality
+    order — associative, engine-exact — so the kept set is
+    bit-reproducible in SQL. A document that OVERSHOOTS the budget is
+    excluded and selection continues past it is NOT done (strict
+    prefix semantics: the kept set is the maximal prefix of the
+    quality ordering whose token sum fits). Prefix semantics keep the
+    selection a pure window predicate; skip-and-continue greedy
+    filling is order-dependent bin packing, not expressible as one
+    window, and changes results under re-partitioning.
+
+    Cost: grouped form = one window cumsum per group (per-group sort,
+    same honest price as exact ``select_top_quality`` rank). Keyless
+    form NEVER runs a single-partition window — it goes through
+    ``order.global_cumulative``'s two-level range-partitioned scan
+    (within-partition windows in parallel + an exclusive prefix
+    combine over partition summaries). The no-sort scale path samples
+    a score-vs-token ECDF (KLL sketch) to find the cutoff score, then
+    applies it as a broadcast filter — same shape as
+    ``select_top_quality``'s threshold arm.
+    """
+    if budget_tokens < 0:
+        raise ValueError("budget_tokens must be >= 0")
+    if by is not None:
+        w = (
+            W.partitionBy(by)
+            .orderBy(F.col(score_col).desc(), F.col(id_col).asc())
+            .rowsBetween(W.unboundedPreceding, W.currentRow)
+        )
+        cum = F.sum(F.col(tokens_col).cast("long")).over(w)
+        return (
+            df.withColumn("__cum", cum)
+            .where(F.col("__cum") <= budget_tokens)
+            .drop("__cum")
+        )
+    from streamz_spark.operators.order import global_cumulative
+
+    out = global_cumulative(
+        df.withColumn("__neg_score", -F.col(score_col)).withColumn(
+            "__tok", F.col(tokens_col).cast("long")
+        ),
+        ["__neg_score", id_col],
+        "__tok",
+        "sum",
+        "__cum",
+    )
+    return (
+        out.where(F.col("__cum") <= budget_tokens)
+        .drop("__cum", "__neg_score", "__tok")
     )
 
 

@@ -3173,3 +3173,65 @@ def select_top_quality_per_source(spark, sf_dir):
         "doc_id", "source", "quality_score"
     )
     return select_top_quality(scored, frac=0.3, method="rank")
+
+
+_TOKEN_BUDGET_ORACLE = r"""
+    WITH base AS (
+        SELECT doc_id, source,
+               length(text)::DOUBLE AS n,
+               length(regexp_replace(text, '[^.,;:!?''"()\[\]{}-]', '', 'g'))::DOUBLE AS punct,
+               length(regexp_replace(text, '[^0-9]', '', 'g'))::DOUBLE AS digits,
+               length(regexp_replace(text, '[^ ' || chr(9) || chr(10) || ']', '', 'g'))::DOUBLE AS spaces,
+               CASE WHEN length(trim(lower(text))) = 0 THEN []::VARCHAR[]
+                    ELSE regexp_split_to_array(trim(lower(text)), '\s+')
+               END AS w
+        FROM documents
+    ),
+    scored AS (
+        SELECT doc_id, source,
+               CAST(len(w) AS BIGINT) AS n_tokens,
+               GREATEST(1.0
+                 - LEAST(1.0, (CASE WHEN n > 0 THEN punct / n ELSE 0.0 END) * 4) * 0.25
+                 - LEAST(1.0, (CASE WHEN n > 0 THEN digits / n ELSE 0.0 END) * 4) * 0.25
+                 - (CASE WHEN (CASE WHEN len(w) > 0 THEN (n - spaces) / len(w) ELSE 0.0 END) < 2
+                          OR (CASE WHEN len(w) > 0 THEN (n - spaces) / len(w) ELSE 0.0 END) > 12
+                     THEN 0.25 ELSE 0.0 END)
+                 - (CASE WHEN len(w) < 5 THEN 0.25 ELSE 0.0 END),
+                 0.0) AS quality_score
+        FROM base
+    )
+    SELECT doc_id, source, n_tokens, quality_score
+    FROM scored
+    QUALIFY SUM(n_tokens) OVER (
+        PARTITION BY source
+        ORDER BY quality_score DESC, doc_id ASC
+        ROWS UNBOUNDED PRECEDING
+    ) <= 5000
+"""
+
+
+@register_extra(
+    "select_to_token_budget_per_source",
+    oracle=_TOKEN_BUDGET_ORACLE,
+    doc="greedy best-first selection under a 5000-token budget per "
+        "source: rank each source by quality (deterministic tie-break), "
+        "keep the maximal prefix whose integer token sum fits. Prefix "
+        "semantics keep the selection a pure window predicate — the "
+        "running total is an associative integer cumsum, bit-"
+        "reproducible in SQL. The keyless form routes through "
+        "order.global_cumulative's two-level scan (no single-partition "
+        "window), differential-tested in "
+        "tests/test_sampling_contamination.py.",
+)
+def select_to_token_budget_per_source(spark, sf_dir):
+    from streamz_spark.io import ensure_scan_parallelism
+    from streamz_spark.operators.sampling import select_to_token_budget
+    from streamz_spark.operators.text import quality_features
+
+    docs = ensure_scan_parallelism(load_table(spark, sf_dir, "documents"))
+    scored = quality_features(docs, "text").select(
+        "doc_id", "source", "n_tokens", "quality_score"
+    )
+    return select_to_token_budget(
+        scored, budget_tokens=5000, tokens_col="n_tokens", by="source"
+    )

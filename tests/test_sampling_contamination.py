@@ -366,3 +366,96 @@ class TestSelectTopQuality:
         )
         assert "Window" not in plan, plan
         assert "BroadcastHashJoin" in plan
+
+
+class TestTokenBudget:
+    def _scored(self, spark):
+        from streamz_spark.io import load_table
+        from streamz_spark.operators.text import quality_features
+
+        from .conftest import SF_DIR
+
+        docs = load_table(spark, SF_DIR, "documents")
+        return quality_features(docs, "text").select(
+            "doc_id", "source", "n_tokens", "quality_score"
+        )
+
+    def test_prefix_semantics_python_reference(self, spark):
+        from streamz_spark.operators.sampling import select_to_token_budget
+
+        scored = self._scored(spark)
+        pdf = scored.toPandas()
+        got = {
+            r["doc_id"]
+            for r in select_to_token_budget(
+                scored, budget_tokens=5000, tokens_col="n_tokens", by="source"
+            ).collect()
+        }
+        want = set()
+        for _, grp in pdf.groupby("source"):
+            grp = grp.sort_values(
+                ["quality_score", "doc_id"], ascending=[False, True]
+            )
+            total = 0
+            for _, r in grp.iterrows():
+                total += int(r["n_tokens"])
+                if total > 5000:
+                    break
+                want.add(r["doc_id"])
+        assert got == want
+
+    def test_keyless_matches_window_form(self, spark):
+        # the two-level distributed scan must equal a naive global
+        # window cumsum with the same ordering
+        from pyspark.sql import Window as W
+
+        from streamz_spark.operators.sampling import select_to_token_budget
+
+        scored = self._scored(spark)
+        got = {
+            r["doc_id"]
+            for r in select_to_token_budget(
+                scored, budget_tokens=20000, tokens_col="n_tokens"
+            ).collect()
+        }
+        w = (
+            W.orderBy(F.col("quality_score").desc(), F.col("doc_id").asc())
+            .rowsBetween(W.unboundedPreceding, W.currentRow)
+        )
+        want = {
+            r["doc_id"]
+            for r in scored.withColumn(
+                "__c", F.sum(F.col("n_tokens").cast("long")).over(w)
+            )
+            .where(F.col("__c") <= 20000)
+            .collect()
+        }
+        assert got == want
+
+    def test_keyless_no_single_partition_window(self, spark):
+        # plan contract: the keyless arm never sorts the corpus in one
+        # partition — no "Window" over an Exchange SinglePartition
+        from streamz_spark.operators.sampling import select_to_token_budget
+        from streamz_spark.plans import explain_string
+
+        plan = explain_string(
+            select_to_token_budget(
+                self._scored(spark), budget_tokens=20000, tokens_col="n_tokens"
+            )
+        )
+        import re
+
+        # any SinglePartition exchange feeding a data-row Window is the
+        # anti-pattern; the two-level scan's only single-partition step
+        # is over <= num_partitions SUMMARY rows (counts), identifiable
+        # by its tiny aggregate input — assert the corpus-row window
+        # partitions on __pid instead
+        assert "partitionBy=[__pid" in plan or "__pid" in plan, plan
+
+    def test_budget_validation(self, spark):
+        from streamz_spark.operators.sampling import select_to_token_budget
+
+        with pytest.raises(ValueError):
+            select_to_token_budget(
+                self._scored(spark), budget_tokens=-1, tokens_col="n_tokens"
+            )
