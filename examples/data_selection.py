@@ -53,6 +53,29 @@ def main(sf_dir: str = "/root/testdata/sf0.01"):
     sd = semdedup(emb, n_clusters=None, threshold=0.9)  # sqrt-sized cells
     print("SemDeDup kept:", sd.filter("keep").count(), "of", sd.count())
 
+    # rung 5: spend the final token budget best-first — keep each
+    # source's top slice, then fill a per-source token budget with the
+    # highest-quality prefix, and print the resulting data card
+    from streamz_spark.operators.sampling import (
+        select_to_token_budget,
+        select_top_quality,
+    )
+    from streamz_spark.operators.text import quality_features
+
+    scored = quality_features(docs, "text").select(
+        "doc_id", "source", "n_tokens", "quality_score"
+    )
+    pruned = select_top_quality(scored, frac=0.5, method="rank")
+    budgeted = select_to_token_budget(
+        pruned, budget_tokens=20_000, tokens_col="n_tokens", by="source"
+    )
+    spent = budgeted.groupBy("source").agg(
+        F.count(F.lit(1)).alias("docs"), F.sum("n_tokens").alias("tokens")
+    )
+    print("budgeted selection per source:")
+    for r in spent.orderBy("source").collect():
+        print(f"  {r['source']}: {r['docs']} docs, {r['tokens']} tokens")
+
     spark.stop()
 
 

@@ -26,6 +26,8 @@ __all__ = [
     "BPE_PRETOKEN_PATTERN",
     "bpe_token_count",
     "unigram_nll_quality",
+    "stupid_backoff_tables",
+    "stupid_backoff_score",
     "stupid_backoff_nll_quality",
     "nb_quality_classifier",
     "nb_quality_train",
@@ -570,22 +572,35 @@ def stupid_backoff_nll_quality(
     token. Output schema matches :func:`unigram_nll_quality`:
     ``(id_col, n_tokens, nll_mean, nll_mean_micro)``.
     """
-    from streamz_spark.io import ensure_scan_parallelism
-
-    if vocab_limit is not None and vocab_limit < 1:
-        raise ValueError("vocab_limit must be >= 1")
-    if bigram_limit is not None and bigram_limit < 1:
-        raise ValueError("bigram_limit must be >= 1")
-    if not (0.0 < alpha <= 1.0):
-        raise ValueError("alpha must be in (0, 1]")
     if lm_join not in ("auto", "broadcast", "shuffle"):
         raise ValueError(f"lm_join must be auto|broadcast|shuffle, got {lm_join!r}")
+    lm1, lm2, scalars, join1, join2 = stupid_backoff_tables(
+        df,
+        text_col=text_col,
+        vocab_limit=vocab_limit,
+        bigram_limit=bigram_limit,
+        lm_join=lm_join,
+        broadcast_limit=broadcast_limit,
+    )
+    return stupid_backoff_score(
+        df,
+        lm1,
+        lm2,
+        scalars,
+        id_col=id_col,
+        text_col=text_col,
+        alpha=alpha,
+        join1=join1,
+        join2=join2,
+    )
 
-    df = ensure_scan_parallelism(df)
-    # (prev, cur) per token, prev = NULL at position 0 — narrow: the
-    # pair comes from the token array itself (element_at is 1-based,
-    # posexplode's pos is 0-based, so element_at(arr, pos) IS arr[pos-1])
-    toks = (
+
+def _bigram_pairs(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """(id, prev, cur) per token, prev = NULL at position 0 — narrow:
+    the pair comes from the token array itself (element_at is 1-based,
+    posexplode's pos is 0-based, so element_at(arr, pos) IS arr[pos-1]).
+    Works on streaming frames (pure projections)."""
+    return (
         df.select(F.col(id_col).alias("id"), tokenize(text_col).alias("__arr"))
         .select("id", "__arr", F.posexplode("__arr").alias("pos", "cur"))
         .select(
@@ -596,10 +611,47 @@ def stupid_backoff_nll_quality(
             "cur",
         )
     )
+
+
+def stupid_backoff_tables(
+    df: DataFrame,
+    text_col: str = "text",
+    vocab_limit: int | None = None,
+    bigram_limit: int | None = None,
+    lm_join: str = "auto",
+    broadcast_limit: int = 2_000_000,
+):
+    """Train the stupid-backoff LM relations on ``df`` — returns
+    ``(lm1, lm2, scalars, join1, join2)``: the (capped) unigram table
+    ``(term, cnt)``, the (capped) bigram table ``(prev, cur, cnt2)``,
+    the one-row scalars ``(n_total, oov_cnt)``, and the dispatched
+    join mode per table. Train-once-score-elsewhere is CCNet's actual
+    deployment (the LM is trained on a reference corpus and scores the
+    crawl); :func:`stupid_backoff_score` applies these tables to any
+    corpus — batch or streaming (the tables are static relations, so
+    the scoring joins are stream-static)."""
+    from streamz_spark.io import ensure_scan_parallelism
+
+    if vocab_limit is not None and vocab_limit < 1:
+        raise ValueError("vocab_limit must be >= 1")
+    if bigram_limit is not None and bigram_limit < 1:
+        raise ValueError("bigram_limit must be >= 1")
+
+    df = ensure_scan_parallelism(df)
     # the ONE corpus-sized aggregate; bigram-TYPE-sized result feeds
     # the unigram re-aggregation and the top-B cut, so it runs once
+    pairs = (
+        df.select(tokenize(text_col).alias("__arr"))
+        .select("__arr", F.posexplode("__arr").alias("pos", "cur"))
+        .select(
+            F.when(F.col("pos") == 0, F.lit(None).cast("string"))
+            .otherwise(F.element_at("__arr", F.col("pos")))
+            .alias("prev"),
+            "cur",
+        )
+    )
     pc = (
-        toks.groupBy("prev", "cur")
+        pairs.groupBy("prev", "cur")
         .agg(F.count(F.lit(1)).alias("cnt2"))
         .localCheckpoint(eager=True)
     )
@@ -635,10 +687,32 @@ def stupid_backoff_nll_quality(
         join2 = "broadcast" if lm2_size <= broadcast_limit else "shuffle"
     else:
         join1 = join2 = lm_join
+    return lm1, lm2, scalars, join1, join2
+
+
+def stupid_backoff_score(
+    df: DataFrame,
+    lm1: DataFrame,
+    lm2: DataFrame,
+    scalars: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    alpha: float = 0.4,
+    join1: str = "broadcast",
+    join2: str = "broadcast",
+) -> DataFrame:
+    """Score ``df`` under trained stupid-backoff tables (see
+    :func:`stupid_backoff_tables`). Pure projections + LM joins + one
+    doc-key aggregate, so it runs unchanged on a STREAMING frame
+    (stream-static joins; use complete/update output for the per-doc
+    aggregate). Output schema matches :func:`unigram_nll_quality`."""
+    if not (0.0 < alpha <= 1.0):
+        raise ValueError("alpha must be in (0, 1]")
 
     def _hint(rel: DataFrame, mode: str) -> DataFrame:
         return F.broadcast(rel) if mode == "broadcast" else rel.hint("shuffle_hash")
 
+    toks = _bigram_pairs(df, id_col, text_col)
     c1 = _hint(lm1.select(F.col("term").alias("cur"), F.col("cnt").alias("cnt_cur")), join1)
     p1 = _hint(lm1.select(F.col("term").alias("prev"), F.col("cnt").alias("cnt_prev")), join1)
     l2 = _hint(lm2, join2)
@@ -650,11 +724,16 @@ def stupid_backoff_nll_quality(
         & F.col("cnt_cur").isNotNull()
     )
     backoff = F.when(F.col("prev").isNull(), F.lit(1.0)).otherwise(F.lit(alpha))
+    # constant-key equi-join for the one-row scalars (instead of a
+    # crossJoin) so the same scoring plan is legal on a STREAMING left
+    # side (stream-static equi-joins are supported; cross joins are not)
     scored = (
         toks.join(c1, "cur", "left")
         .join(p1, "prev", "left")
         .join(l2, ["prev", "cur"], "left")
-        .crossJoin(F.broadcast(scalars))
+        .withColumn("__k", F.lit(1))
+        .join(F.broadcast(scalars.withColumn("__k", F.lit(1))), "__k")
+        .drop("__k")
         .withColumn(
             "nll_micro",
             F.floor(

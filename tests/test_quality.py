@@ -443,3 +443,42 @@ class TestStupidBackoff:
             stupid_backoff_nll_quality(df, alpha=0.0)
         with pytest.raises(ValueError):
             stupid_backoff_nll_quality(df, lm_join="nope")
+
+
+class TestStupidBackoffProperty:
+    """Hypothesis: random small corpora over a tiny alphabet (high
+    collision pressure on bigrams and ties in both top-V cuts) must
+    match the pure-Python reference exactly — integer micro-nats make
+    the comparison exact, not tolerance-based."""
+
+    @staticmethod
+    def _assert_matches(spark, rows, vocab_limit, bigram_limit):
+        ref = TestStupidBackoff._reference(
+            rows, vocab_limit=vocab_limit, bigram_limit=bigram_limit
+        )
+        from streamz_spark.operators.text import stupid_backoff_nll_quality
+
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        got = {
+            r["doc_id"]: (r["n_tokens"], r["nll_mean_micro"])
+            for r in stupid_backoff_nll_quality(
+                df, vocab_limit=vocab_limit, bigram_limit=bigram_limit
+            ).collect()
+        }
+        assert got == ref
+
+    def test_random_corpora(self, spark):
+        from hypothesis import given, settings, strategies as st
+
+        words = st.sampled_from(["aa", "ab", "ba", "bb", "a", "b", "cc"])
+        doc = st.lists(words, min_size=0, max_size=12).map(" ".join)
+        corpus = st.lists(doc, min_size=1, max_size=8)
+        caps = st.sampled_from([(None, None), (3, 4), (5, None), (None, 2)])
+
+        @given(docs=corpus, cap=caps)
+        @settings(max_examples=15, deadline=None)
+        def run(docs, cap):
+            rows = [(i, t) for i, t in enumerate(docs)]
+            self._assert_matches(spark, rows, cap[0], cap[1])
+
+        run()

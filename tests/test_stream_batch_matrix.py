@@ -1124,6 +1124,40 @@ def _cell_topk_similarity_embeddings(spark):
 CELLS["topk_similarity/embeddings"] = _cell_topk_similarity_embeddings
 
 
+
+def _cell_stupid_backoff_documents(spark):
+    # CCNet deployment shape: the stupid-backoff LM is TRAINED on the
+    # static reference corpus, then SCORES the corpus replayed as a
+    # stream — every scoring join is stream-static (broadcast LM
+    # tables), the per-doc total is a complete-mode aggregate. Integer
+    # micro-nat floors make streaming == batch an exact integer
+    # comparison regardless of batching.
+    from streamz_spark.operators.text import (
+        stupid_backoff_nll_quality,
+        stupid_backoff_score,
+        stupid_backoff_tables,
+    )
+    from streamz_spark.streaming.sources import replay_table
+
+    docs = load_table(spark, SF_DIR, "documents")
+    want = stupid_backoff_nll_quality(
+        docs, vocab_limit=50, bigram_limit=500
+    ).toPandas()
+
+    lm1, lm2, scalars, j1, j2 = stupid_backoff_tables(
+        docs, vocab_limit=50, bigram_limit=500
+    )
+    stream = replay_table(spark, SF_DIR, "documents", chunk_col="doc_id")
+    got = sink_to_list(
+        stupid_backoff_score(stream, lm1, lm2, scalars, join1=j1, join2=j2),
+        output_mode="complete",
+    )[-1]
+    return got, want
+
+
+CELLS["stupid_backoff/documents"] = _cell_stupid_backoff_documents
+
+
 # parametrized LAST so late-registered cells are included
 @pytest.mark.parametrize("cell", sorted(CELLS))
 def test_stream_batch_cell(cell, spark):
