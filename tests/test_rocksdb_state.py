@@ -729,3 +729,60 @@ def test_streaming_semdedup_rocksdb_cross_batch_and_ttl(rocksdb, tmp_path):
     finally:
         q.stop()
     assert not rows, f"TTL-expired member must not pair: {rows}"
+
+
+def test_rocksdb_streaming_topk_similarity(rocksdb, tmp_path):
+    # streaming top-k ANN on the RocksDB provider: replay the
+    # embeddings table in chunks with an explicit checkpoint, assert
+    # the final per-query top-k equals the batch brute-force operator
+    # and that state stayed bounded (numRowsTotal == |queries| keys —
+    # one k-pair state row per query, corpus-size-independent)
+    from streamz_spark.io import load_table
+    from streamz_spark.operators.similarity import brute_force_topk
+    from streamz_spark.streaming.sources import replay_table
+    from streamz_spark.streaming.stateful import streaming_topk_similarity
+
+    from .conftest import SF_DIR
+
+    emb = load_table(rocksdb, SF_DIR, "embeddings")
+    queries = emb.where("vec_id < 5")
+    want = {
+        (r["qid"], r["cid"], r["rank"])
+        for r in brute_force_topk(emb, queries, k=3).collect()
+    }
+
+    stream = replay_table(rocksdb, SF_DIR, "embeddings", chunk_col="vec_id")
+    out = streaming_topk_similarity(stream, queries, k=3)
+    batches: list = []
+    ckpt = str(tmp_path / "ckpt")
+    q = (
+        out.writeStream.outputMode("update")
+        .option("checkpointLocation", ckpt)
+        .foreachBatch(lambda b, i: batches.append((i, b.collect())))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+
+    last: dict = {}
+    for i, rows in sorted(batches):
+        by_q: dict = {}
+        for r in rows:
+            by_q.setdefault(r["qid"], []).append(r)
+        for qid, rs in by_q.items():
+            last[qid] = rs
+    got = {
+        (r["qid"], r["cid"], r["rank"])
+        for rs in last.values()
+        if isinstance(rs, list)
+        for r in rs
+    }
+    assert got == want
+    # bounded state: one state row per query key
+    n_state = max(
+        int(p["stateOperators"][0]["numRowsTotal"])
+        for p in q.recentProgress
+        if p.get("stateOperators")
+    )
+    assert n_state == 5, n_state
+    _assert_rocksdb_artifacts(ckpt)
