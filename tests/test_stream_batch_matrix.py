@@ -1158,6 +1158,38 @@ def _cell_stupid_backoff_documents(spark):
 CELLS["stupid_backoff/documents"] = _cell_stupid_backoff_documents
 
 
+
+def _cell_media_features_documents(spark):
+    # multimodal Arrow-batched featurization AT INGEST: attach the
+    # binary media column, run the mapInPandas featurizer on the
+    # stream (stateless — append mode), fold the feature vector
+    # JVM-side. Batch and stream must agree bit-exactly (digest-derived
+    # features, left-to-right fold).
+    from streamz_spark.operators import multimodal as mm
+    from streamz_spark.streaming.sources import replay_table
+
+    proj = lambda df: mm.extract_features(
+        mm.attach_media(df, "text"), dim=8
+    ).select(
+        "doc_id",
+        F.aggregate("feature", F.lit(0.0), lambda a, x: a + x).alias(
+            "feature_sum"
+        ),
+        F.size("feature").alias("dim"),
+    )
+    got = pd.concat(
+        sink_to_list(
+            proj(replay_table(spark, SF_DIR, "documents", chunk_col="doc_id"))
+        ),
+        ignore_index=True,
+    )
+    want = proj(load_table(spark, SF_DIR, "documents")).toPandas()
+    return got, want
+
+
+CELLS["media_features/documents"] = _cell_media_features_documents
+
+
 # parametrized LAST so late-registered cells are included
 @pytest.mark.parametrize("cell", sorted(CELLS))
 def test_stream_batch_cell(cell, spark):
