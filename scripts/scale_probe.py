@@ -44,6 +44,14 @@ DEFAULT_QUERIES = [
     "dsir_importance_resample",
     "semdedup_embedding",
     "chunk_documents",
+    "dedup_paragraphs",
+    "temperature_mixture_resample",
+    "bpe_learned_tokenizer",
+    "stupid_backoff_nll",
+    "incremental_dedup_vs_index",
+    "corpus_data_card",
+    "select_top_quality_per_source",
+    "select_to_token_budget_per_source",
 ]
 
 
