@@ -26,6 +26,7 @@ __all__ = [
     "minhash_signatures",
     "minhash_lsh_candidates",
     "minhash_near_duplicates",
+    "dedup_index_artifacts",
     "incremental_dedup",
     "simhash",
     "md5_hash60",
@@ -579,15 +580,76 @@ def minhash_near_duplicates(
     )
 
 
-def incremental_dedup(
-    incoming: DataFrame,
+def _lsh_band_table(
+    sigs: DataFrame, bands: int, rows_per_band: int
+) -> DataFrame:
+    """(id, band, bhash) from (id, signature) — classic LSH banding."""
+    return sigs.select(
+        "id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.xxhash64(
+                            *[
+                                F.element_at(
+                                    "signature", b * rows_per_band + r + 1
+                                )
+                                for r in range(rows_per_band)
+                            ]
+                        ).alias("bhash"),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("bh"),
+    ).select("id", "bh.band", "bh.bhash")
+
+
+def dedup_index_artifacts(
     index: DataFrame,
     id_col: str = "doc_id",
     text_col: str = "text",
     num_perm: int = 64,
     k: int = 3,
     bands: int = 16,
+):
+    """Build the STORED index artifact for :func:`incremental_dedup`:
+    ``(fingerprints, shingles, band_table)`` — the three relations a
+    production deployment persists once (parquet, partitioned on the
+    join keys) and joins every incoming batch against, so the
+    per-batch cost is incoming-sized instead of index-sized.
+
+    * ``fingerprints``: 1-column normalized-md5 keys (``__fp``);
+    * ``shingles``: ``(id, sh)`` distinct word k-shingle sets (the
+      exact-Jaccard verify side);
+    * ``band_table``: ``(id, band, bhash)`` LSH band buckets of the
+      MinHash signatures.
+    """
+    from streamz_spark.io import ensure_scan_parallelism
+
+    index = ensure_scan_parallelism(index)
+    fp = index.select(fingerprint(text_col, "__fp"))
+    sh = index.select(
+        F.col(id_col).alias("id"), word_shingles(text_col, k).alias("sh")
+    ).filter(F.size("sh") > 0)
+    band_table = _lsh_band_table(
+        _minhash_signatures_from_shingles(sh, num_perm), bands, num_perm // bands
+    )
+    return fp, sh, band_table
+
+
+def incremental_dedup(
+    incoming: DataFrame,
+    index: DataFrame | None = None,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_perm: int = 64,
+    k: int = 3,
+    bands: int = 16,
     threshold: float = 0.5,
+    index_artifacts=None,
 ) -> DataFrame:
     """Deduplicate an ``incoming`` batch AGAINST a historical ``index``
     corpus — the daily-crawl production mode: the index is the 100 TB
@@ -611,57 +673,42 @@ def incremental_dedup(
        verified match ≥ ``threshold``.
 
     At 100 TB the index's banded signature table and shingle sets are
-    the stored index artifact (recomputing them per batch is the cost
-    of this lazy formulation — persist ``minhash_signatures`` +
-    banding output of the index once and the per-batch cost is
-    incoming-sized). Output recall follows the LSH banding exactly as
-    in :func:`minhash_near_duplicates`; the verify step makes every
+    the stored index artifact: build them ONCE with
+    :func:`dedup_index_artifacts` (persist as parquet, partitioned on
+    the join keys) and pass them as ``index_artifacts=(fp, shingles,
+    band_table)`` — then every batch's cost is incoming-sized. Passing
+    ``index`` instead derives the same artifacts lazily inside this
+    call (identical results, index-sized recompute per batch). Output
+    recall follows the LSH banding exactly as in
+    :func:`minhash_near_duplicates`; the verify step makes every
     emitted drop exact.
     """
     from streamz_spark.io import ensure_scan_parallelism
 
+    if (index is None) == (index_artifacts is None):
+        raise ValueError("pass exactly one of index or index_artifacts")
     rows_per_band = num_perm // bands
     incoming = ensure_scan_parallelism(incoming)
-    index = ensure_scan_parallelism(index)
+    if index_artifacts is not None:
+        idx_fp, sh_idx, band_idx = index_artifacts
+    else:
+        idx_fp, sh_idx, band_idx = dedup_index_artifacts(
+            index, id_col=id_col, text_col=text_col,
+            num_perm=num_perm, k=k, bands=bands,
+        )
+        sh_idx = sh_idx.persist()
 
     # exact screen: anti-join on the normalized fingerprint
-    idx_fp = index.select(fingerprint(text_col, "__fp"))
     inc_fp = incoming.withColumn("__fp", fingerprint(text_col, "__fp"))
     after_exact = inc_fp.join(idx_fp, "__fp", "left_anti").drop("__fp")
 
     # fuzzy screen: band join incoming x index, exact-Jaccard verify
-    def _shingles(df: DataFrame) -> DataFrame:
-        return df.select(
-            F.col(id_col).alias("id"), word_shingles(text_col, k).alias("sh")
-        ).filter(F.size("sh") > 0)
-
-    def _banded(sigs: DataFrame) -> DataFrame:
-        return sigs.select(
-            "id",
-            F.explode(
-                F.array(
-                    *[
-                        F.struct(
-                            F.lit(b).alias("band"),
-                            F.xxhash64(
-                                *[
-                                    F.element_at(
-                                        "signature", b * rows_per_band + r + 1
-                                    )
-                                    for r in range(rows_per_band)
-                                ]
-                            ).alias("bhash"),
-                        )
-                        for b in range(bands)
-                    ]
-                )
-            ).alias("bh"),
-        ).select("id", "bh.band", "bh.bhash")
-
-    sh_inc = _shingles(incoming).persist()
-    sh_idx = _shingles(index).persist()
-    band_inc = _banded(_minhash_signatures_from_shingles(sh_inc, num_perm))
-    band_idx = _banded(_minhash_signatures_from_shingles(sh_idx, num_perm))
+    sh_inc = incoming.select(
+        F.col(id_col).alias("id"), word_shingles(text_col, k).alias("sh")
+    ).filter(F.size("sh") > 0).persist()
+    band_inc = _lsh_band_table(
+        _minhash_signatures_from_shingles(sh_inc, num_perm), bands, rows_per_band
+    )
     cand = (
         band_inc.withColumnRenamed("id", "inc_id")
         .join(band_idx.withColumnRenamed("id", "idx_id"), ["band", "bhash"])

@@ -243,3 +243,40 @@ class TestIncrementalDedup:
         plan = explain_string(dd.incremental_dedup(incoming, index))
         assert "CartesianProduct" not in plan
         assert "BroadcastNestedLoopJoin" not in plan
+
+
+class TestIndexArtifacts:
+    def test_precomputed_artifacts_identical(self, spark, tmp_path):
+        # the production deployment: artifacts built once, persisted as
+        # parquet, reloaded, and joined against — kept-set must be
+        # identical to the lazy in-call derivation
+        docs = load_table(spark, SF_DIR, "documents")
+        inc = docs.where(F.col("doc_id") % 10 < 2)
+        idx = docs.where(F.col("doc_id") % 10 >= 2)
+
+        lazy = {
+            r.doc_id for r in dd.incremental_dedup(inc, idx).collect()
+        }
+
+        fp, sh, band = dd.dedup_index_artifacts(idx)
+        base = str(tmp_path / "index_artifacts")
+        fp.write.mode("overwrite").parquet(base + "/fp")
+        sh.write.mode("overwrite").parquet(base + "/sh")
+        band.write.mode("overwrite").parquet(base + "/band")
+        arts = (
+            spark.read.parquet(base + "/fp"),
+            spark.read.parquet(base + "/sh"),
+            spark.read.parquet(base + "/band"),
+        )
+        stored = {
+            r.doc_id
+            for r in dd.incremental_dedup(inc, index_artifacts=arts).collect()
+        }
+        assert stored == lazy
+
+    def test_requires_exactly_one_source(self, spark):
+        docs = load_table(spark, SF_DIR, "documents")
+        with pytest.raises(ValueError):
+            dd.incremental_dedup(docs)
+        with pytest.raises(ValueError):
+            dd.incremental_dedup(docs, docs, index_artifacts=(1, 2, 3))
