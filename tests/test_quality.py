@@ -482,3 +482,66 @@ class TestStupidBackoffProperty:
             self._assert_matches(spark, rows, cap[0], cap[1])
 
         run()
+
+
+class TestUnicodeNormalization:
+    CASES = [
+        (1, "café society"),            # composed é
+        (2, "café society"),           # decomposed e + combining acute
+        (3, "ﬁsh and chips"),           # fi ligature
+        (4, "ｆｕｌｌwidth"),  # fullwidth letters
+        (5, "plain ascii"),
+        (6, None),
+        (7, ""),
+    ]
+
+    def test_nfc_matches_python_and_duckdb(self, spark):
+        import unicodedata
+
+        import duckdb
+
+        from streamz_spark.operators.text import normalize_unicode
+
+        df = spark.createDataFrame(self.CASES, "doc_id long, text string")
+        got = {
+            r["doc_id"]: r["n"]
+            for r in df.select(
+                "doc_id", normalize_unicode("text", "NFC").alias("n")
+            ).collect()
+        }
+        for i, t in self.CASES:
+            want = unicodedata.normalize("NFC", t) if t is not None else None
+            assert got[i] == want, (i, got[i], want)
+            if t is not None:
+                d = duckdb.sql(
+                    "SELECT nfc_normalize(?)", params=[t]
+                ).fetchone()[0]
+                assert got[i] == d, (i, got[i], d)
+
+    def test_nfc_fingerprint_collapses_encodings(self, spark):
+        from streamz_spark.operators.text import fingerprint
+
+        df = spark.createDataFrame(self.CASES[:2], "doc_id long, text string")
+        raw = df.select(fingerprint("text", "fp")).distinct().count()
+        nfc = df.select(
+            fingerprint("text", "fp", unicode_form="NFC")
+        ).distinct().count()
+        # composed and decomposed é differ raw, collapse under NFC
+        assert raw == 2 and nfc == 1
+
+    def test_nfkc_collapses_compat_forms(self, spark):
+        from streamz_spark.operators.text import normalize_unicode
+
+        df = spark.createDataFrame(
+            [(1, "ﬁsh"), (2, "fish")], "doc_id long, text string"
+        )
+        out = df.select(
+            normalize_unicode("text", "NFKC").alias("n")
+        ).distinct().count()
+        assert out == 1
+
+    def test_rejects_bad_form(self, spark):
+        from streamz_spark.operators.text import normalize_unicode
+
+        with pytest.raises(ValueError):
+            normalize_unicode("text", "NFX")
