@@ -6,12 +6,18 @@ one per SURVEY.md §2 operator family. Everything here registers into
 a SEPARATE registry consumed by bench.py and tests only: importing
 this module never contaminates the driver's set.
 
-Contents: the distributed connected-components variant plus seven
-more TPC-H queries (q7/q8/q10/q13/q14/q17/q18 adapted to the testdata
-subset — no partsupp, no commit/receipt dates, 1995-2001 date range,
-synthetic NATION_N names). Each carries a DuckDB oracle checked by
+Contents (56 entries): the complete adapted TPC-H tail
+(q2/q4/q7-q22 — no partsupp, no commit/receipt dates, 1995-2001 date
+range, synthetic NATION_N names), the distributed
+connected-components variant, and the LLM-data operator families
+(windows/skew/array extras, ExactSubstr spans + removal, paragraph
+dedup, BM25/unigram-NLL/stupid-backoff LM scoring, DSIR, temperature
+mixing, BPE tokenizer, SemDeDup, quality pruning + token-budget
+selection, incremental dedup vs index, corpus data card, the composed
+pretraining pipeline). Each carries a DuckDB oracle checked by
 tests/test_extra_queries.py with the same rows+schema+hash comparison
-the driver applies to the main 50.
+the driver applies to the main 50 (declared-iterative entries are
+rows-only + determinism-barred).
 """
 
 from __future__ import annotations
