@@ -15,7 +15,56 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, functions as F
 
-__all__ = ["salted_agg", "salted_join"]
+__all__ = ["salted_agg", "salted_join", "skew_profile"]
+
+
+def skew_profile(
+    df: DataFrame,
+    key: "Column | str",
+    top: int = 20,
+) -> DataFrame:
+    """Key-skew diagnostic — the profile you run BEFORE deciding
+    whether a shuffle key needs :func:`salted_agg` / :func:`salted_join`
+    or AQE alone: the ``top`` hottest keys with their absolute count,
+    share of all rows (ppm, integer — engine-exact), and the running
+    cumulative share. A top key holding >1/shuffle-partitions of the
+    rows is the one AQE must split and a salt can spread.
+
+    One map-side-combinable groupBy on the key; the top-N cut is a
+    bounded TakeOrdered (count desc, key asc — deterministic); the
+    total joins back as a broadcast scalar. Output:
+    ``(key, n_rows, share_ppm, cum_share_ppm, rank)``.
+    """
+    if top < 1:
+        raise ValueError("top must be >= 1")
+    k = F.col(key) if isinstance(key, str) else key
+    counts = df.groupBy(k.alias("key")).agg(F.count(F.lit(1)).alias("n_rows"))
+    total = counts.agg(F.sum("n_rows").alias("__total"))
+    hot = counts.orderBy(F.col("n_rows").desc(), F.col("key").asc()).limit(top)
+    from pyspark.sql import Window as W
+
+    w = W.orderBy(F.col("n_rows").desc(), F.col("key").asc()).rowsBetween(
+        W.unboundedPreceding, W.currentRow
+    )
+    return (
+        hot.withColumn("__k", F.lit(1))
+        .join(F.broadcast(total.withColumn("__k", F.lit(1))), "__k")
+        .drop("__k")
+        # the windows below run over <= top rows — never corpus rows;
+        # all shares are INTEGER divisions (ppm), engine-exact
+        .withColumn("__cum_rows", F.sum("n_rows").over(w))
+        .select(
+            "key",
+            "n_rows",
+            F.expr("n_rows * 1000000 div __total").cast("long").alias("share_ppm"),
+            F.expr("__cum_rows * 1000000 div __total")
+            .cast("long")
+            .alias("cum_share_ppm"),
+            F.row_number()
+            .over(W.orderBy(F.col("n_rows").desc(), F.col("key").asc()))
+            .alias("rank"),
+        )
+    )
 
 
 def salted_agg(

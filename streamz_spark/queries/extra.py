@@ -3241,3 +3241,41 @@ def select_to_token_budget_per_source(spark, sf_dir):
     return select_to_token_budget(
         scored, budget_tokens=5000, tokens_col="n_tokens", by="source"
     )
+
+
+@register_extra(
+    "skew_profile_events",
+    oracle="""
+        WITH counts AS (
+            SELECT user_id AS key, COUNT(*) AS n_rows
+            FROM events GROUP BY 1
+        ),
+        tot AS (SELECT SUM(n_rows) AS total FROM counts),
+        hot AS (
+            SELECT key, n_rows FROM counts
+            ORDER BY n_rows DESC, key ASC LIMIT 20
+        )
+        SELECT key,
+               CAST(n_rows AS BIGINT) AS n_rows,
+               CAST((n_rows * 1000000) // t.total AS BIGINT) AS share_ppm,
+               CAST((SUM(n_rows) OVER (ORDER BY n_rows DESC, key ASC
+                     ROWS UNBOUNDED PRECEDING) * 1000000) // t.total
+                    AS BIGINT) AS cum_share_ppm,
+               CAST(ROW_NUMBER() OVER (ORDER BY n_rows DESC, key ASC)
+                    AS INT) AS rank
+        FROM hot CROSS JOIN tot t
+    """,
+    doc="key-skew diagnostic on the shuffle key you are about to "
+        "groupBy/join on: the 20 hottest keys with absolute count, "
+        "integer-ppm share and cumulative share (deterministic "
+        "tie-break). One map-side-combinable key groupBy + bounded "
+        "TakeOrdered + broadcast total; the ranking windows touch "
+        "<= top rows, never corpus rows. The decision input for "
+        "salted_agg/salted_join vs AQE-only.",
+)
+def skew_profile_events(spark, sf_dir):
+    from streamz_spark.io import ensure_scan_parallelism
+    from streamz_spark.operators.skew import skew_profile
+
+    events = ensure_scan_parallelism(load_table(spark, sf_dir, "events"))
+    return skew_profile(events, "user_id", top=20)

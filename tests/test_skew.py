@@ -33,3 +33,30 @@ def test_salted_join_matches_plain(spark):
     got = salted_join(orders, cust, "o_custkey").count()
     want = orders.join(cust, "o_custkey").count()
     assert got == want
+
+
+class TestSkewProfile:
+    def test_planted_hot_key(self, spark):
+        from streamz_spark.operators.skew import skew_profile
+
+        rows = [(i, "hot") for i in range(800)] + [
+            (1000 + i, f"k{i % 40}") for i in range(200)
+        ]
+        df = spark.createDataFrame(rows, "row_id long, k string")
+        prof = skew_profile(df, "k", top=5).collect()
+        assert prof[0]["key"] == "hot"
+        assert prof[0]["n_rows"] == 800
+        assert prof[0]["share_ppm"] == 800_000
+        assert prof[0]["rank"] == 1
+        # cumulative share is monotone and ends <= 1_000_000
+        cums = [r["cum_share_ppm"] for r in prof]
+        assert cums == sorted(cums) and cums[-1] <= 1_000_000
+
+    def test_validation(self, spark):
+        import pytest
+
+        from streamz_spark.operators.skew import skew_profile
+
+        df = spark.createDataFrame([(1, "a")], "row_id long, k string")
+        with pytest.raises(ValueError):
+            skew_profile(df, "k", top=0)
