@@ -22,7 +22,47 @@ __all__ = [
     "deterministic_shuffle",
     "pack_sequences",
     "chunk_documents",
+    "corpus_diff",
 ]
+
+
+def corpus_diff(
+    old: "DataFrame",
+    new: "DataFrame",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> "DataFrame":
+    """Version diff between two corpus snapshots — the audit a team
+    runs when a dataset release changes: per document id, whether it
+    was ``added`` (only in new), ``removed`` (only in old),
+    ``changed`` (present in both, normalized fingerprint differs) or
+    ``unchanged``. Output: ``(id_col, status, fp_old, fp_new)``.
+
+    One full-outer join on the id key — both sides reduced to
+    (id, fingerprint) 2-column projections first, so the shuffle moves
+    32-byte digests, not document bodies. Deterministic end to end
+    (md5 fingerprints), so the whole diff is SQL-oracle-checkable.
+    Pair with a ``status <> 'unchanged'`` filter + broadcast of the
+    (usually tiny) changed-id set to pull full rows for inspection
+    without ever shuffling text.
+    """
+    from streamz_spark.operators.text import fingerprint
+
+    o = old.select(F.col(id_col).alias("id"), fingerprint(text_col, "fp_old"))
+    n = new.select(F.col(id_col).alias("id"), fingerprint(text_col, "fp_new"))
+    return (
+        o.join(n, "id", "full_outer")
+        .select(
+            F.col("id").alias(id_col),
+            F.when(F.col("fp_old").isNull(), F.lit("added"))
+            .when(F.col("fp_new").isNull(), F.lit("removed"))
+            .when(F.col("fp_old") == F.col("fp_new"), F.lit("unchanged"))
+            .otherwise(F.lit("changed"))
+            .alias("status"),
+            "fp_old",
+            "fp_new",
+        )
+    )
 
 
 def deterministic_shuffle(

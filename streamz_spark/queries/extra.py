@@ -3279,3 +3279,54 @@ def skew_profile_events(spark, sf_dir):
 
     events = ensure_scan_parallelism(load_table(spark, sf_dir, "events"))
     return skew_profile(events, "user_id", top=20)
+
+
+@register_extra(
+    "corpus_diff_versions",
+    # v_old = docs with doc_id % 7 != 0, and docs with doc_id % 11 == 0
+    # get '[OLD] ' prepended (simulated prior revision); v_new = the
+    # table as-is. Diff: %7==0 -> added, %11==0 -> changed (unless also
+    # %7==0), rest unchanged; nothing removed in this construction.
+    oracle="""
+        WITH v_old AS (
+            SELECT doc_id,
+                   CASE WHEN doc_id % 11 = 0 THEN '[OLD] ' || text
+                        ELSE text END AS text
+            FROM documents WHERE doc_id % 7 <> 0
+        ),
+        o AS (
+            SELECT doc_id AS id,
+                   md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fp_old
+            FROM v_old
+        ),
+        n AS (
+            SELECT doc_id AS id,
+                   md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fp_new
+            FROM documents
+        )
+        SELECT COALESCE(o.id, n.id) AS doc_id,
+               CASE WHEN fp_old IS NULL THEN 'added'
+                    WHEN fp_new IS NULL THEN 'removed'
+                    WHEN fp_old = fp_new THEN 'unchanged'
+                    ELSE 'changed' END AS status,
+               fp_old, fp_new
+        FROM o FULL OUTER JOIN n ON o.id = n.id
+    """,
+    doc="dataset-release audit: full-outer join of two snapshot "
+        "fingerprint projections (32-byte digests shuffle, never "
+        "document bodies) classifying every doc_id as added/removed/"
+        "changed/unchanged; md5 fingerprints keep the whole diff "
+        "SQL-reproducible",
+)
+def corpus_diff_versions(spark, sf_dir):
+    from streamz_spark.io import ensure_scan_parallelism
+    from streamz_spark.operators.export import corpus_diff
+
+    docs = ensure_scan_parallelism(load_table(spark, sf_dir, "documents"))
+    v_old = docs.where(F.col("doc_id") % 7 != 0).withColumn(
+        "text",
+        F.when(
+            F.col("doc_id") % 11 == 0, F.concat(F.lit("[OLD] "), F.col("text"))
+        ).otherwise(F.col("text")),
+    )
+    return corpus_diff(v_old, docs)

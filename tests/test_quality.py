@@ -545,3 +545,20 @@ class TestUnicodeNormalization:
 
         with pytest.raises(ValueError):
             normalize_unicode("text", "NFX")
+
+
+class TestCorpusDiff:
+    def test_all_four_statuses(self, spark):
+        from streamz_spark.operators.export import corpus_diff
+
+        old = spark.createDataFrame(
+            [(1, "same text"), (2, "will change"), (3, "will be removed")],
+            "doc_id long, text string",
+        )
+        new = spark.createDataFrame(
+            [(1, "  SAME   text "), (2, "changed text"), (4, "brand new")],
+            "doc_id long, text string",
+        )
+        got = {r["doc_id"]: r["status"] for r in corpus_diff(old, new).collect()}
+        # id 1: whitespace/case normalize -> unchanged
+        assert got == {1: "unchanged", 2: "changed", 3: "removed", 4: "added"}
