@@ -129,3 +129,58 @@ def test_custom_stateful_op_resumes_from_checkpoint(spark):
 
     shutil.rmtree(src_dir, ignore_errors=True)
     shutil.rmtree(ckpt, ignore_errors=True)
+
+
+def test_streaming_topk_resumes_from_checkpoint(spark):
+    # kill the top-k similarity stream mid-corpus, restart from the
+    # same checkpoint with the rest of the vectors: the resumed state
+    # must carry the phase-1 top-k forward so the final answer equals
+    # the batch brute-force operator over the WHOLE corpus
+    from streamz_spark.operators.similarity import brute_force_topk
+    from streamz_spark.streaming.stateful import streaming_topk_similarity
+
+    emb = load_table(spark, SF_DIR, "embeddings")
+    queries = emb.where("vec_id < 3")
+    want = {
+        (r["qid"], r["cid"], r["rank"])
+        for r in brute_force_topk(emb, queries, k=3).collect()
+    }
+
+    src_dir = tempfile.mkdtemp(prefix="topk_src_")
+    ckpt = tempfile.mkdtemp(prefix="topk_ckpt_")
+    rows: list = []
+
+    first = emb.filter(F.col("vec_id") % 2 == 0)
+    second = emb.filter(F.col("vec_id") % 2 == 1)
+    first.write.mode("overwrite").parquet(os.path.join(src_dir, "chunk=0"))
+
+    def run_query():
+        src = (
+            spark.readStream.schema(emb.schema)
+            .option("pathGlobFilter", "*.parquet")
+            .parquet(os.path.join(src_dir, "chunk=*"))
+        )
+        out = streaming_topk_similarity(src, queries, k=3)
+        q = (
+            out.writeStream.outputMode("update")
+            .foreachBatch(lambda b, i: rows.append(b.collect()))
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(180)
+
+    run_query()
+    second.write.mode("overwrite").parquet(os.path.join(src_dir, "chunk=1"))
+    run_query()
+
+    last: dict = {}
+    for batch in rows:
+        by_q: dict = {}
+        for r in batch:
+            by_q.setdefault(r["qid"], []).append(r)
+        last.update(by_q)
+    got = {
+        (r["qid"], r["cid"], r["rank"]) for rs in last.values() for r in rs
+    }
+    assert got == want
