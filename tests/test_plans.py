@@ -565,3 +565,30 @@ def test_corpus_data_card_plan_shape(spark):
     assert "partial_" in plan
     n_ex = plan.count("Exchange hashpartitioning")
     assert n_ex <= 4, n_ex
+
+
+def test_corpus_diff_plan_shape(spark):
+    # the diff shuffles 32-byte digests, not bodies: both scans must
+    # prune to (doc_id, text) — lang/source/n_chars never read — and
+    # the only join is the id-key full-outer (no cartesian)
+    from streamz_spark.plans import explain_string, read_schema_columns
+
+    df = q("corpus_diff_versions", spark)
+    plan = explain_string(df)
+    assert "CartesianProduct" not in plan
+    cols = set(read_schema_columns(df))
+    assert "lang" not in cols and "n_chars" not in cols, cols
+
+
+def test_skew_profile_plan_shape(spark):
+    # one map-side-combinable key groupBy, bounded TakeOrdered top-N,
+    # broadcast total — no sort-merge, no cartesian, <= 2 exchanges
+    from streamz_spark.plans import explain_string
+
+    plan = explain_string(q("skew_profile_events", spark))
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert "partial_" in plan
+    assert "TakeOrderedAndProject" in plan
+    n_ex = plan.count("Exchange hashpartitioning")
+    assert n_ex <= 2, n_ex
