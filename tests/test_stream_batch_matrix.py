@@ -1190,6 +1190,80 @@ def _cell_media_features_documents(spark):
 CELLS["media_features/documents"] = _cell_media_features_documents
 
 
+
+def _cell_dedup_paragraphs_documents(spark):
+    # ingest-time paragraph dedup: paragraphs explode narrowly on the
+    # stream, keyed state on the paragraph fingerprint implements the
+    # corpus-wide FIRST-occurrence rule (arrival order = doc_id order
+    # via contiguous-range replay; within a batch the state fn sorts by
+    # (doc_id, pidx)). Reassembled per-doc output must equal the batch
+    # operator row for row.
+    from streamz_spark.operators.dedup import dedup_paragraphs
+    from streamz_spark.operators.text import fingerprint, tokenize
+    from streamz_spark.streaming.stateful import accumulate
+
+    WINDOW = 20
+    docs = load_table(spark, SF_DIR, "documents")
+    want = dedup_paragraphs(docs, window=WINDOW).toPandas()
+
+    stream = _replay_ordered(spark, "documents", "doc_id")
+    toks = tokenize("text")
+    paras = F.when(
+        F.size(toks) > 0,
+        F.transform(
+            F.sequence(F.lit(0), F.size(toks) - 1, F.lit(WINDOW)),
+            lambda s: F.array_join(F.slice(toks, s + 1, WINDOW), " "),
+        ),
+    )
+    ex = stream.select(
+        "doc_id", F.posexplode(paras).alias("pidx", "ptext")
+    ).withColumn("fp", fingerprint("ptext", "fp"))
+
+    def step(state, pdf):
+        seen = bool(state[0]) if state else False
+        pdf = pdf.sort_values(["doc_id", "pidx"])
+        kept = []
+        for _ in range(len(pdf)):
+            kept.append(not seen)
+            seen = True
+        out = pdf.assign(kept=kept)[["doc_id", "pidx", "ptext", "kept"]]
+        return (True,), out
+
+    emitted = sink_to_list(
+        accumulate(
+            ex.select("fp", "doc_id", "pidx", "ptext"),
+            ["fp"],
+            step,
+            state_schema="seen boolean",
+            output_schema="doc_id long, pidx int, ptext string, kept boolean",
+            output_mode="append",
+        ),
+        output_mode="append",
+    )
+    allp = pd.concat([b for b in emitted if len(b)], ignore_index=True)
+    got = (
+        allp.sort_values(["doc_id", "pidx"])
+        .groupby("doc_id")
+        .apply(
+            lambda g: pd.Series(
+                {
+                    "text_deduped": " ".join(g[g["kept"]]["ptext"]),
+                    "n_paras": len(g),
+                    "n_paras_dropped": int((~g["kept"]).sum()),
+                }
+            ),
+            include_groups=False,
+        )
+        .reset_index()
+    )
+    got["n_paras"] = got["n_paras"].astype("int64")
+    got["n_paras_dropped"] = got["n_paras_dropped"].astype("int64")
+    return got, want
+
+
+CELLS["dedup_paragraphs/documents"] = _cell_dedup_paragraphs_documents
+
+
 # parametrized LAST so late-registered cells are included
 @pytest.mark.parametrize("cell", sorted(CELLS))
 def test_stream_batch_cell(cell, spark):
