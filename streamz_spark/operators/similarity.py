@@ -16,7 +16,14 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, Window as W, functions as F
 
-__all__ = ["with_norm", "cosine_expr", "brute_force_topk", "hyperplane_lsh_ann"]
+__all__ = [
+    "with_norm",
+    "cosine_expr",
+    "brute_force_topk",
+    "hyperplane_lsh_ann",
+    "ivf_ann",
+    "pq_ann",
+]
 
 
 def with_norm(df: DataFrame, vec_col: str = "v", norm_col: str = "norm") -> DataFrame:
@@ -403,3 +410,182 @@ def hyperplane_lsh_ann(
     ).select("qid", "cid", "cosine")
     w = W.partitionBy("qid").orderBy(F.col("cosine").desc(), F.col("cid").asc())
     return cand.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+
+
+def pq_ann(
+    corpus: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    m: int = 4,
+    ks: int = 16,
+    rerank: int = 30,
+    query_limit: int = 20,
+    seed: int = 42,
+    codebooks: str = "seed",
+) -> DataFrame:
+    """Product-quantization ANN (Jégou et al. 2011): split each vector
+    into ``m`` subspaces, quantize each sub-vector to one of ``ks``
+    codewords, score candidates by asymmetric distance (ADC — the
+    query stays full-precision, the corpus is looked up through its
+    codes), then exact-cosine re-rank the top ``rerank`` candidates.
+
+    This is the memory arm of the ANN family: IVF (`ivf_ann`) bounds
+    the *candidate count*, PQ bounds the *bytes per candidate* — an
+    ``m``-byte code replaces the full vector in the scan, so at the
+    100 TB target the ADC pass moves ``m + 8`` bytes per corpus row
+    instead of ``8·dim`` (a 64-d float64 corpus shrinks 128×; FAISS's
+    IVFADC composes both, and the two operators here compose the same
+    way: run `ivf_ann`'s cell assignment first, then this scan inside
+    probed cells). Encoding is a NARROW projection (argmin over the
+    packed broadcast codebook inside one expression — no shuffle, no
+    UDF); the only exchange is the rerank-candidate window, which sees
+    ``(qid, cid, adc)`` triples, never vectors. Full vectors are
+    touched again only for the ``queries × rerank`` winners.
+
+    ``codebooks="seed"`` uses the ``ks`` lowest-id corpus vectors'
+    sub-vectors as codewords — every stage (encode, ADC, re-rank)
+    reproduces in plain SQL, so the whole index is oracle-checkable
+    (same bar as `ivf_ann(centroids="seed")` / the Rademacher LSH).
+    ``codebooks="kmeans"`` trains one KMeans per subspace on a bounded
+    sample (the production default; recall-tested in
+    tests/test_dedup.py). Determinism: every fold is sequential
+    left-to-right (= SQL order), ADC adds the m partial distances in
+    explicit subspace order, ties break on lowest codeword / lowest
+    candidate id.
+
+    No reference equivalent (streamz has no vector search); the
+    capability-superset entry alongside brute/LSH/IVF.
+    """
+    spark = corpus.sparkSession
+    from streamz_spark.io import ensure_scan_parallelism
+
+    corpus = ensure_scan_parallelism(corpus)
+    v = with_norm(
+        corpus.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v")), "v", "norm"
+    )
+    dim = len(corpus.select(vec_col).first()[0])
+    if dim % m:
+        raise ValueError(f"dim {dim} not divisible by m={m} subspaces")
+    dsub = dim // m
+
+    if codebooks == "seed":
+        seed_rows = v.orderBy("id").limit(ks).select("v").collect()
+        cw = [
+            [[float(x) for x in r["v"][s * dsub:(s + 1) * dsub]] for r in seed_rows]
+            for s in range(m)
+        ]
+    elif codebooks == "kmeans":
+        from pyspark.ml.clustering import KMeans
+        from pyspark.ml.functions import array_to_vector
+
+        max_train = 100_000
+        n = v.count()
+        train_src = (
+            v.sample(fraction=min(1.0, max_train / n), seed=seed) if n > max_train else v
+        )
+        train_src = train_src.select(
+            *[F.slice("v", s * dsub + 1, dsub).alias(f"s{s}") for s in range(m)]
+        ).persist()
+        cw = []
+        for s in range(m):
+            train = train_src.select(array_to_vector(F.col(f"s{s}")).alias("features"))
+            model = KMeans(k=ks, seed=seed + s, maxIter=10).fit(train)
+            cw.append([[float(x) for x in c] for c in model.clusterCenters()])
+        train_src.unpersist()
+    else:
+        raise ValueError(f"unknown codebooks mode: {codebooks!r}")
+
+    # all m*ks codewords ride in ONE broadcast row, (s, j) ascending —
+    # encoding and query-table construction are then narrow projections
+    packed = F.broadcast(
+        spark.createDataFrame(
+            [([(s, j, cw[s][j]) for s in range(m) for j in range(ks)],)],
+            "cbs array<struct<s:int,j:int,cw:array<double>>>",
+        )
+    )
+
+    def _sub_d2(s: int, c):
+        # sequential fold == SQL order (see paired_cosine)
+        return F.aggregate(
+            F.zip_with(
+                F.slice(F.col("v"), s * dsub + 1, dsub),
+                c["cw"],
+                lambda x, y: (x - y) * (x - y),
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+
+    def _code(s: int):
+        # argmin_j d2: struct sort on (d2, j) — ties to lowest codeword
+        scored = F.array_sort(
+            F.transform(
+                F.filter(F.col("cbs"), lambda c: c["s"] == F.lit(s)),
+                lambda c: F.struct(_sub_d2(s, c).alias("d2"), c["j"].alias("j")),
+            )
+        )
+        return F.element_at(scored, 1)["j"]
+
+    codes = (
+        v.crossJoin(packed)
+        .select(
+            F.col("id").alias("cid"),
+            F.array(*[_code(s) for s in range(m)]).alias("codes"),
+        )
+    )
+
+    # per-query distance table: qdt[s][j] = d2(q_sub_s, cw[s,j]);
+    # F.filter preserves the packed (s, j) order, so qdt[s] is j-asc
+    def _qdt_s(s: int):
+        # nested closures, NOT default-arg lambdas: pyspark counts a
+        # `lambda c, s=s` as a two-arg (element, index) lambda and
+        # binds s to the array index
+        return F.transform(
+            F.filter(F.col("cbs"), lambda c: c["s"] == F.lit(s)),
+            lambda c: _sub_d2(s, c),
+        )
+
+    qdt = F.array(*[_qdt_s(s) for s in range(m)])
+    q = (
+        v.filter(F.col("id") < query_limit)
+        .crossJoin(packed)
+        .select(F.col("id").alias("qid"), qdt.alias("qdt"))
+    )
+
+    # ADC: explicit subspace-order addition (deterministic, = oracle's
+    # pivoted t0+t1+...); rows are (qid, cid, adc) triples — no vectors
+    adc = F.element_at(F.element_at("qdt", 1), F.element_at("codes", 1) + 1)
+    for s in range(1, m):
+        adc = adc + F.element_at(
+            F.element_at("qdt", s + 1), F.element_at("codes", s + 1) + 1
+        )
+    cand = (
+        codes.crossJoin(F.broadcast(q))
+        .filter(F.col("cid") != F.col("qid"))
+        .select("qid", "cid", adc.alias("adc_d2"))
+    )
+    wa = W.partitionBy("qid").orderBy(F.col("adc_d2").asc(), F.col("cid").asc())
+    shortlist = (
+        cand.withColumn("arnk", F.row_number().over(wa))
+        .filter(F.col("arnk") <= rerank)
+        .select("qid", "cid")
+    )
+
+    # exact re-rank: only queries × rerank rows ever touch full vectors
+    qa = v.filter(F.col("id") < query_limit).select(
+        F.col("id").alias("qid"), F.col("v").alias("qv"), F.col("norm").alias("qn")
+    )
+    ca = v.select(F.col("id").alias("cid"), F.col("v").alias("cv"), F.col("norm").alias("cn"))
+    scored = (
+        F.broadcast(shortlist)
+        .join(qa, "qid")
+        .join(ca, "cid")
+        .select("qid", "cid", cosine_expr("qv", "cv", "qn", "cn").alias("cosine"))
+    )
+    wr = W.partitionBy("qid").orderBy(F.col("cosine").desc(), F.col("cid").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(wr))
+        .filter(F.col("rank") <= k)
+        .select("qid", "cid", "cosine", "rank")
+    )

@@ -487,6 +487,35 @@ def unigram_nll_quality(
     is a map-side-combinable groupBy on the doc key — no window sort,
     no corpus sort-merge, exchanges bounded at three.
     """
+    lm, scalars, join = unigram_lm_tables(
+        df,
+        text_col=text_col,
+        id_col=id_col,
+        vocab_limit=vocab_limit,
+        lm_join=lm_join,
+        broadcast_limit=broadcast_limit,
+    )
+    return unigram_nll_score(
+        df, lm, scalars, id_col=id_col, text_col=text_col, join=join
+    )
+
+
+def unigram_lm_tables(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    vocab_limit: int | None = None,
+    lm_join: str = "auto",
+    broadcast_limit: int = 2_000_000,
+):
+    """Train the unigram LM relations on ``df`` — returns
+    ``(lm, scalars, join)``: the (capped) term table ``(term, cnt)``,
+    the one-row scalars ``(n_total, oov_cnt)``, and the dispatched
+    join mode. Train-once-score-elsewhere is CCNet's deployment shape
+    (the LM trains on a reference corpus and scores the crawl);
+    :func:`unigram_nll_score` applies the tables to any corpus —
+    batch or streaming. Same split as :func:`stupid_backoff_tables`.
+    """
     from streamz_spark.io import ensure_scan_parallelism
 
     if vocab_limit is not None and vocab_limit < 1:
@@ -495,10 +524,7 @@ def unigram_nll_quality(
         raise ValueError(f"lm_join must be auto|broadcast|shuffle, got {lm_join!r}")
 
     df = ensure_scan_parallelism(df)
-    toks = df.select(
-        F.col(id_col).alias("id"),
-        F.explode(tokenize(text_col)).alias("term"),
-    )
+    toks = df.select(F.explode(tokenize(text_col)).alias("term"))
     # vocab-sized relation feeding 2-3 consumers (total, topV cut,
     # join) — localCheckpoint so the corpus aggregate runs exactly once
     freq = (
@@ -522,11 +548,37 @@ def unigram_nll_quality(
     if lm_join == "auto":
         lm_size = vocab_limit if vocab_limit is not None else freq.count()
         lm_join = "broadcast" if lm_size <= broadcast_limit else "shuffle"
-    lm_rel = F.broadcast(lm) if lm_join == "broadcast" else lm.hint("shuffle_hash")
+    return lm, scalars, lm_join
 
+
+def unigram_nll_score(
+    df: DataFrame,
+    lm: DataFrame,
+    scalars: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    join: str = "broadcast",
+) -> DataFrame:
+    """Score ``df`` under a trained unigram LM (see
+    :func:`unigram_lm_tables`). Pure projections + one LM join + one
+    doc-key aggregate, so it runs unchanged on a STREAMING frame
+    (stream-static joins; complete/update output for the per-doc
+    aggregate). The scalars attach via a constant-key equi-join (not a
+    crossJoin) so the plan is stream-legal."""
+    from streamz_spark.io import ensure_scan_parallelism
+
+    if not df.isStreaming:
+        df = ensure_scan_parallelism(df)
+    toks = df.select(
+        F.col(id_col).alias("id"),
+        F.explode(tokenize(text_col)).alias("term"),
+    )
+    lm_rel = F.broadcast(lm) if join == "broadcast" else lm.hint("shuffle_hash")
     scored = (
         toks.join(lm_rel, "term", "left")
-        .crossJoin(F.broadcast(scalars))
+        .withColumn("__k", F.lit(1))
+        .join(F.broadcast(scalars.withColumn("__k", F.lit(1))), "__k")
+        .drop("__k")
         .withColumn(
             "nll_micro",
             F.floor(
@@ -988,4 +1040,74 @@ def nb_quality_apply(
         ((F.col("llr_sum_micro") + F.col("prior_micro")).cast("double")
          / F.lit(1000000.0)).alias("score"),
         ((F.col("llr_sum_micro") + F.col("prior_micro")) > 0).alias("pred"),
+    )
+
+
+def perplexity_buckets(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    lang_col: str = "lang",
+    vocab_limit: int | None = None,
+    lm_join: str = "auto",
+    broadcast_limit: int = 2_000_000,
+) -> DataFrame:
+    """CCNet's head/middle/tail split: bucket documents by LM quality
+    score into per-language terciles and keep head+middle (CCNet §4.3
+    trains on the lower-perplexity two-thirds; the tail is where
+    boilerplate and gibberish concentrate).
+
+    Scoring is :func:`unigram_nll_quality` (same vocab cap, same LM
+    join dispatch, same integer micro-nat determinism). The tercile
+    cuts are **value cuts, not rank cuts**: one tiny per-language
+    aggregate computes the exact 1/3 and 2/3 percentiles of
+    ``nll_mean_micro`` (floored to integers so both engines classify
+    identically), then every doc classifies by comparison against the
+    broadcast cut table. That is the CCNet shape — they derive fixed
+    perplexity thresholds from a sample, then stream-classify — and
+    the 100 TB shape: NO per-language global sort, no ntile window
+    over the corpus; the only corpus-wide exchanges are the NLL
+    operator's own (LM groupBy + doc groupBy) plus one doc-key join
+    to re-attach the language column. At scale swap the exact
+    percentile for ``percentile_approx`` (mergeable KLL) — kept exact
+    here for oracle reproducibility, same trade documented in
+    sampling.top_fraction_by_group.
+
+    Docs with zero tokens never score (no toks rows -> no NLL row) and
+    are absent from the output, matching the oracle.
+
+    Output: ``(id_col, lang, n_tokens, nll_mean_micro, bucket, kept)``
+    where bucket ∈ head|middle|tail and kept = bucket != tail.
+    """
+    scores = unigram_nll_quality(
+        df.select(id_col, text_col),
+        id_col=id_col,
+        text_col=text_col,
+        vocab_limit=vocab_limit,
+        lm_join=lm_join,
+        broadcast_limit=broadcast_limit,
+    )
+    langs = df.select(F.col(id_col), F.col(lang_col).alias("lang"))
+    wl = scores.join(langs, id_col)
+    cuts = wl.groupBy("lang").agg(
+        F.floor(F.percentile("nll_mean_micro", F.lit(1.0 / 3.0)))
+        .cast("long")
+        .alias("p33"),
+        F.floor(F.percentile("nll_mean_micro", F.lit(2.0 / 3.0)))
+        .cast("long")
+        .alias("p66"),
+    )
+    out = wl.join(F.broadcast(cuts), "lang")
+    bucket = (
+        F.when(F.col("nll_mean_micro") <= F.col("p33"), F.lit("head"))
+        .when(F.col("nll_mean_micro") <= F.col("p66"), F.lit("middle"))
+        .otherwise(F.lit("tail"))
+    )
+    return out.select(
+        F.col(id_col),
+        "lang",
+        "n_tokens",
+        "nll_mean_micro",
+        bucket.alias("bucket"),
+        (F.col("nll_mean_micro") <= F.col("p66")).alias("kept"),
     )

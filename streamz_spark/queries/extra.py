@@ -3330,3 +3330,148 @@ def corpus_diff_versions(spark, sf_dir):
         ).otherwise(F.col("text")),
     )
     return corpus_diff(v_old, docs)
+
+
+# --------------------------------------------------------------------------
+# product-quantization ANN (Jégou et al. 2011) — the memory arm of the
+# ANN family: IVF bounds candidate COUNT, PQ bounds BYTES PER CANDIDATE
+# --------------------------------------------------------------------------
+
+_PQ_ORACLE = """
+    WITH v AS (
+        SELECT vec_id AS id,
+               list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        FROM embeddings
+    ), n AS (
+        SELECT id, v, sqrt(list_dot_product(v, v)) AS norm FROM v
+    ), sv AS (
+        SELECT CAST(ROW_NUMBER() OVER (ORDER BY id) - 1 AS INT) AS j, v
+        FROM (SELECT * FROM n ORDER BY id LIMIT 16)
+    ), cb AS (
+        SELECT s.s, sv.j,
+               list_transform(range(1, 17), i -> sv.v[s.s*16 + i]) AS cw
+        FROM sv CROSS JOIN (SELECT unnest(range(0, 4)) AS s) s
+    ), enc AS (
+        SELECT id, s, j AS code FROM (
+            SELECT n.id, cb.s, cb.j,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY n.id, cb.s
+                       ORDER BY list_sum(list_transform(range(1, 17),
+                           i -> (n.v[cb.s*16 + i] - cb.cw[i])
+                              * (n.v[cb.s*16 + i] - cb.cw[i]))) ASC,
+                                cb.j ASC) AS rnk
+            FROM n CROSS JOIN cb
+        ) WHERE rnk = 1
+    ), qd AS (
+        SELECT n.id AS qid, cb.s, cb.j,
+               list_sum(list_transform(range(1, 17),
+                   i -> (n.v[cb.s*16 + i] - cb.cw[i])
+                      * (n.v[cb.s*16 + i] - cb.cw[i]))) AS d2
+        FROM n CROSS JOIN cb WHERE n.id < 20
+    ), adc AS (
+        SELECT q.qid, e.id AS cid,
+               MAX(CASE WHEN e.s = 0 THEN q.d2 END)
+             + MAX(CASE WHEN e.s = 1 THEN q.d2 END)
+             + MAX(CASE WHEN e.s = 2 THEN q.d2 END)
+             + MAX(CASE WHEN e.s = 3 THEN q.d2 END) AS adc_d2
+        FROM enc e JOIN qd q ON e.s = q.s AND e.code = q.j
+        WHERE e.id != q.qid
+        GROUP BY q.qid, e.id
+    ), short AS (
+        SELECT qid, cid FROM (
+            SELECT *, ROW_NUMBER() OVER (PARTITION BY qid
+                                         ORDER BY adc_d2 ASC, cid ASC) AS arnk
+            FROM adc
+        ) WHERE arnk <= 30
+    ), scored AS (
+        SELECT s.qid, s.cid,
+               CASE WHEN q.norm * c.norm > 0
+                    THEN list_dot_product(q.v, c.v) / (q.norm * c.norm)
+                    ELSE 0.0 END AS cosine
+        FROM short s JOIN n q ON q.id = s.qid JOIN n c ON c.id = s.cid
+    )
+    SELECT qid, cid, cosine, CAST(rnk AS BIGINT) AS rank
+    FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY qid
+                                     ORDER BY cosine DESC, cid ASC) AS rnk
+        FROM scored
+    ) WHERE rnk <= 5
+"""
+
+
+@register_extra(
+    "ann_pq_topk",
+    oracle=_PQ_ORACLE,
+    doc="product-quantization ANN top-k (Jégou et al. 2011): m=4 "
+        "subspaces x 16 codewords, asymmetric-distance (ADC) scan of "
+        "4-byte codes, exact-cosine re-rank of the top-30 shortlist. "
+        "The memory arm of the ANN family — the ADC pass moves "
+        "(m + id) bytes per corpus row instead of 8*dim (128x smaller "
+        "at 64d float64), and full vectors are touched again only for "
+        "queries x rerank winners. Encoding is a NARROW projection "
+        "(argmin over the packed broadcast codebook — no shuffle, no "
+        "UDF); the only corpus exchange is the shortlist window over "
+        "(qid, cid, adc) triples. Seed codebooks (16 lowest-id "
+        "vectors' sub-vectors) make every stage SQL-reproducible — "
+        "same bar as ann_ivf_topk's seed centroids; the "
+        "KMeans-per-subspace production arm is recall-tested in "
+        "tests/test_dedup.py.",
+)
+def ann_pq_topk(spark, sf_dir):
+    from streamz_spark.operators.similarity import pq_ann
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    out = pq_ann(emb, k=5, m=4, ks=16, rerank=30, query_limit=20, codebooks="seed")
+    return out.withColumn("rank", F.col("rank").cast("long"))
+
+
+# --------------------------------------------------------------------------
+# CCNet head/middle/tail perplexity bucketing — the selection stage that
+# sits between LM scoring and training-set assembly
+# --------------------------------------------------------------------------
+
+def _perplexity_buckets_oracle() -> str:
+    # the NLL CTE is the unigram_nll_quality oracle verbatim (nested
+    # WITH — single source of truth for the LM semantics), wrapped with
+    # the per-language floored tercile cuts and the comparison classify
+    return f"""
+        WITH nll AS ({_unigram_nll_oracle(_UNLL_VOCAB)}),
+        wl AS (
+            SELECT n.*, d.lang
+            FROM nll n JOIN documents d USING (doc_id)
+        ),
+        cuts AS (
+            SELECT lang,
+                   CAST(FLOOR(quantile_cont(nll_mean_micro, 1.0/3.0)) AS BIGINT) AS p33,
+                   CAST(FLOOR(quantile_cont(nll_mean_micro, 2.0/3.0)) AS BIGINT) AS p66
+            FROM wl GROUP BY lang
+        )
+        SELECT w.doc_id, w.lang, w.n_tokens, w.nll_mean_micro,
+               CASE WHEN w.nll_mean_micro <= c.p33 THEN 'head'
+                    WHEN w.nll_mean_micro <= c.p66 THEN 'middle'
+                    ELSE 'tail' END AS bucket,
+               (w.nll_mean_micro <= c.p66) AS kept
+        FROM wl w JOIN cuts c USING (lang)
+    """
+
+
+@register_extra(
+    "perplexity_buckets",
+    oracle=_perplexity_buckets_oracle(),
+    doc="CCNet head/middle/tail split (§4.3): per-language tercile "
+        "VALUE cuts on the unigram-NLL quality score (same V=20 "
+        "capped LM as unigram_nll_quality), docs classified by "
+        "comparison against the broadcast cut table, kept = "
+        "head+middle. No per-language global sort and no ntile window "
+        "— the cuts are one tiny aggregate (floored to integer "
+        "micro-nats so both engines classify identically) and the "
+        "corpus-wide exchanges are only the NLL operator's own plus "
+        "one doc-key join for the language column. At 100 TB the "
+        "exact percentile swaps for percentile_approx (mergeable KLL) "
+        "— kept exact here for oracle reproducibility.",
+)
+def perplexity_buckets(spark, sf_dir):
+    from streamz_spark.operators.text import perplexity_buckets as op
+
+    docs = load_table(spark, sf_dir, "documents")
+    return op(docs, vocab_limit=_UNLL_VOCAB)
