@@ -1264,6 +1264,61 @@ def _cell_dedup_paragraphs_documents(spark):
 CELLS["dedup_paragraphs/documents"] = _cell_dedup_paragraphs_documents
 
 
+def _cell_perplexity_bucket_documents(spark):
+    # CCNet deployment shape: the LM and the per-language tercile cut
+    # thresholds derive from the static reference corpus; the stream
+    # scores each doc (stream-static LM join, complete-mode per-doc
+    # aggregate) and classifies against the cuts as a LITERAL-map
+    # projection after the aggregate — no stream-side sort, no ntile,
+    # no post-aggregate join. Integer micro-nat scores make streaming
+    # == batch an exact comparison regardless of batching.
+    from streamz_spark.operators.text import (
+        perplexity_buckets,
+        perplexity_cut_table,
+        unigram_lm_tables,
+        unigram_nll_score,
+    )
+    from streamz_spark.streaming.sources import replay_table
+
+    docs = load_table(spark, SF_DIR, "documents")
+    want = perplexity_buckets(docs, vocab_limit=20).toPandas()
+
+    lm, scalars, _join = unigram_lm_tables(docs, vocab_limit=20)
+    batch_scored = unigram_nll_score(docs, lm, scalars).join(
+        docs.select("doc_id", "lang"), "doc_id"
+    )
+    cut_rows = perplexity_cut_table(batch_scored).collect()
+    p33 = F.create_map(
+        *[x for r in cut_rows for x in (F.lit(r["lang"]), F.lit(r["p33"]))]
+    )
+    p66 = F.create_map(
+        *[x for r in cut_rows for x in (F.lit(r["lang"]), F.lit(r["p66"]))]
+    )
+
+    stream = replay_table(spark, SF_DIR, "documents", chunk_col="doc_id")
+    # ride the language through the per-doc aggregate inside the key
+    sid = stream.withColumn("__id", F.struct("doc_id", "lang"))
+    scored = unigram_nll_score(sid, lm, scalars, id_col="__id")
+    lang = F.col("__id").getField("lang")
+    nll = F.col("nll_mean_micro")
+    classified = scored.select(
+        F.col("__id").getField("doc_id").alias("doc_id"),
+        lang.alias("lang"),
+        "n_tokens",
+        "nll_mean_micro",
+        F.when(nll <= F.element_at(p33, lang), F.lit("head"))
+        .when(nll <= F.element_at(p66, lang), F.lit("middle"))
+        .otherwise(F.lit("tail"))
+        .alias("bucket"),
+        (nll <= F.element_at(p66, lang)).alias("kept"),
+    )
+    got = sink_to_list(classified, output_mode="complete")[-1]
+    return got, want
+
+
+CELLS["perplexity_bucket/documents"] = _cell_perplexity_bucket_documents
+
+
 # parametrized LAST so late-registered cells are included
 @pytest.mark.parametrize("cell", sorted(CELLS))
 def test_stream_batch_cell(cell, spark):
