@@ -6,7 +6,7 @@ one per SURVEY.md §2 operator family. Everything here registers into
 a SEPARATE registry consumed by bench.py and tests only: importing
 this module never contaminates the driver's set.
 
-Contents (56 entries): the complete adapted TPC-H tail
+Contents (61 entries): the complete adapted TPC-H tail
 (q2/q4/q7-q22 — no partsupp, no commit/receipt dates, 1995-2001 date
 range, synthetic NATION_N names), the distributed
 connected-components variant, and the LLM-data operator families
@@ -3475,3 +3475,100 @@ def perplexity_buckets(spark, sf_dir):
 
     docs = load_table(spark, sf_dir, "documents")
     return op(docs, vocab_limit=_UNLL_VOCAB)
+
+
+# --------------------------------------------------------------------------
+# link-graph centrality: PageRank for crawl curation
+# --------------------------------------------------------------------------
+
+_PR_SCALE = 10**12
+_PR_ITERS = 3
+
+
+def _pagerank_oracle() -> str:
+    """Unrolls the exact integer recurrence of operators.graph.pagerank
+    for _PR_ITERS iterations — same fixed-point arithmetic, so the
+    match is bit-exact (no float summation order anywhere)."""
+    head = f"""
+    WITH nn AS (SELECT COUNT(*) AS n FROM documents),
+    ids AS (SELECT doc_id AS id FROM documents),
+    e0 AS (
+        SELECT d.doc_id AS src, (d.doc_id * 31 + 1) % nn.n AS dst
+        FROM documents d, nn
+        UNION
+        SELECT d.doc_id, (d.doc_id * 17 + 7) % nn.n FROM documents d, nn
+        UNION
+        SELECT d.doc_id, (d.doc_id // 100) * 100 FROM documents d, nn
+    ),
+    e AS (SELECT src, dst FROM e0 WHERE src <> dst),
+    deg AS (SELECT src, COUNT(*) AS outdeg FROM e GROUP BY 1),
+    ed AS (SELECT e.src, e.dst, deg.outdeg FROM e JOIN deg USING (src)),
+    c AS (SELECT ((20 - 17) * {_PR_SCALE}) // (20 * n) AS tele,
+                 {_PR_SCALE} // n AS r0
+          FROM nn),
+    p0 AS (SELECT id, (SELECT r0 FROM c) AS r FROM ids)"""
+    steps = []
+    for i in range(1, _PR_ITERS + 1):
+        steps.append(f""",
+    p{i} AS (
+        SELECT i.id,
+               (SELECT tele FROM c)
+               + COALESCE(SUM((17 * p.r) // (20 * ed.outdeg)), 0) AS r
+        FROM ids i
+        LEFT JOIN ed ON ed.dst = i.id
+        LEFT JOIN p{i - 1} p ON p.id = ed.src
+        GROUP BY i.id
+    )""")
+    tail = f"""
+    SELECT id AS doc_id, CAST(r AS BIGINT) AS rank_scaled FROM p{_PR_ITERS}
+    """
+    return head + "".join(steps) + tail
+
+
+def _build_pagerank(spark, sf_dir, checkpoint: bool = True):
+    """Synthetic citation graph over the documents table (deterministic,
+    replicated verbatim in the oracle): every doc links to two
+    arithmetic neighbors plus its century leader (doc_id DIV 100 * 100)
+    — the leaders are ~1% of nodes with ~100x in-degree, a real hub
+    skew for the aggregation to absorb."""
+    from streamz_spark.operators.graph import pagerank
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    n = docs.count()
+    base = docs.select(F.col("doc_id").alias("src"))
+    edges = (
+        base.select("src", ((F.col("src") * 31 + 1) % n).alias("dst"))
+        .union(base.select("src", ((F.col("src") * 17 + 7) % n).alias("dst")))
+        .union(base.select("src", F.expr("(src DIV 100) * 100").alias("dst")))
+        .filter(F.col("src") != F.col("dst"))
+        .distinct()
+    )
+    pr = pagerank(
+        docs.withColumnRenamed("doc_id", "id"),
+        edges,
+        iterations=_PR_ITERS,
+        scale=_PR_SCALE,
+        checkpoint=checkpoint,
+    )
+    return pr.select(F.col("id").alias("doc_id"), "rank_scaled")
+
+
+@register_extra(
+    "pagerank_centrality",
+    oracle=_pagerank_oracle(),
+    doc="Link-graph centrality for crawl curation: 3 power-iteration "
+        "rounds of PageRank (Page et al. 1999) over a deterministic "
+        "citation graph with 1%-of-nodes hubs at ~100x in-degree "
+        "(Common Crawl ranks hosts this way to pick crawl seeds; "
+        "centrality is a standard document quality prior). Fixed-point "
+        "BIGINT ranks with an exact 17/20 damping rational make every "
+        "contribution an integer floor-div, so the DuckDB oracle — the "
+        "same recurrence unrolled — matches bit-exact. Scale shape: "
+        "the degree-annotated edge list is hash-laid-out on src and "
+        "localCheckpoint'ed ONCE; each iteration shuffles only the "
+        "one-row-per-node rank vector plus one map-side-combined "
+        "integer SUM on dst (hub skew absorbed by partial agg); "
+        "per-iteration checkpoint truncates the iterative lineage.",
+)
+def pagerank_centrality(spark, sf_dir):
+    return _build_pagerank(spark, sf_dir, checkpoint=True)
