@@ -232,7 +232,12 @@ def main() -> None:
     payload = json.dumps(detail, indent=1, sort_keys=True) + "\n"
     with open(detail_path, "w") as f:
         f.write(payload)
-    if not os.environ.get("SPARK_GRAFT_BENCH_NO_VERSIONED"):
+    # the versioned copy is the cross-round comparison artifact, so it
+    # must only ever hold the official bench SF (0.1): a fast smoke at
+    # sf0.001 clobbering BENCH_DETAIL_rNN.json has now happened twice
+    # (see commit 5a89671) — gate on the SF, not on remembering an env
+    # var
+    if not os.environ.get("SPARK_GRAFT_BENCH_NO_VERSIONED") and sf_val == 0.1:
         with open(os.path.join(repo_dir, f"BENCH_DETAIL_{tag}.json"), "w") as f:
             f.write(payload)
     failed = sorted(n for n, t in timings.items() if t < 0)
