@@ -3572,3 +3572,45 @@ def _build_pagerank(spark, sf_dir, checkpoint: bool = True):
 )
 def pagerank_centrality(spark, sf_dir):
     return _build_pagerank(spark, sf_dir, checkpoint=True)
+
+
+# --------------------------------------------------------------------------
+# exact heavy hitters without a full-cardinality exchange (Misra-Gries)
+# --------------------------------------------------------------------------
+
+_HH_K = 30
+# floor(sqrt(user_id)) maps the uniform user ids onto a deterministic
+# 2j+1 frequency law — real skew (the top key holds ~2·sqrt(U)/U of
+# the rows), replicated verbatim in the oracle; IEEE sqrt is correctly
+# rounded so both engines bucket identically
+_HH_KEY = "CAST(FLOOR(SQRT(CAST(user_id AS DOUBLE))) AS BIGINT)"
+
+
+@register_extra(
+    "heavy_hitter_keys",
+    oracle=f"""
+    WITH t AS (SELECT {_HH_KEY} AS key FROM events),
+    f AS (SELECT key, COUNT(*) AS cnt FROM t GROUP BY 1)
+    SELECT key, cnt FROM f WHERE cnt * {_HH_K} > (SELECT COUNT(*) FROM t)
+    """,
+    doc="EXACT heavy hitters (every key holding > 1/30 of the rows, "
+        "with exact counts) via the two-pass Misra-Gries shape "
+        "(Cormode & Hadjieleftheriou VLDB'08): a shuffle-free "
+        "mapInPandas sketch pass whose per-partition k-counter "
+        "summaries are a guaranteed candidate superset, then exact "
+        "verification of only those <= k*P candidates (broadcast "
+        "semi-join + map-side-combined hash agg). The hot-key "
+        "pre-flight for a 100 TB join: the naive full groupBy ships "
+        "one row per distinct key per map partition — at 1e9+ "
+        "distinct keys THAT exchange is the problem the sketch "
+        "avoids; the answer is still exact because the sketch only "
+        "prunes candidates, never decides. Keys follow a "
+        "deterministic floor(sqrt(user_id)) 2j+1 skew law.",
+)
+def heavy_hitter_keys(spark, sf_dir):
+    from streamz_spark.operators.sketches import heavy_hitters
+
+    ev = load_table(spark, sf_dir, "events").select(
+        F.expr(_HH_KEY).alias("key")
+    )
+    return heavy_hitters(ev, "key", k=_HH_K)

@@ -932,3 +932,72 @@ def streaming_topk_similarity(
         state_schema="ids array<long>, scores array<double>",
         output_schema="qid long, cid long, cosine double, rank int",
     )
+
+
+def streaming_heavy_hitters(
+    sdf: DataFrame,
+    col: str,
+    k: int,
+    shards: int = 8,
+) -> DataFrame:
+    """Ingest-time heavy-hitter sketch: per-shard Misra-Gries counters
+    maintained across micro-batches, bounded at ``k`` counters per
+    shard regardless of stream length or key cardinality.
+
+    Rows hash-shard on the key (xxhash64 % shards), so every copy of a
+    key lands in one shard and the classic guarantee survives
+    sharding: a key with global frequency > n/k has shard frequency
+    > n_shard/k (n_shard ≤ n) and therefore cannot be evicted from its
+    shard's sketch. Each batch emits the shard's FULL counter snapshot
+    (update mode) — the last emit per shard is the final sketch; the
+    deployment pattern is sketch-at-ingest, then one batch pass to
+    verify the ≤ shards·k candidates exactly (see
+    ``operators.sketches.heavy_hitters`` for the batch twin and the
+    verify step).
+
+    State per shard: two parallel arrays (keys as strings, counts),
+    ≤ k entries — memory is O(shards·k), corpus-size-independent.
+    """
+    from pyspark.sql import functions as F
+
+    from streamz_spark.operators.sketches import _mg_trim
+
+    tagged = sdf.select(
+        F.col(col).cast("string").alias("__key"),
+        (F.pmod(F.xxhash64(F.col(col).cast("string")), F.lit(shards)))
+        .cast("long")
+        .alias("__shard"),
+    ).filter(F.col("__key").isNotNull())
+
+    def step(key_, pdfs, state: GroupState):
+        if state.exists:
+            keys, cnts, n_shard = state.get
+            counters = dict(zip(list(keys), [int(c) for c in cnts]))
+            n_shard = int(n_shard)
+        else:
+            counters, n_shard = {}, 0
+        for pdf in pdfs:
+            vc = pdf["__key"].value_counts()
+            n_shard += int(vc.sum())
+            for val, w in vc.items():
+                counters[val] = counters.get(val, 0) + int(w)
+            if len(counters) > 4 * k:
+                _mg_trim(counters, k)
+        _mg_trim(counters, k)
+        state.update((list(counters), [counters[x] for x in counters], n_shard))
+        yield pd.DataFrame(
+            {
+                "shard": [int(key_[0])],
+                "keys": [list(counters)],
+                "cnt_lb": [[counters[x] for x in counters]],
+                "n_shard": [n_shard],
+            }
+        )
+
+    return tagged.groupBy("__shard").applyInPandasWithState(
+        step,
+        "shard long, keys array<string>, cnt_lb array<long>, n_shard long",
+        "keys array<string>, cnts array<long>, n long",
+        "update",
+        GroupStateTimeout.NoTimeout,
+    )

@@ -1319,6 +1319,48 @@ def _cell_perplexity_bucket_documents(spark):
 CELLS["perplexity_bucket/documents"] = _cell_perplexity_bucket_documents
 
 
+def _cell_heavy_hitters_events(spark):
+    # ingest-time Misra-Gries sketch (bounded per-shard state) feeding
+    # the offline verify pass — the deployment split of the batch
+    # heavy_hitter_keys entry: the streamed candidate set must cover
+    # every true heavy hitter, so verify(candidates) == batch exact
+    from streamz_spark.queries.extra import _HH_K, _HH_KEY, EXTRA_REGISTRY
+    from streamz_spark.streaming.stateful import streaming_heavy_hitters
+
+    shards = 4
+    stream = _replay_ordered(spark, "events", "event_id").select(
+        F.expr(_HH_KEY).alias("key")
+    )
+    emits = sink_to_list(
+        streaming_heavy_hitters(stream, "key", k=_HH_K, shards=shards),
+        output_mode="update",
+    )
+    allb = pd.concat(
+        [b.assign(__b=i) for i, b in enumerate(emits) if len(b)],
+        ignore_index=True,
+    )
+    final = allb.sort_values("__b").groupby("shard", as_index=False).last()
+    cand = sorted({int(x) for keys in final["keys"] for x in keys})
+    # the bounded-state claim IS the point: candidates never exceed
+    # shards·k no matter how many batches streamed
+    assert len(cand) <= shards * _HH_K, len(cand)
+
+    ev = load_table(spark, SF_DIR, "events").select(F.expr(_HH_KEY).alias("key"))
+    n = ev.count()
+    got = (
+        ev.filter(F.col("key").isin(cand))
+        .groupBy("key")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .filter(F.col("cnt") * _HH_K > F.lit(n))
+        .toPandas()
+    )
+    want = EXTRA_REGISTRY["heavy_hitter_keys"].fn(spark, SF_DIR).toPandas()
+    return got, want
+
+
+CELLS["heavy_hitters/events"] = _cell_heavy_hitters_events
+
+
 # parametrized LAST so late-registered cells are included
 @pytest.mark.parametrize("cell", sorted(CELLS))
 def test_stream_batch_cell(cell, spark):
