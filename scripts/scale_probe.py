@@ -52,6 +52,8 @@ DEFAULT_QUERIES = [
     "corpus_data_card",
     "select_top_quality_per_source",
     "select_to_token_budget_per_source",
+    "pagerank_centrality",
+    "heavy_hitter_keys",
 ]
 
 
