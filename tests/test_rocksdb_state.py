@@ -786,3 +786,83 @@ def test_rocksdb_streaming_topk_similarity(rocksdb, tmp_path):
     )
     assert n_state == 5, n_state
     _assert_rocksdb_artifacts(ckpt)
+
+
+def test_rocksdb_heavy_hitters_restart(rocksdb, tmp_path):
+    """Ingest-time Misra-Gries sketch on RocksDB, killed mid-stream and
+    resumed from the checkpoint: the carried per-shard counters must
+    still yield a candidate set covering every true heavy hitter
+    (verified = batch exact), with state bounded at shards rows."""
+    import tempfile
+
+    from streamz_spark.io import load_table
+    from streamz_spark.queries.extra import _HH_K, _HH_KEY
+    from streamz_spark.streaming.stateful import streaming_heavy_hitters
+
+    from .conftest import SF_DIR
+
+    shards = 4
+    ev = load_table(rocksdb, SF_DIR, "events").select(F.expr(_HH_KEY).alias("key"))
+    n = ev.count()
+    want = {
+        (r["key"], r["cnt"])
+        for r in ev.groupBy("key")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .filter(F.col("cnt") * _HH_K > F.lit(n))
+        .collect()
+    }
+
+    src_dir = tempfile.mkdtemp(prefix="hh_src_")
+    ckpt = tempfile.mkdtemp(prefix="hh_ckpt_")
+    full = load_table(rocksdb, SF_DIR, "events")
+    full.filter(F.col("event_id") % 2 == 0).write.mode("overwrite").parquet(
+        os.path.join(src_dir, "chunk=0")
+    )
+    emits: list = []
+
+    def run_query():
+        src = (
+            rocksdb.readStream.schema(full.schema)
+            .option("pathGlobFilter", "*.parquet")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(os.path.join(src_dir, "chunk=*"))
+        ).select(F.expr(_HH_KEY).alias("key"))
+        out = streaming_heavy_hitters(src, "key", k=_HH_K, shards=shards)
+        q = (
+            out.writeStream.outputMode("update")
+            .foreachBatch(lambda b, i: emits.append(b.collect()))
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(180)
+        return q
+
+    run_query()  # phase 1: half the stream, then the query ends
+    full.filter(F.col("event_id") % 2 == 1).write.mode("overwrite").parquet(
+        os.path.join(src_dir, "chunk=1")
+    )
+    q = run_query()  # phase 2: resume from checkpoint with the rest
+
+    final: dict = {}
+    for batch in emits:
+        for r in batch:
+            final[r["shard"]] = r
+    cand = sorted({int(k) for r in final.values() for k in r["keys"]})
+    assert len(cand) <= shards * _HH_K
+    got = {
+        (r["key"], r["cnt"])
+        for r in ev.filter(F.col("key").isin(cand))
+        .groupBy("key")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .filter(F.col("cnt") * _HH_K > F.lit(n))
+        .collect()
+    }
+    assert got == want
+    n_state = max(
+        int(p["stateOperators"][0]["numRowsTotal"])
+        for p in q.recentProgress
+        if p.get("stateOperators")
+    )
+    assert n_state <= shards, n_state
+    _assert_rocksdb_artifacts(ckpt)
