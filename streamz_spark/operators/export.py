@@ -23,6 +23,7 @@ __all__ = [
     "pack_sequences",
     "chunk_documents",
     "corpus_diff",
+    "write_partitioned_corpus",
 ]
 
 
@@ -211,3 +212,40 @@ def chunk_documents(
             F.array_join("__c", " ").alias(out_col),
         )
     )
+
+
+def write_partitioned_corpus(
+    df: DataFrame,
+    path: str,
+    partition_by: "tuple[str, ...] | list[str]" = ("split",),
+    sort_within_by: "tuple[str, ...] | list[str] | None" = None,
+    max_records_per_file: int | None = None,
+    fmt: str = "parquet",
+) -> None:
+    """Write the corpus in a pruning-friendly layout: hive-partitioned
+    on `partition_by` (read-side filters on those columns become
+    PARTITION pruning — directories never opened) and optionally
+    sorted within files on `sort_within_by` (read-side range filters
+    on those become ROW-GROUP pruning via parquet min/max stats).
+
+    Layout is a write-time decision that pays forever: at 100 TB a
+    `split='val'` or `lang='en'` reader should touch only its
+    directories, and a `doc_id BETWEEN` reader only the row groups
+    whose stats overlap. The one exchange here (repartition on the
+    partition columns) also prevents the classic partitionBy explosion
+    — without it every input task writes one file into EVERY partition
+    directory, producing tasks x partitions tiny files.
+
+    Low-cardinality partition keys can skew that exchange (one task
+    per key); pass an additional high-cardinality column in
+    `partition_by`'s repartition via `sort_within_by` ordering or use
+    `max_records_per_file` to re-split fat partitions at write time.
+    """
+    cols = [F.col(c) for c in partition_by]
+    out = df.repartition(*cols)
+    if sort_within_by:
+        out = out.sortWithinPartitions(*partition_by, *sort_within_by)
+    writer = out.write.mode("overwrite")
+    if max_records_per_file:
+        writer = writer.option("maxRecordsPerFile", int(max_records_per_file))
+    writer.partitionBy(*list(partition_by)).format(fmt).save(path)

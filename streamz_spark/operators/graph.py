@@ -55,6 +55,7 @@ def pagerank(
     scale: int = 10**12,
     damping: tuple[int, int] = (17, 20),
     checkpoint: bool = True,
+    tol_scaled: int | None = None,
 ) -> DataFrame:
     """Fixed-point PageRank over `iterations` power-iteration rounds.
 
@@ -65,6 +66,19 @@ def pagerank(
     treatment; pass a graph without dangling vertices (or add
     self-loops) when mass conservation matters.
 
+    Two modes:
+    - `tol_scaled=None` (default): exactly `iterations` rounds — the
+      reproducible form the catalog oracle unrolls.
+    - `tol_scaled=t`: production convergence mode — iterate up to
+      `iterations` rounds but stop early once the integer L1 delta
+      Σ|r_i − r_{i−1}| ≤ t scale-units (power iteration contracts the
+      L1 error by the damping factor per round, so the probe fires in
+      O(log(scale/t)) rounds). The probe is ONE co-partitioned
+      join+aggregate per round, same per-round budget discipline as
+      `operators.components`' convergence probe; requires
+      `checkpoint=True` (an unbounded loop without lineage truncation
+      is the iterative-Spark trap).
+
     Returns (id, rank_scaled BIGINT) where rank ≈ rank_scaled/scale.
     `checkpoint=False` keeps the whole unrolled recurrence as one
     lazy plan (for plan-contract inspection); the default production
@@ -73,6 +87,8 @@ def pagerank(
     """
     if iterations < 1:
         raise ValueError("iterations must be >= 1")
+    if tol_scaled is not None and not checkpoint:
+        raise ValueError("tol_scaled requires checkpoint=True")
     num, den = damping
     if not (0 < num < den):
         raise ValueError("damping must be a proper fraction (num, den)")
@@ -106,7 +122,7 @@ def pagerank(
             )
         )
         incoming = contrib.groupBy("id").agg(F.sum("__c").alias("__in"))
-        ranks = (
+        new_ranks = (
             ids.join(incoming.hint("shuffle_hash"), "id", "left")
             .select(
                 "id",
@@ -116,5 +132,15 @@ def pagerank(
             )
         )
         if checkpoint and i < iterations - 1:
-            ranks = ranks.localCheckpoint(eager=True)
+            new_ranks = new_ranks.localCheckpoint(eager=True)
+        if tol_scaled is not None and i < iterations - 1:
+            delta = (
+                new_ranks.withColumnRenamed("rank_scaled", "__new")
+                .join(ranks.withColumnRenamed("rank_scaled", "__old"), "id")
+                .agg(F.sum(F.abs(F.col("__new") - F.col("__old"))))
+                .collect()[0][0]
+            )  # driver scalar, one integer aggregate per round
+            if delta is not None and delta <= tol_scaled:
+                return new_ranks
+        ranks = new_ranks
     return ranks

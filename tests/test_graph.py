@@ -111,3 +111,37 @@ def test_pagerank_plan_contract(spark):
     per_iter = (three - one) / (orig - 1)
     assert per_iter <= 6, (one, three, per_iter)
     assert three <= one + 6 * (orig - 1), (one, three)
+
+
+def test_pagerank_convergence_mode(spark):
+    """Production tol mode: stops early once the integer L1 delta is
+    within tolerance, and the converged ranks match a long fixed run
+    to within the tolerance (power iteration contracts ~0.85x/round,
+    so a tight tol forces near-fixpoint)."""
+    nodes = list(range(40))
+    edges = sorted(
+        {(i, (i * 7 + 3) % 40) for i in nodes}
+        | {(i, (i * 11 + 5) % 40) for i in nodes}
+        | {(i, 0) for i in nodes if i != 0}
+    )
+    ndf = spark.createDataFrame([(i,) for i in nodes], "id bigint")
+    edf = spark.createDataFrame(edges, "src bigint, dst bigint")
+
+    tol = 1000  # 1e-9 of total mass at scale=1e12
+    converged = {
+        r["id"]: r["rank_scaled"]
+        for r in pagerank(ndf, edf, iterations=200, tol_scaled=tol).collect()
+    }
+    long_run = {
+        r["id"]: r["rank_scaled"]
+        for r in pagerank(ndf, edf, iterations=60).collect()
+    }
+    l1 = sum(abs(converged[i] - long_run[i]) for i in nodes)
+    # the early stop fired at delta<=tol; residual distance to the
+    # true fixpoint is bounded by tol/(1-d) = ~6.7*tol
+    assert l1 <= 10 * tol, l1
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        pagerank(ndf, edf, iterations=5, tol_scaled=10, checkpoint=False)
