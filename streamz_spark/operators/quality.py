@@ -25,6 +25,7 @@ from pyspark.sql import Column, DataFrame, functions as F
 from streamz_spark.operators.text import tokenize
 
 __all__ = [
+    "c4_clean",
     "split_lines",
     "duplicate_line_stats",
     "ngram_run_stats",
@@ -310,4 +311,51 @@ def common_shingle_stats(
     ).otherwise(F.lit(0.0))
     return out.select(
         id_col, "n_shingles", "n_common", frac.alias("common_frac")
+    )
+
+
+def c4_clean(
+    df: DataFrame,
+    text_col: str = "text",
+    min_words_per_line: int = 3,
+    min_lines: int = 5,
+    line_badwords: tuple[str, ...] = ("javascript",),
+    doc_badstrings: tuple[str, ...] = ("lorem ipsum", "{"),
+) -> DataFrame:
+    """C4's cleaning heuristics (Raffel et al. 2020 §2.2 — the public
+    Common Crawl -> C4 recipe): keep only lines that end in a terminal
+    punctuation mark AND have at least `min_words_per_line` words AND
+    contain none of `line_badwords`; drop any page left with fewer
+    than `min_lines` kept lines, or containing any `doc_badstrings`
+    (C4 uses "lorem ipsum", javascript lines, and the curly brace to
+    drop boilerplate/code pages).
+
+    Pure narrow string expressions — zero shuffle, zero UDF: at 100 TB
+    this runs scan-bound inside whole-stage codegen, exactly like the
+    reference recipe's map-only cleaning phase. Adds:
+    `lines_kept` / `lines_total` counts, `text_clean` (kept lines
+    re-joined), and the final `kept` flag. Case-insensitive matching
+    mirrors C4's lowercased bad-word filtering.
+    """
+    lines = split_lines(F.col(text_col))
+    lw = F.lower(F.col(text_col))
+
+    def line_ok(x):
+        ok = x.rlike(r"[.!?\"\u2019\u201d]$")
+        ok = ok & (F.size(F.split(F.trim(x), r"\s+")) >= min_words_per_line)
+        low = F.lower(x)
+        for w in line_badwords:
+            ok = ok & ~low.contains(w.lower())
+        return ok
+
+    kept_lines = F.filter(lines, line_ok)
+    doc_ok = F.size(kept_lines) >= min_lines
+    for s in doc_badstrings:
+        doc_ok = doc_ok & ~lw.contains(s.lower())
+    return df.select(
+        "*",
+        F.size(lines).cast("long").alias("lines_total"),
+        F.size(kept_lines).cast("long").alias("lines_kept"),
+        F.array_join(kept_lines, "\n").alias("text_clean"),
+        doc_ok.alias("kept"),
     )

@@ -6,7 +6,7 @@ one per SURVEY.md §2 operator family. Everything here registers into
 a SEPARATE registry consumed by bench.py and tests only: importing
 this module never contaminates the driver's set.
 
-Contents (61 entries): the complete adapted TPC-H tail
+Contents (63 entries): the complete adapted TPC-H tail
 (q2/q4/q7-q22 — no partsupp, no commit/receipt dates, 1995-2001 date
 range, synthetic NATION_N names), the distributed
 connected-components variant, and the LLM-data operator families
@@ -3614,3 +3614,101 @@ def heavy_hitter_keys(spark, sf_dir):
         F.expr(_HH_KEY).alias("key")
     )
     return heavy_hitters(ev, "key", k=_HH_K)
+
+
+# --------------------------------------------------------------------------
+# C4 line-level cleaning (Raffel et al. 2020 §2.2)
+# --------------------------------------------------------------------------
+
+_C4_ORACLE = """
+    WITH d AS (
+        SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS w
+        FROM documents
+    ),
+    lined AS (
+        SELECT doc_id,
+               list_transform(
+                   generate_series(0, greatest(CAST(ceil(len(w) / 10.0) AS INT) - 1, 0)),
+                   i -> array_to_string(w[i*10+1 : i*10+10], ' ')
+                        || CASE WHEN (doc_id * 3 + i) % 11 = 0 THEN ' javascript' ELSE '' END
+                        || CASE WHEN (doc_id + i) % 7 <> 0 THEN '.' ELSE '' END
+               ) AS lines
+        FROM d
+    ),
+    txt AS (
+        SELECT doc_id,
+               array_to_string(lines, chr(10))
+               || CASE WHEN doc_id % 97 = 0 THEN chr(10) || 'lorem ipsum.' ELSE '' END
+               || CASE WHEN doc_id % 89 = 0 THEN chr(10) || 'see { code }.' ELSE '' END
+               AS text
+        FROM lined
+    ),
+    parsed AS (
+        SELECT doc_id, text,
+               list_filter(
+                   list_transform(string_split(text, chr(10)), x -> trim(x)),
+                   x -> length(x) > 0) AS ls
+        FROM txt
+    ),
+    scored AS (
+        SELECT doc_id, text, len(ls) AS lines_total,
+               list_filter(ls, x ->
+                   regexp_matches(x, '[.!?"’”]$')
+                   AND len(regexp_split_to_array(trim(x), '\\s+')) >= 3
+                   AND NOT contains(lower(x), 'javascript')) AS kls
+        FROM parsed
+    )
+    SELECT doc_id,
+           CAST(lines_total AS BIGINT) AS lines_total,
+           CAST(len(kls) AS BIGINT) AS lines_kept,
+           COALESCE(array_to_string(kls, chr(10)), '') AS text_clean,
+           (len(kls) >= 5
+            AND NOT contains(lower(text), 'lorem ipsum')
+            AND NOT contains(lower(text), '{')) AS kept
+    FROM scored
+"""
+
+
+def _c4_lined_corpus(spark, sf_dir):
+    """Deterministic lined corpus: the synthetic documents carry no
+    newlines/punctuation, so the entry constructs 10-word lines with
+    terminal punctuation, junk lines, and boilerplate pages injected
+    by doc_id arithmetic — replicated verbatim in the oracle."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    return docs.select(
+        "doc_id",
+        F.expr(
+            "array_join(transform("
+            "  sequence(0, greatest(CAST(ceil(size(split(trim(text), '\\\\s+')) / 10.0) AS INT) - 1, 0)),"
+            "  i -> array_join(slice(split(trim(text), '\\\\s+'), i*10+1, 10), ' ')"
+            "       || CASE WHEN (doc_id * 3 + i) % 11 = 0 THEN ' javascript' ELSE '' END"
+            "       || CASE WHEN (doc_id + i) % 7 <> 0 THEN '.' ELSE '' END"
+            "), '\\n')"
+            " || CASE WHEN doc_id % 97 = 0 THEN '\\nlorem ipsum.' ELSE '' END"
+            " || CASE WHEN doc_id % 89 = 0 THEN '\\nsee { code }.' ELSE '' END"
+        ).alias("text"),
+    )
+
+
+@register_extra(
+    "c4_line_cleaning",
+    oracle=_C4_ORACLE,
+    doc="C4's cleaning heuristics (Raffel et al. 2020 §2.2, the "
+        "public Common Crawl -> C4 recipe): keep lines ending in "
+        "terminal punctuation with >= 3 words and no 'javascript'; "
+        "drop pages with < 5 kept lines or containing 'lorem ipsum' "
+        "or '{'. Pure narrow string expressions, zero shuffle, zero "
+        "UDF — scan-bound inside whole-stage codegen, like the "
+        "recipe's map-only cleaning phase. The synthetic corpus has "
+        "no lines, so the entry deterministically constructs them "
+        "(10-word lines; punctuation, junk words and boilerplate "
+        "pages injected by doc_id arithmetic) identically in both "
+        "engines.",
+)
+def c4_line_cleaning(spark, sf_dir):
+    from streamz_spark.operators.quality import c4_clean
+
+    lined = _c4_lined_corpus(spark, sf_dir)
+    return c4_clean(lined).select(
+        "doc_id", "lines_total", "lines_kept", "text_clean", "kept"
+    )

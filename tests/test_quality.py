@@ -562,3 +562,55 @@ class TestCorpusDiff:
         got = {r["doc_id"]: r["status"] for r in corpus_diff(old, new).collect()}
         # id 1: whitespace/case normalize -> unchanged
         assert got == {1: "unchanged", 2: "changed", 3: "removed", 4: "added"}
+
+
+class TestC4Clean:
+    """C4 line rules (Raffel et al. 2020 §2.2) on handcrafted pages."""
+
+    def test_line_rules(self, spark):
+        page = "\n".join(
+            [
+                "a good long sentence here.",   # kept
+                "no terminal punctuation",       # dropped: no punct
+                "too short.",                    # dropped: < 3 words
+                "uses the word javascript here.",  # dropped: badword
+                'he said "stop right there!"',   # kept: ends in quote
+                "another fine closing line?",    # kept: ends in ?
+            ]
+        )
+        from streamz_spark.operators.quality import c4_clean
+
+        df = spark.createDataFrame([(1, page)], "doc_id long, text string")
+        row = c4_clean(df, min_lines=3).collect()[0]
+        assert row["lines_total"] == 6
+        assert row["lines_kept"] == 3
+        assert row["kept"] is True
+        assert row["text_clean"].splitlines() == [
+            "a good long sentence here.",
+            'he said "stop right there!"',
+            "another fine closing line?",
+        ]
+
+    def test_doc_rules(self, spark):
+        from streamz_spark.operators.quality import c4_clean
+
+        ok = "\n".join(["this line is fine."] * 5)
+        few = "\n".join(["this line is fine."] * 4)
+        lorem = ok + "\nLorem Ipsum dolor sit."
+        brace = ok + "\nint main() { return 0; }"
+        df = spark.createDataFrame(
+            [(1, ok), (2, few), (3, lorem), (4, brace)],
+            "doc_id long, text string",
+        )
+        got = {r["doc_id"]: r["kept"] for r in c4_clean(df).collect()}
+        assert got == {1: True, 2: False, 3: False, 4: False}
+
+    def test_zero_shuffle_plan(self, spark):
+        from streamz_spark.operators.quality import c4_clean
+        from streamz_spark.plans import exchange_count
+        from streamz_spark.io import load_table
+
+        from .conftest import SF_DIR
+
+        df = c4_clean(load_table(spark, SF_DIR, "documents"))
+        assert exchange_count(df) == 0  # map-only cleaning phase

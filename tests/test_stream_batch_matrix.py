@@ -1361,6 +1361,76 @@ def _cell_heavy_hitters_events(spark):
 CELLS["heavy_hitters/events"] = _cell_heavy_hitters_events
 
 
+def _cell_stream_stream_join_events(spark):
+    # NATIVE watermarked stream-stream interval join (Spark's own
+    # state-backed join, not a custom stateful op): every view joined
+    # to the same user's clicks within the following 30 minutes. The
+    # reference cannot express this at all (its zip/combine_latest
+    # family has no time-interval semantics); batch twin is the plain
+    # range join.
+    # watermarks need TIMESTAMP (tz) — the table carries TIMESTAMP_NTZ
+    stream = _replay_ordered(spark, "events", "event_id").withColumn(
+        "ts", F.col("ts").cast("timestamp")
+    )
+    views = (
+        stream.filter(F.col("event_type") == "view")
+        .select(
+            F.col("user_id").alias("v_user"),
+            F.col("ts").alias("v_ts"),
+            F.col("value").alias("v_val"),
+        )
+        .withWatermark("v_ts", "1 hour")
+    )
+    clicks = (
+        stream.filter(F.col("event_type") == "click")
+        .select(
+            F.col("user_id").alias("c_user"),
+            F.col("ts").alias("c_ts"),
+            F.col("value").alias("c_val"),
+        )
+        .withWatermark("c_ts", "1 hour")
+    )
+    joined = views.join(
+        clicks,
+        F.expr(
+            "v_user = c_user AND c_ts >= v_ts "
+            "AND c_ts <= v_ts + INTERVAL 30 MINUTES"
+        ),
+    ).select("v_user", "v_ts", "c_ts", "v_val", "c_val")
+    got = pd.concat(
+        sink_to_list(joined, output_mode="append"), ignore_index=True
+    )
+
+    ev = load_table(spark, SF_DIR, "events").withColumn(
+        "ts", F.col("ts").cast("timestamp")
+    )
+    bv = ev.filter(F.col("event_type") == "view").select(
+        F.col("user_id").alias("v_user"),
+        F.col("ts").alias("v_ts"),
+        F.col("value").alias("v_val"),
+    )
+    bc = ev.filter(F.col("event_type") == "click").select(
+        F.col("user_id").alias("c_user"),
+        F.col("ts").alias("c_ts"),
+        F.col("value").alias("c_val"),
+    )
+    want = (
+        bv.join(
+            bc,
+            F.expr(
+                "v_user = c_user AND c_ts >= v_ts "
+                "AND c_ts <= v_ts + INTERVAL 30 MINUTES"
+            ),
+        )
+        .select("v_user", "v_ts", "c_ts", "v_val", "c_val")
+        .toPandas()
+    )
+    return got, want
+
+
+CELLS["stream_stream_join/events"] = _cell_stream_stream_join_events
+
+
 # parametrized LAST so late-registered cells are included
 @pytest.mark.parametrize("cell", sorted(CELLS))
 def test_stream_batch_cell(cell, spark):
