@@ -1043,6 +1043,26 @@ def nb_quality_apply(
     )
 
 
+def perplexity_cut_table(scored_with_lang: DataFrame) -> DataFrame:
+    """Per-language tercile VALUE cuts of the integer micro-nat NLL
+    score: ``(lang, p33, p66)`` from a frame carrying ``lang`` and
+    ``nll_mean_micro`` columns. Extracted so the CCNet deployment
+    split (derive cuts from the reference corpus once, then
+    stream-classify against the broadcast/literal cut table) can reuse
+    the exact aggregate `perplexity_buckets` uses internally. Exact
+    percentile for oracle reproducibility — at 100 TB swap for
+    ``percentile_approx`` (mergeable KLL), same note as the composed
+    operator."""
+    return scored_with_lang.groupBy("lang").agg(
+        F.floor(F.percentile("nll_mean_micro", F.lit(1.0 / 3.0)))
+        .cast("long")
+        .alias("p33"),
+        F.floor(F.percentile("nll_mean_micro", F.lit(2.0 / 3.0)))
+        .cast("long")
+        .alias("p66"),
+    )
+
+
 def perplexity_buckets(
     df: DataFrame,
     id_col: str = "doc_id",
@@ -1089,14 +1109,7 @@ def perplexity_buckets(
     )
     langs = df.select(F.col(id_col), F.col(lang_col).alias("lang"))
     wl = scores.join(langs, id_col)
-    cuts = wl.groupBy("lang").agg(
-        F.floor(F.percentile("nll_mean_micro", F.lit(1.0 / 3.0)))
-        .cast("long")
-        .alias("p33"),
-        F.floor(F.percentile("nll_mean_micro", F.lit(2.0 / 3.0)))
-        .cast("long")
-        .alias("p66"),
-    )
+    cuts = perplexity_cut_table(wl)
     out = wl.join(F.broadcast(cuts), "lang")
     bucket = (
         F.when(F.col("nll_mean_micro") <= F.col("p33"), F.lit("head"))
