@@ -23,6 +23,7 @@ __all__ = [
     "hyperplane_lsh_ann",
     "ivf_ann",
     "pq_ann",
+    "hybrid_rrf_topk",
 ]
 
 
@@ -588,4 +589,174 @@ def pq_ann(
         scored.withColumn("rank", F.row_number().over(wr))
         .filter(F.col("rank") <= k)
         .select("qid", "cid", "cosine", "rank")
+    )
+
+
+def hybrid_rrf_topk(
+    docs: DataFrame,
+    embs: DataFrame,
+    terms: list[str],
+    query_vec_id: int,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    vec_id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    arm_n: int = 50,
+    k: int = 20,
+    k0: int = 60,
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> DataFrame:
+    """Hybrid ranked retrieval: a BM25 keyword arm and a cosine vector
+    arm fused by Reciprocal Rank Fusion (Cormack/Clarke/Buettcher 2009)
+    — the standard production recipe for combining a lexical index with
+    an embedding index, which neither `bm25_term_topk` nor the ANN
+    operators cover alone.
+
+    RRF(d) = Σ_arms 1/(k0 + rank_arm(d)) over each arm's top-``arm_n``
+    list; a document absent from an arm contributes 0 from it. The
+    reciprocal is computed as integer nano-units (``1e9 div (k0+rank)``)
+    so the fused score is an exact integer — engine-identical, no float
+    association anywhere in the fusion.
+
+    Determinism: the text arm floors each per-term BM25 contribution to
+    integer micro-units BEFORE the per-doc sum (same contract as
+    `text.unigram_nll_quality` — integer SUM is associative, the only
+    residual exposure is one ln landing within ulps of a floor
+    boundary); the vector arm orders by the same left-to-right cosine
+    fold the ANN oracles reproduce bit-exactly. Both arms tie-break on
+    id, so every rank is total-ordered.
+
+    Scale shape: the query-term filter lands before any shuffle (only
+    postings for |terms| query terms shuffle); the 1-row query vector
+    and corpus scalars broadcast; each arm ends in a TakeOrdered
+    (orderBy+limit — no full sort); the fusion join and final ranking
+    window touch ≤ 2·arm_n rows. No corpus-sized window exists in the
+    plan.
+
+    Output: ``(doc_id, text_rank, vec_rank, rrf_nanos, rank)`` —
+    integer columns only (arm ranks are NULL where the doc missed that
+    arm's top-n).
+    """
+    from streamz_spark.operators.text import token_count, tokenize
+
+    # ---- text arm: per-doc BM25 over the query terms ------------------
+    toks = tokenize(text_col)
+    d = docs.select(
+        F.col(id_col).alias("id"),
+        toks.alias("toks"),
+        F.size(toks).cast("long").alias("doc_len"),
+    )
+    scalars = docs.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(token_count(text_col)).alias("total_tokens"),
+    )
+    term_lits = F.array(*[F.lit(t) for t in terms])
+    postings = (
+        d.select(
+            "id",
+            "doc_len",
+            "toks",
+            F.explode(F.array_intersect("toks", term_lits)).alias("term"),
+        )
+        .withColumn(
+            "tf",
+            F.size(F.filter("toks", lambda x: x == F.col("term"))).cast("long"),
+        )
+        .drop("toks")
+    )
+    dfreq = postings.groupBy("term").agg(F.count(F.lit(1)).alias("df_count"))
+    contrib = (
+        postings.join(F.broadcast(dfreq), "term")
+        .crossJoin(F.broadcast(scalars))
+        .withColumn("avgdl", F.col("total_tokens") / F.col("n_docs"))
+        .withColumn(
+            "idf",
+            F.log(
+                1.0
+                + (F.col("n_docs") - F.col("df_count") + 0.5)
+                / (F.col("df_count") + 0.5)
+            ),
+        )
+        .withColumn(
+            "bm25_micros",
+            F.floor(
+                F.col("idf")
+                * (F.col("tf") * F.lit(k1 + 1.0))
+                / (
+                    F.col("tf")
+                    + F.lit(k1)
+                    * (
+                        F.lit(1.0 - b)
+                        + F.lit(b) * F.col("doc_len") / F.col("avgdl")
+                    )
+                )
+                * F.lit(1000000.0)
+            ).cast("long"),
+        )
+    )
+    text_scores = contrib.groupBy("id").agg(
+        F.sum("bm25_micros").alias("bm25_micros")
+    )
+    # TakeOrdered (no full sort); the rank window runs over <= arm_n rows
+    text_top = text_scores.orderBy(
+        F.col("bm25_micros").desc(), F.col("id").asc()
+    ).limit(arm_n)
+    wt = W.orderBy(F.col("bm25_micros").desc(), F.col("id").asc())
+    text_ranked = text_top.select(
+        "id", F.row_number().over(wt).cast("long").alias("text_rank")
+    )
+
+    # ---- vector arm: cosine vs the broadcast 1-row query vector -------
+    base = with_norm(
+        embs.select(F.col(vec_id_col).alias("id"), F.col(vec_col).alias("v")),
+        "v",
+        "norm",
+    )
+    qrow = with_norm(
+        embs.filter(F.col(vec_id_col) == query_vec_id).select(
+            F.col(vec_col).alias("qv")
+        ),
+        "qv",
+        "qnorm",
+    )
+    scored = base.crossJoin(F.broadcast(qrow)).select(
+        "id", cosine_expr("v", "qv", "norm", "qnorm").alias("cosine")
+    )
+    vec_top = scored.orderBy(F.col("cosine").desc(), F.col("id").asc()).limit(
+        arm_n
+    )
+    wv = W.orderBy(F.col("cosine").desc(), F.col("id").asc())
+    vec_ranked = vec_top.select(
+        "id", F.row_number().over(wv).cast("long").alias("vec_rank")
+    )
+
+    # ---- fusion: exact integer RRF over the union of the two lists ----
+    rrf_scale = 1_000_000_000
+    fused = (
+        text_ranked.join(vec_ranked, "id", "full_outer")
+        .withColumn(
+            "rrf_nanos",
+            (
+                F.coalesce(
+                    F.expr(f"{rrf_scale} div ({k0} + text_rank)"), F.lit(0)
+                )
+                + F.coalesce(
+                    F.expr(f"{rrf_scale} div ({k0} + vec_rank)"), F.lit(0)
+                )
+            ).cast("long"),
+        )
+    )
+    wf = W.orderBy(F.col("rrf_nanos").desc(), F.col("id").asc())
+    return (
+        fused.withColumn("rank", F.row_number().over(wf).cast("long"))
+        .filter(F.col("rank") <= k)
+        .select(
+            F.col("id").alias(id_col),
+            "text_rank",
+            "vec_rank",
+            "rrf_nanos",
+            "rank",
+        )
     )

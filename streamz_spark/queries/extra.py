@@ -3674,7 +3674,13 @@ def _c4_lined_corpus(spark, sf_dir):
     newlines/punctuation, so the entry constructs 10-word lines with
     terminal punctuation, junk lines, and boilerplate pages injected
     by doc_id arithmetic — replicated verbatim in the oracle."""
-    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    return _c4_line_docs(load_table(spark, sf_dir, "documents"))
+
+
+def _c4_line_docs(docs):
+    """The lining transform alone (stateless — works on a stream too:
+    the ingest-time matrix cell applies it to replayed chunks)."""
+    docs = docs.select("doc_id", "text")
     return docs.select(
         "doc_id",
         F.expr(
@@ -3711,4 +3717,121 @@ def c4_line_cleaning(spark, sf_dir):
     lined = _c4_lined_corpus(spark, sf_dir)
     return c4_clean(lined).select(
         "doc_id", "lines_total", "lines_kept", "text_clean", "kept"
+    )
+
+
+# --------------------------------------------------------------------------
+# hybrid retrieval: BM25 + vector arms fused by Reciprocal Rank Fusion
+# --------------------------------------------------------------------------
+
+_RRF_K0 = 60
+_RRF_ARM_N = 50
+_RRF_TOPK = 20
+_RRF_QUERY_VEC_ID = 7
+
+_HYBRID_RRF_ORACLE = f"""
+    WITH d2 AS (
+        SELECT doc_id AS id,
+               CASE WHEN length(trim(lower(text))) = 0 THEN []::VARCHAR[]
+                    ELSE regexp_split_to_array(trim(lower(text)), '\\s+')
+               END AS toks
+        FROM documents
+    ),
+    docs AS (SELECT id, toks, CAST(len(toks) AS BIGINT) AS doc_len FROM d2),
+    scalars AS (
+        SELECT COUNT(*) AS n_docs, SUM(doc_len) AS total_tokens FROM docs
+    ),
+    postings AS (
+        SELECT id, doc_len, t.term,
+               CAST(len(list_filter(toks, x -> x = t.term)) AS BIGINT) AS tf
+        FROM docs, (SELECT unnest({_BM25_TERMS_SQL}) AS term) t
+        WHERE list_contains(toks, t.term)
+    ),
+    dfreq AS (SELECT term, COUNT(*) AS df_count FROM postings GROUP BY 1),
+    contrib AS (
+        SELECT p.id,
+               CAST(floor(
+                   ln(1.0 + (n_docs - df_count + 0.5) / (df_count + 0.5))
+                   * (tf * {_BM25_K1 + 1.0!r})
+                   / (tf + {_BM25_K1!r} * ({1.0 - _BM25_B!r}
+                      + ({_BM25_B!r} * doc_len)
+                        / (total_tokens / n_docs)))
+                   * 1000000.0) AS BIGINT) AS bm25_micros
+        FROM postings p JOIN dfreq f USING (term) CROSS JOIN scalars
+    ),
+    tscore AS (SELECT id, SUM(bm25_micros) AS bm25_micros FROM contrib GROUP BY 1),
+    ttop AS (SELECT id, bm25_micros FROM tscore
+             ORDER BY bm25_micros DESC, id ASC LIMIT {_RRF_ARM_N}),
+    tranked AS (
+        SELECT id, CAST(ROW_NUMBER() OVER (
+            ORDER BY bm25_micros DESC, id ASC) AS BIGINT) AS text_rank
+        FROM ttop
+    ),
+    v AS (
+        SELECT vec_id AS id,
+               list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        FROM embeddings
+    ),
+    n AS (SELECT id, v, sqrt(list_dot_product(v, v)) AS norm FROM v),
+    q AS (SELECT v AS qv, norm AS qnorm FROM n WHERE id = {_RRF_QUERY_VEC_ID}),
+    vs AS (
+        SELECT n.id,
+               CASE WHEN n.norm * q.qnorm > 0
+                    THEN list_dot_product(n.v, q.qv) / (n.norm * q.qnorm)
+                    ELSE 0.0 END AS cosine
+        FROM n CROSS JOIN q
+    ),
+    vtop AS (SELECT id, cosine FROM vs
+             ORDER BY cosine DESC, id ASC LIMIT {_RRF_ARM_N}),
+    vranked AS (
+        SELECT id, CAST(ROW_NUMBER() OVER (
+            ORDER BY cosine DESC, id ASC) AS BIGINT) AS vec_rank
+        FROM vtop
+    ),
+    fused AS (
+        SELECT COALESCE(t.id, vr.id) AS id, t.text_rank, vr.vec_rank,
+               CAST(COALESCE(1000000000 // ({_RRF_K0} + t.text_rank), 0)
+                    + COALESCE(1000000000 // ({_RRF_K0} + vr.vec_rank), 0)
+                 AS BIGINT) AS rrf_nanos
+        FROM tranked t FULL OUTER JOIN vranked vr ON t.id = vr.id
+    )
+    SELECT id AS doc_id, text_rank, vec_rank, rrf_nanos,
+           CAST(rnk AS BIGINT) AS rank
+    FROM (
+        SELECT *, ROW_NUMBER() OVER (
+            ORDER BY rrf_nanos DESC, id ASC) AS rnk
+        FROM fused
+    ) WHERE rnk <= {_RRF_TOPK}
+"""
+
+
+@register_extra(
+    "hybrid_rrf_retrieval",
+    oracle=_HYBRID_RRF_ORACLE,
+    doc="hybrid ranked retrieval: BM25 keyword arm + cosine vector arm "
+        "fused by Reciprocal Rank Fusion (Cormack et al. 2009), the "
+        "standard lexical+embedding production recipe. The fused score "
+        "is exact integer nano-units (1e9 div (k0+rank)), per-term BM25 "
+        "contributions floor to integer micro-units before the per-doc "
+        "sum (associative — engine-identical), and the vector arm uses "
+        "the same cosine fold the ANN oracles reproduce bit-exactly. "
+        "Scale shape: query-term filter before any shuffle, broadcast "
+        "1-row query vector, each arm ends in a TakeOrdered, fusion "
+        "windows touch <= 2*arm_n rows — no corpus-sized window.",
+)
+def hybrid_rrf_retrieval(spark, sf_dir):
+    from streamz_spark.operators.similarity import hybrid_rrf_topk
+
+    docs = load_table(spark, sf_dir, "documents")
+    embs = load_table(spark, sf_dir, "embeddings")
+    return hybrid_rrf_topk(
+        docs,
+        embs,
+        _BM25_TERMS,
+        _RRF_QUERY_VEC_ID,
+        arm_n=_RRF_ARM_N,
+        k=_RRF_TOPK,
+        k0=_RRF_K0,
+        k1=_BM25_K1,
+        b=_BM25_B,
     )

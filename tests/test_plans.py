@@ -592,3 +592,26 @@ def test_skew_profile_plan_shape(spark):
     assert "TakeOrderedAndProject" in plan
     n_ex = plan.count("Exchange hashpartitioning")
     assert n_ex <= 2, n_ex
+
+
+def test_hybrid_rrf_plan_shape(spark):
+    # hybrid RRF contract: both arms end in bounded TakeOrdered (no
+    # corpus-wide global sort); the per-doc BM25 sum is map-side
+    # combinable; corpus scalars / dfreq / query vector ride in as
+    # broadcasts — no sort-merge join of the corpus anywhere. The
+    # rank windows are legal ONLY because they run over the <= arm_n
+    # TakeOrdered outputs.
+    from streamz_spark.plans import explain_string
+
+    plan = explain_string(q("hybrid_rrf_retrieval", spark))
+    # the ONLY sort-merge join allowed is the FullOuter fusion of the
+    # two TakeOrdered arm outputs (<= arm_n rows each, bounded by
+    # construction) — the corpus itself must never sort-merge
+    smj_tree_lines = [
+        ln for ln in plan.splitlines()
+        if "SortMergeJoin" in ln and ("+-" in ln or ":-" in ln)
+    ]
+    assert all("FullOuter" in ln for ln in smj_tree_lines), smj_tree_lines
+    assert "TakeOrderedAndProject" in plan
+    assert "partial_" in plan
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan

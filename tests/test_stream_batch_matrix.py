@@ -1431,6 +1431,29 @@ def _cell_stream_stream_join_events(spark):
 CELLS["stream_stream_join/events"] = _cell_stream_stream_join_events
 
 
+def _cell_c4_clean_documents(spark):
+    # C4 line-level cleaning (Raffel et al. 2020 §2.2) is per-row
+    # stateless — pure narrow string expressions — so applying it at
+    # ingest time over replayed chunks must be bit-identical to the
+    # batch scan (C4's map-only cleaning phase run as a stream)
+    from streamz_spark.operators.quality import c4_clean
+    from streamz_spark.queries.extra import _c4_line_docs
+    from streamz_spark.streaming.sources import replay_table
+
+    shape = lambda df: c4_clean(_c4_line_docs(df)).select(
+        "doc_id", "lines_total", "lines_kept", "text_clean", "kept"
+    )
+    got = pd.concat(
+        sink_to_list(shape(replay_table(spark, SF_DIR, "documents", chunk_col="doc_id"))),
+        ignore_index=True,
+    )
+    want = shape(load_table(spark, SF_DIR, "documents")).toPandas()
+    return got, want
+
+
+CELLS["c4_clean/documents"] = _cell_c4_clean_documents
+
+
 # parametrized LAST so late-registered cells are included
 @pytest.mark.parametrize("cell", sorted(CELLS))
 def test_stream_batch_cell(cell, spark):
