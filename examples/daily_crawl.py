@@ -20,7 +20,7 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 from pyspark.sql import functions as F
 
 from streamz_spark import get_spark, load_table
-from streamz_spark.operators.dedup import dedup_index_artifacts, incremental_dedup
+from streamz_spark.operators.index_store import DedupIndexStore
 
 
 def main(sf_dir: str = "/root/testdata/sf0.01"):
@@ -29,27 +29,33 @@ def main(sf_dir: str = "/root/testdata/sf0.01"):
     incoming = docs.where(F.col("doc_id") % 10 < 2)
     index = docs.where(F.col("doc_id") % 10 >= 2)
 
-    # 1. the index artifact a production deployment persists once
-    base = tempfile.mkdtemp(prefix="crawl_index_")
-    fp, sh, band = dedup_index_artifacts(index)
-    fp.write.mode("overwrite").parquet(base + "/fp")
-    sh.write.mode("overwrite").parquet(base + "/sh")
-    band.write.mode("overwrite").parquet(base + "/band")
-    arts = tuple(spark.read.parquet(base + p) for p in ("/fp", "/sh", "/band"))
+    # 1. the index artifact a production deployment persists once —
+    # DedupIndexStore owns the whole lifecycle (screen/append/compact)
+    store = DedupIndexStore(spark, tempfile.mkdtemp(prefix="crawl_index_"))
+    store.initialize(index)
 
     # 2. screen today's batch — incoming-sized work only
-    kept = incremental_dedup(incoming, index_artifacts=arts)
+    kept = store.screen(incoming)
     n_in, n_kept = incoming.count(), kept.count()
     print(f"incoming {n_in} docs -> kept {n_kept} "
           f"({n_in - n_kept} duplicates of the index dropped)")
 
-    # 3. data card of what survived
+    # 3. data card of what survived — computed BEFORE mutating the
+    # store: `kept` is lazy and reads the store's current files, so
+    # re-executing it after append/compact would hit deleted paths
+    # (see DedupIndexStore.screen's contract)
     spent = kept.groupBy("source").agg(
         F.count(F.lit(1)).alias("docs"),
         F.sum(F.length("text")).alias("chars"),
-    )
-    for r in spent.orderBy("source").collect():
+    ).orderBy("source").collect()
+    for r in spent:
         print(f"  {r['source']}: {r['docs']} docs, {r['chars']} chars")
+
+    # 4. fold the survivors into the index (tomorrow screens against
+    # them) and compact so read amplification stays bounded over days
+    store.append(kept)
+    print("files after append:", store.file_counts(),
+          "-> after compact:", store.compact())
 
     spark.stop()
 

@@ -1,0 +1,212 @@
+"""Parquet-backed lifecycle for the incremental-dedup index artifact.
+
+`dedup.incremental_dedup(index_artifacts=...)` makes each daily batch
+incoming-sized — but only if someone maintains the stored artifact.
+This module owns that lifecycle, the part a real daily-crawl
+deployment runs every day for years:
+
+* **initialize(index)** — build the three artifact relations
+  (fingerprints / shingles / LSH band table) once and persist them.
+* **screen(incoming)** — today's batch vs the stored index.
+* **append(kept)** — fold the day's survivors INTO the index, so
+  tomorrow's batch is screened against everything kept today
+  (plain parquet append: one new file set per day, cheap).
+* **compact()** — the append path's read-amplification fix: after N
+  days the band table is N file-sets deep and every screen pays N
+  footer reads per partition. Compaction rewrites each table into a
+  bounded file count (and `DISTINCT`s the fingerprint relation, which
+  appends can only grow) without changing any screening result.
+
+Atomicity note: compaction stages the rewrite in a sibling directory
+and swaps it in with a filesystem rename — safe for the single-writer
+daily-batch cadence this models. A multi-writer production deployment
+would put a transactional table format (manifest/log) under the same
+three relations; the relational shape and join keys are unchanged.
+
+Reference parity: the reference engine has no persistent-index dedup
+(its `unique`/`RefCounter` state dies with the stream —
+streamz/core.py); this is part of the 100 TB capability superset.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+__all__ = ["DedupIndexStore"]
+
+_TABLES = ("fp", "sh", "band")
+# bound the per-table file count after compaction: the band table is
+# the hot join side; 1 file per LSH band keeps the screen's scan list
+# O(bands) no matter how many days were appended
+_COMPACT_PARTITIONS = {"fp": 4, "sh": 4, "band": 16}
+
+
+class DedupIndexStore:
+    """Stored-index lifecycle for :func:`dedup.incremental_dedup`.
+
+    All three relations live as parquet under ``base``:
+    ``fp/`` (``__fp`` normalized-md5 keys), ``sh/`` (``(id, sh)``
+    shingle sets), ``band/`` (``(id, band, bhash)`` LSH buckets).
+    MinHash/shingle parameters are fixed at store creation — mixing
+    signatures produced under different parameters would silently
+    break recall, so they are pinned here and every append reuses
+    them.
+    """
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        base: str,
+        *,
+        id_col: str = "doc_id",
+        text_col: str = "text",
+        num_perm: int = 64,
+        k: int = 3,
+        bands: int = 16,
+        threshold: float = 0.5,
+    ):
+        self.spark = spark
+        self.base = base
+        self.id_col = id_col
+        self.text_col = text_col
+        self.num_perm = num_perm
+        self.k = k
+        self.bands = bands
+        self.threshold = threshold
+
+    # -- paths ----------------------------------------------------------
+    def _path(self, table: str) -> str:
+        return os.path.join(self.base, table)
+
+    def file_counts(self) -> dict[str, int]:
+        """Parquet data files per table — the read-amplification
+        metric compaction bounds."""
+        out = {}
+        for t in _TABLES:
+            p = self._path(t)
+            out[t] = sum(
+                1
+                for root, _, files in os.walk(p)
+                for f in files
+                if f.endswith(".parquet")
+            ) if os.path.isdir(p) else 0
+        return out
+
+    # -- build ----------------------------------------------------------
+    def _artifacts_for(self, docs: DataFrame):
+        from streamz_spark.operators.dedup import dedup_index_artifacts
+
+        return dedup_index_artifacts(
+            docs,
+            id_col=self.id_col,
+            text_col=self.text_col,
+            num_perm=self.num_perm,
+            k=self.k,
+            bands=self.bands,
+        )
+
+    def initialize(self, index: DataFrame) -> None:
+        """Build the artifact from the historical corpus and persist
+        it (overwrite). The one index-sized pass; everything after is
+        incoming-sized."""
+        fp, sh, band = self._artifacts_for(index)
+        fp.write.mode("overwrite").parquet(self._path("fp"))
+        sh.write.mode("overwrite").parquet(self._path("sh"))
+        # lay the hot join side out on its join key so compacted files
+        # are band-clustered (scan pruning + co-located-ish buckets)
+        band.repartition(self.bands, "band").write.mode("overwrite").parquet(
+            self._path("band")
+        )
+
+    def artifacts(self):
+        """The three stored relations, as `incremental_dedup` expects."""
+        r = self.spark.read
+        return (
+            r.parquet(self._path("fp")),
+            r.parquet(self._path("sh")),
+            r.parquet(self._path("band")),
+        )
+
+    # -- daily loop ------------------------------------------------------
+    def screen(self, incoming: DataFrame) -> DataFrame:
+        """Incoming rows that survive exact + near-dup screening
+        against the stored index (incoming-sized work).
+
+        Contract: the result is LAZY and reads the store's files as of
+        this call. Do not re-execute it — and especially do not feed
+        it back into another :meth:`screen` — after :meth:`append` /
+        :meth:`compact` mutate the store: Spark canonicalizes
+        identical path scans within a plan, so a pre-mutation scan
+        embedded in the frame's lineage can serve its stale file
+        listing to the fresh screen's scan of the same path (verified:
+        a screen of a frame derived from a pre-append screen drops
+        NOTHING, because the unified fp scan only lists pre-append
+        files). Materialize first — write to the corpus store and
+        re-read, which is the production shape anyway; `append()`
+        cuts its own input's lineage for exactly this reason."""
+        from streamz_spark.operators.dedup import incremental_dedup
+
+        return incremental_dedup(
+            incoming,
+            id_col=self.id_col,
+            text_col=self.text_col,
+            num_perm=self.num_perm,
+            k=self.k,
+            bands=self.bands,
+            threshold=self.threshold,
+            index_artifacts=self.artifacts(),
+        )
+
+    def append(self, kept: DataFrame) -> None:
+        """Fold the day's kept docs into the index (parquet append —
+        one new file set, no rewrite of history). Screening tomorrow's
+        batch then sees today's docs; run :meth:`compact` when
+        `file_counts` says the append depth costs more than a
+        rewrite.
+
+        The kept frame's lineage is cut (localCheckpoint) before the
+        first write: `screen()` output still READS the index paths,
+        and the three appends are separate actions — without the
+        barrier the second append would re-execute the screen against
+        the fingerprints the first append just added and silently
+        shrink the kept set mid-append. (A deployment that lands the
+        kept docs in its corpus store first and passes a re-read frame
+        pays nothing here.)"""
+        kept = kept.localCheckpoint(eager=True)
+        fp, sh, band = self._artifacts_for(kept)
+        fp.write.mode("append").parquet(self._path("fp"))
+        sh.write.mode("append").parquet(self._path("sh"))
+        band.write.mode("append").parquet(self._path("band"))
+
+    # -- maintenance ------------------------------------------------------
+    def compact(self) -> dict[str, int]:
+        """Rewrite each table into a bounded file count; fingerprints
+        are DISTINCT'd (appends can only add duplicate ``__fp`` rows —
+        e.g. two near-identical days both kept — and every duplicate
+        inflates the anti-join build side for no information).
+
+        Screening results are IDENTICAL before and after: `sh`/`band`
+        rows are per-id unique by construction (appends carry disjoint
+        kept ids), and the exact screen is an anti-join — set
+        semantics, immune to the fp DISTINCT.
+
+        Returns the post-compaction file counts.
+        """
+        specs = {
+            "fp": lambda df: df.distinct().repartition(_COMPACT_PARTITIONS["fp"]),
+            "sh": lambda df: df.repartition(_COMPACT_PARTITIONS["sh"]),
+            "band": lambda df: df.repartition(_COMPACT_PARTITIONS["band"], "band"),
+        }
+        for t, fix in specs.items():
+            src = self._path(t)
+            stage = src + "__compact_" + uuid.uuid4().hex[:8]
+            fix(self.spark.read.parquet(src)).write.mode("overwrite").parquet(stage)
+            old = src + "__old_" + uuid.uuid4().hex[:8]
+            os.rename(src, old)
+            os.rename(stage, src)
+            shutil.rmtree(old)
+        return self.file_counts()

@@ -1,0 +1,130 @@
+"""DedupIndexStore lifecycle: the daily-crawl loop over a stored
+parquet index — initialize / screen / append / compact — with the
+claims tested as behavior: cross-day dedup after append, screening
+invariance under compaction, bounded file counts, fp distinct."""
+
+from __future__ import annotations
+
+import tempfile
+
+import pytest
+from pyspark.sql import functions as F
+
+from streamz_spark.io import load_table
+from streamz_spark.operators.index_store import DedupIndexStore
+
+from .conftest import SF_DIR
+
+
+@pytest.fixture()
+def store(spark, tmp_path):
+    return DedupIndexStore(spark, str(tmp_path / "idx"))
+
+
+def _docs(spark):
+    return load_table(spark, SF_DIR, "documents").select("doc_id", "text")
+
+
+def _ids(df):
+    return {r["doc_id"] for r in df.select("doc_id").collect()}
+
+
+def test_screen_equals_direct_incremental_dedup(spark, store):
+    # the stored-artifact path must be result-identical to passing the
+    # index corpus directly (same operator, lazily derived artifacts)
+    from streamz_spark.operators.dedup import incremental_dedup
+
+    docs = _docs(spark)
+    index = docs.where(F.col("doc_id") % 10 >= 2)
+    incoming = docs.where(F.col("doc_id") % 10 < 2)
+    store.initialize(index)
+    got = _ids(store.screen(incoming))
+    want = _ids(incremental_dedup(incoming, index=index))
+    assert got == want
+
+
+def test_append_makes_next_day_see_todays_docs(spark, store):
+    # day 1's kept docs must screen day 2: replay day 1's exact docs
+    # as day 2 — all must drop as exact duplicates of the appended index
+    docs = _docs(spark)
+    index = docs.where(F.col("doc_id") % 10 >= 5)
+    day1 = docs.where(F.col("doc_id") % 10 < 5)
+    store.initialize(index)
+    kept1 = store.screen(day1)
+    n_kept1 = kept1.count()
+    assert n_kept1 > 0
+    store.append(kept1)
+    # day 2 arrives from storage (the production shape — and required:
+    # a frame derived lazily from day 1's screen would embed PRE-append
+    # scans of the store paths, which Spark plan-reuse would unify with
+    # the fresh screen's scans, serving the stale listing; see
+    # DedupIndexStore.screen docstring)
+    day2 = spark.createDataFrame(
+        kept1.toPandas().assign(doc_id=lambda d: d.doc_id + 1_000_000)
+    )
+    # same texts, shifted ids — the exact fingerprint screen is
+    # id-independent, so every one of day 1's kept texts must drop
+    kept2 = store.screen(day2)
+    assert kept2.count() == 0
+
+
+def test_append_lineage_barrier_keeps_artifacts_consistent(spark, store):
+    # the three appended relations must describe the SAME kept set —
+    # without append()'s lineage cut, fp would append before sh/band
+    # re-execute the screen and the sets diverge
+    docs = _docs(spark)
+    index = docs.where(F.col("doc_id") % 10 >= 5)
+    day1 = docs.where(F.col("doc_id") % 10 < 5)
+    store.initialize(index)
+    kept1 = store.screen(day1)
+    n_index = index.count()
+    n_kept = kept1.count()
+    store.append(kept1)
+    fp, sh, band = store.artifacts()
+    assert fp.count() == n_index + n_kept
+    assert sh.count() == n_index + n_kept
+    assert band.count() == (n_index + n_kept) * store.bands
+
+
+def test_compact_preserves_screening_and_bounds_files(spark, store):
+    docs = _docs(spark)
+    index = docs.where(F.col("doc_id") % 10 >= 6)
+    store.initialize(index)
+    # simulate a week of small appends (disjoint day slices)
+    for day in range(3):
+        slice_ = docs.where(F.col("doc_id") % 10 == day * 2)
+        kept = store.screen(slice_)
+        store.append(kept)
+    probe = docs.where(F.col("doc_id") % 10 == 1)
+    before_kept = _ids(store.screen(probe))
+    before_files = store.file_counts()
+    fp_rows_before = store.artifacts()[0].count()
+
+    after_files = store.compact()
+
+    assert _ids(store.screen(probe)) == before_kept
+    # bounded: the band table (hot join side) lands at <= bands files
+    assert after_files["band"] <= store.bands
+    assert after_files["fp"] <= 4 and after_files["sh"] <= 4
+    # appends strictly grew the file count; compaction must shrink it
+    assert sum(after_files.values()) < sum(before_files.values())
+    # fp is DISTINCT'd — never more rows than before
+    assert store.artifacts()[0].count() <= fp_rows_before
+
+
+def test_compact_distincts_duplicate_fingerprints(spark, store):
+    # appending the same text twice (different ids, e.g. two mirrors
+    # both kept before cross-mirror dedup) duplicates the fp row;
+    # compaction collapses it without touching sh/band cardinality
+    docs = _docs(spark).limit(50)
+    store.initialize(docs)
+    dup = docs.select((F.col("doc_id") + 777_000).alias("doc_id"), "text")
+    store.append(dup)  # raw append models an out-of-band ingest
+    fp, sh, band = store.artifacts()
+    assert fp.count() == 100  # duplicated fingerprints present
+    assert fp.distinct().count() == 50
+    store.compact()
+    fp2, sh2, band2 = store.artifacts()
+    assert fp2.count() == 50
+    assert sh2.count() == 100  # per-id relations untouched
+    assert band2.count() == 100 * store.bands
