@@ -26,6 +26,7 @@ __all__ = [
     "minhash_signatures",
     "minhash_lsh_candidates",
     "minhash_near_duplicates",
+    "plan_lsh_params",
     "dedup_index_artifacts",
     "incremental_dedup",
     "simhash",
@@ -1023,3 +1024,56 @@ def semdedup(
             F.coalesce(~F.col("__dup"), F.lit(True)).alias("keep"),
         )
     )
+
+
+def plan_lsh_params(
+    threshold: float,
+    num_perm: int = 64,
+    fp_weight: float = 0.5,
+    fn_weight: float = 0.5,
+) -> tuple[int, int]:
+    """Choose the LSH banding ``(bands, rows_per_band)`` for a target
+    Jaccard ``threshold`` — the standard S-curve optimization (MMDS
+    ch.3 / the datasketch parameterization, re-derived): candidate
+    probability at similarity ``s`` is ``P(s) = 1 - (1 - s^r)^b``;
+    pick the divisor pair of ``num_perm`` minimizing
+
+        fp_weight * ∫₀ᵗ P(s) ds  +  fn_weight * ∫ₜ¹ (1 - P(s)) ds
+
+    (false positives below the threshold cost verify work; false
+    negatives above it cost recall — weight per deployment: crawl
+    dedup usually upweights FN, candidate-budgeted pipelines FP).
+
+    Driver-side pure math over the ≤ d(num_perm) divisor pairs — use
+    it to parameterize :func:`minhash_near_duplicates`,
+    :func:`dedup_index_artifacts` and the streaming near-dup state,
+    which all take explicit ``bands``. Deterministic (fixed 1024-point
+    midpoint quadrature), no RNG, no Spark.
+    """
+    if not 0.0 < threshold < 1.0:
+        raise ValueError(f"threshold must be in (0, 1), got {threshold}")
+    if num_perm < 2:
+        raise ValueError(f"num_perm must be >= 2, got {num_perm}")
+
+    def _p_candidate(s: float, b: int, r: int) -> float:
+        return 1.0 - (1.0 - s**r) ** b
+
+    n_q = 1024
+    best, best_err = None, None
+    for b in range(1, num_perm + 1):
+        if num_perm % b:
+            continue
+        r = num_perm // b
+        fp = fn = 0.0
+        # midpoint rule on [0, t] and [t, 1]
+        w_lo = threshold / n_q
+        w_hi = (1.0 - threshold) / n_q
+        for i in range(n_q):
+            s_lo = (i + 0.5) * w_lo
+            s_hi = threshold + (i + 0.5) * w_hi
+            fp += _p_candidate(s_lo, b, r) * w_lo
+            fn += (1.0 - _p_candidate(s_hi, b, r)) * w_hi
+        err = fp_weight * fp + fn_weight * fn
+        if best_err is None or err < best_err:
+            best, best_err = (b, r), err
+    return best

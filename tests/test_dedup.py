@@ -329,3 +329,58 @@ def test_pq_ann_cosines_are_exact(spark):
     bf = {(r.qid, r.cid): r.cosine for r in sim.brute_force_topk(emb, q, k=999).collect()}
     for r in sim.pq_ann(emb, k=5, codebooks="seed").collect():
         assert r.cosine == bf[(r.qid, r.cid)], (r.qid, r.cid)
+
+
+# --------------------------------------------------------------------------
+# LSH parameter planner
+# --------------------------------------------------------------------------
+
+def test_plan_lsh_params_matches_repo_default():
+    # the repo's production default (threshold 0.5, 64 perms, bands=16)
+    # must be what the planner derives — the default isn't arbitrary
+    from streamz_spark.operators.dedup import plan_lsh_params
+
+    assert plan_lsh_params(0.5, 64) == (16, 4)
+
+
+def test_plan_lsh_params_monotone_rows_in_threshold():
+    # higher similarity targets need steeper S-curves: rows per band
+    # must be non-decreasing in the threshold
+    from streamz_spark.operators.dedup import plan_lsh_params
+
+    rows = [plan_lsh_params(t, 128)[1] for t in (0.2, 0.4, 0.6, 0.8, 0.95)]
+    assert rows == sorted(rows), rows
+
+
+def test_plan_lsh_params_scurve_midpoint_near_threshold():
+    # the chosen banding's S-curve midpoint (1/b)^(1/r) — where
+    # candidate probability is ~0.5 — should land near the target
+    from streamz_spark.operators.dedup import plan_lsh_params
+
+    for t in (0.3, 0.5, 0.7):
+        b, r = plan_lsh_params(t, 256)
+        mid = (1.0 / b) ** (1.0 / r)
+        assert abs(mid - t) < 0.15, (t, b, r, mid)
+
+
+def test_plan_lsh_params_weights_shift_the_choice():
+    # upweighting false negatives (recall-critical crawl dedup) must
+    # never yield a steeper curve (more rows) than upweighting FPs
+    from streamz_spark.operators.dedup import plan_lsh_params
+
+    _, r_fn = plan_lsh_params(0.5, 128, fp_weight=0.1, fn_weight=0.9)
+    _, r_fp = plan_lsh_params(0.5, 128, fp_weight=0.9, fn_weight=0.1)
+    assert r_fn <= r_fp, (r_fn, r_fp)
+
+
+def test_plan_lsh_params_validation():
+    import pytest as _pytest
+
+    from streamz_spark.operators.dedup import plan_lsh_params
+
+    with _pytest.raises(ValueError):
+        plan_lsh_params(0.0, 64)
+    with _pytest.raises(ValueError):
+        plan_lsh_params(1.0, 64)
+    with _pytest.raises(ValueError):
+        plan_lsh_params(0.5, 1)
