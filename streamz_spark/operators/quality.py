@@ -359,3 +359,68 @@ def c4_clean(
         F.array_join(kept_lines, "\n").alias("text_clean"),
         doc_ok.alias("kept"),
     )
+
+
+def source_overlap(
+    df: DataFrame,
+    source_col: str = "source",
+    text_col: str = "text",
+    k: int = 3,
+) -> DataFrame:
+    """Cross-source content-overlap audit: for every pair of sources,
+    how many distinct word k-shingles they share, plus the overlap
+    coefficient — the curation diagnostic for overlapping crawl dumps,
+    mirrored sites, and syndicated content (e.g. consecutive Common
+    Crawl snapshots overlap heavily; a mixing plan that treats them as
+    independent double-counts that mass).
+
+    Output: ``(source_a, source_b, shared_shingles, shingles_a,
+    shingles_b, overlap_ppm)`` with ``source_a < source_b``;
+    ``overlap_ppm = shared * 1e6 div min(|A|, |B|)`` — the overlap
+    coefficient in integer ppm (integers only, engine-exact).
+
+    Scale shape: ONE corpus shingling pass into a distinct
+    ``(source, shingle)`` relation (the distinct is a balanced shuffle
+    on the composite key), then a self-equi-join on the shingle key —
+    per-shingle fan-out is bounded by (sources containing it choose
+    2), i.e. by SOURCE cardinality squared, never corpus size — into a
+    map-side-combinable pair groupBy. Per-source totals are a tiny
+    aggregate broadcast back onto the pair rows. Sources are
+    low-cardinality by definition (domains/dumps, not documents), so
+    the output is |sources|² bounded.
+    """
+    from streamz_spark.operators.text import word_shingles
+
+    sh = (
+        df.select(
+            F.col(source_col).alias("src"),
+            F.explode(word_shingles(text_col, k)).alias("s"),
+        )
+        .distinct()
+        # feeds both the per-source totals and the pair join: shingle
+        # the corpus once
+        .localCheckpoint(eager=False)
+    )
+    totals = sh.groupBy("src").agg(F.count(F.lit(1)).alias("n_sh"))
+    a = sh.select(F.col("src").alias("source_a"), "s")
+    b = sh.select(F.col("src").alias("source_b"), "s")
+    pairs = (
+        a.join(b, "s")
+        .filter(F.col("source_a") < F.col("source_b"))
+        .groupBy("source_a", "source_b")
+        .agg(F.count(F.lit(1)).alias("shared_shingles"))
+    )
+    ta = F.broadcast(totals.select(F.col("src").alias("source_a"), F.col("n_sh").alias("shingles_a")))
+    tb = F.broadcast(totals.select(F.col("src").alias("source_b"), F.col("n_sh").alias("shingles_b")))
+    return (
+        pairs.join(ta, "source_a")
+        .join(tb, "source_b")
+        .withColumn(
+            "overlap_ppm",
+            F.expr("(shared_shingles * 1000000) div least(shingles_a, shingles_b)").cast("long"),
+        )
+        .select(
+            "source_a", "source_b", "shared_shingles",
+            "shingles_a", "shingles_b", "overlap_ppm",
+        )
+    )

@@ -3835,3 +3835,61 @@ def hybrid_rrf_retrieval(spark, sf_dir):
         k1=_BM25_K1,
         b=_BM25_B,
     )
+
+
+# --------------------------------------------------------------------------
+# cross-source content-overlap audit
+# --------------------------------------------------------------------------
+
+_SOURCE_OVERLAP_ORACLE = """
+    WITH toks AS (
+        SELECT source,
+               CASE WHEN length(trim(lower(text))) = 0 THEN []::VARCHAR[]
+                    ELSE regexp_split_to_array(trim(lower(text)), '\\s+')
+               END AS t
+        FROM documents
+    ),
+    sh AS (
+        SELECT DISTINCT source AS src,
+               unnest(list_transform(range(1, greatest(len(t) - 2, 0) + 1),
+                      i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS s
+        FROM toks
+    ),
+    totals AS (SELECT src, COUNT(*) AS n_sh FROM sh GROUP BY 1),
+    pairs AS (
+        SELECT a.src AS source_a, b.src AS source_b,
+               COUNT(*) AS shared_shingles
+        FROM sh a JOIN sh b ON a.s = b.s AND a.src < b.src
+        GROUP BY 1, 2
+    )
+    SELECT p.source_a, p.source_b,
+           CAST(shared_shingles AS BIGINT) AS shared_shingles,
+           CAST(ta.n_sh AS BIGINT) AS shingles_a,
+           CAST(tb.n_sh AS BIGINT) AS shingles_b,
+           CAST((shared_shingles * 1000000) // least(ta.n_sh, tb.n_sh)
+                AS BIGINT) AS overlap_ppm
+    FROM pairs p
+    JOIN totals ta ON ta.src = p.source_a
+    JOIN totals tb ON tb.src = p.source_b
+"""
+
+
+@register_extra(
+    "source_overlap_matrix",
+    oracle=_SOURCE_OVERLAP_ORACLE,
+    doc="cross-source content-overlap audit: distinct 3-word shingles "
+        "shared per source pair + the overlap coefficient in integer "
+        "ppm — the curation diagnostic for overlapping crawl dumps / "
+        "mirrors / syndication (consecutive Common Crawl snapshots "
+        "overlap heavily; mixing plans that treat them as independent "
+        "double-count that mass). Scale shape: one corpus shingling "
+        "pass into a distinct (source, shingle) relation, a shingle-key "
+        "self-join whose fan-out is bounded by SOURCE cardinality "
+        "squared per shingle (never corpus size), map-side-combinable "
+        "pair groupBy, broadcast per-source totals.",
+)
+def source_overlap_matrix(spark, sf_dir):
+    from streamz_spark.operators.quality import source_overlap
+
+    docs = load_table(spark, sf_dir, "documents")
+    return source_overlap(docs, k=3)

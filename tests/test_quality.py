@@ -614,3 +614,21 @@ class TestC4Clean:
 
         df = c4_clean(load_table(spark, SF_DIR, "documents"))
         assert exchange_count(df) == 0  # map-only cleaning phase
+
+
+def test_source_overlap_planted(spark):
+    # two sources share exactly one 3-shingle ("the quick fox"); the
+    # third shares nothing. overlap_ppm = 1e6 * shared / min(|A|,|B|)
+    from streamz_spark.operators.quality import source_overlap
+
+    rows = [
+        (1, "a", "the quick fox jumps high"),     # shingles: 3
+        (2, "b", "said the quick fox today ok"),  # shingles: 4
+        (3, "c", "completely different words here"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "source", "text"])
+    got = {
+        (r.source_a, r.source_b): (r.shared_shingles, r.overlap_ppm)
+        for r in source_overlap(df, k=3).collect()
+    }
+    assert got == {("a", "b"): (1, 1000000 // 3)}
