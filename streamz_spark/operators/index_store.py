@@ -34,7 +34,7 @@ import os
 import shutil
 import uuid
 
-from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql import DataFrame, SparkSession
 
 __all__ = ["DedupIndexStore"]
 
@@ -210,3 +210,58 @@ class DedupIndexStore:
             os.rename(stage, src)
             shutil.rmtree(old)
         return self.file_counts()
+
+    # -- streaming ---------------------------------------------------------
+    def ingest_stream(
+        self,
+        stream: DataFrame,
+        kept_sink: str,
+        *,
+        checkpoint: str | None = None,
+        append_survivors: bool = True,
+        timeout: int = 300,
+    ):
+        """The daily-crawl loop AS a stream: per micro-batch, screen
+        the arriving docs against the store, land the survivors in
+        ``kept_sink`` (parquet), and — when ``append_survivors`` —
+        fold them into the index so the NEXT micro-batch is screened
+        against them too.
+
+        Cross-batch dedup state lives in the PERSISTENT STORE, not a
+        Spark state store: the query is restartable from any point
+        (checkpoint replays unprocessed source batches; re-screening a
+        replayed batch is idempotent — its duplicates are already
+        indexed, its unique docs already landed by fingerprint), and a
+        fleet of independent ingest jobs can share one index. This is
+        the complement of `streaming.stateful.streaming_minhash_neardup`
+        (in-memory/RocksDB state, lowest latency, single query owns
+        the state) — here latency is a micro-batch and the state is
+        the same artifact batch jobs and tomorrow's runs read.
+
+        The per-batch screen is incoming-sized (the stored artifact is
+        pre-paid); `append` re-derives artifacts for survivors only.
+        The batch frame arrives already materialized by the engine, so
+        the mixed-listing hazard on :meth:`screen` does not apply —
+        but append() still cuts lineage defensively.
+        """
+        from streamz_spark.streaming.sinks import run_available_now
+
+        def _screen_and_fold(batch_df, batch_id):
+            # one screen execution, materialized BEFORE any store
+            # mutation (screen()'s mixed-listing contract)
+            kept = self.screen(batch_df).localCheckpoint(eager=True)
+            kept.write.mode("append").parquet(kept_sink)
+            if append_survivors:
+                self.append(kept)
+            # failure between the two writes replays the batch: its
+            # docs are not yet indexed, so they re-screen as kept and
+            # land twice — at-least-once on kept_sink; downstream
+            # consumers dedup by fingerprint (dedup_exact), or swap
+            # kept_sink for a transactional table for exactly-once
+
+        writer = stream.writeStream.outputMode("append").foreachBatch(
+            _screen_and_fold
+        )
+        if checkpoint:
+            writer = writer.option("checkpointLocation", checkpoint)
+        return run_available_now(writer, timeout)

@@ -128,3 +128,56 @@ def test_compact_distincts_duplicate_fingerprints(spark, store):
     assert fp2.count() == 50
     assert sh2.count() == 100  # per-id relations untouched
     assert band2.count() == 100 * store.bands
+
+
+def test_ingest_stream_dedups_across_batches_via_the_store(spark, tmp_path):
+    # the daily-crawl loop AS a stream: batch 1's kept docs must screen
+    # batch 2 (which replays batch 1's texts under new ids, plus fresh
+    # docs) — cross-batch state lives in the persistent store, and a
+    # checkpointed continuation run processes ONLY newly arrived chunks
+    from streamz_spark.streaming.sources import from_directory
+
+    store = DedupIndexStore(spark, str(tmp_path / "idx"))
+    docs = _docs(spark)
+    store.initialize(docs.where(F.col("doc_id") % 10 >= 8))
+
+    chunk0 = docs.where(F.col("doc_id") % 10 < 2)           # fresh
+    chunk1_dup = chunk0.select(                             # replays chunk0
+        (F.col("doc_id") + 500_000).alias("doc_id"), "text"
+    )
+    chunk1_new = docs.where(F.col("doc_id") % 10 == 2)      # fresh
+    chunk1 = chunk1_dup.unionByName(chunk1_new)
+
+    src = tmp_path / "chunks"
+    chunk0.coalesce(1).write.parquet(str(src / "c=00000"))
+    chunk1.coalesce(1).write.parquet(str(src / "c=00001"))
+    stream = from_directory(
+        spark, str(src / "c=*"), chunk0.schema,
+        one_file_per_trigger=True, pathGlobFilter="*.parquet",
+    )
+    kept_sink = str(tmp_path / "kept")
+    ckpt = str(tmp_path / "ckpt")
+    store.ingest_stream(stream, kept_sink, checkpoint=ckpt)
+
+    kept = spark.read.parquet(kept_sink)
+    kept_ids = _ids(kept)
+    # every chunk0 keep is present; NO replayed chunk1 id survived
+    assert not any(i >= 500_000 for i in kept_ids)
+    n_kept0 = kept.where(F.col("doc_id") % 10 < 2).count()
+    assert n_kept0 > 0
+    n_after_first = kept.count()
+
+    # continuation: a third chunk arrives; the checkpoint must skip the
+    # processed chunks, and the new chunk screens against EVERYTHING
+    # kept so far (it replays chunk1_new's texts -> all drop)
+    chunk2 = chunk1_new.select(
+        (F.col("doc_id") + 900_000).alias("doc_id"), "text"
+    )
+    chunk2.coalesce(1).write.parquet(str(src / "c=00002"))
+    stream2 = from_directory(
+        spark, str(src / "c=*"), chunk0.schema,
+        one_file_per_trigger=True, pathGlobFilter="*.parquet",
+    )
+    store.ingest_stream(stream2, kept_sink, checkpoint=ckpt)
+    kept2 = spark.read.parquet(kept_sink)
+    assert kept2.count() == n_after_first  # nothing new kept, nothing re-landed
