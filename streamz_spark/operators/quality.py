@@ -33,6 +33,9 @@ __all__ = [
     "gopher_quality_filter",
     "pii_signals",
     "pii_scrub",
+    "source_overlap",
+    "quality_funnel",
+    "default_quality_stages",
 ]
 
 
@@ -424,3 +427,95 @@ def source_overlap(
             "shingles_a", "shingles_b", "overlap_ppm",
         )
     )
+
+
+def quality_funnel(
+    df: DataFrame,
+    stages: list[tuple[str, Column]],
+) -> DataFrame:
+    """Per-stage attrition report for a filter chain — the funnel
+    table every published pipeline reports (C4/Gopher/RefinedWeb all
+    publish per-rule removal rates): stage i counts documents that
+    survive stages 1..i (SEQUENTIAL semantics, the order the chain
+    would run), so `dropped` attributes each loss to the first rule
+    that fires, exactly like the production pipeline would.
+
+    ``stages`` is an ordered list of ``(name, boolean Column)``.
+    Output: one row per stage — ``(stage_idx, stage, docs_in,
+    docs_kept, dropped, drop_ppm)``, integers only (``drop_ppm =
+    dropped * 1e6 div docs_in``).
+
+    Scale shape: ONE narrow projection computes all cumulative flags,
+    ONE map-side-combinable 1-row aggregate sums them, and the
+    per-stage unpivot runs on that single row — no shuffle of the
+    corpus, no second scan, cost identical to one boolean pass
+    regardless of stage count.
+    """
+    cum = []
+    acc = F.lit(True)
+    for name, pred in stages:
+        acc = acc & pred
+        cum.append((name, acc))
+    flagged = df.select(
+        *[c.cast("long").alias(f"__s{i}") for i, (_, c) in enumerate(cum)],
+    )
+    totals = flagged.agg(
+        F.count(F.lit(1)).alias("__n"),
+        *[F.sum(f"__s{i}").alias(f"__k{i}") for i in range(len(cum))],
+    )
+    # unpivot the 1-row totals into stage rows: stack is evaluated on
+    # a single row — negligible
+    pairs = ", ".join(
+        "{}L, '{}', {}, __k{}".format(
+            i, name, "__n" if i == 0 else f"__k{i-1}", i
+        )
+        for i, (name, _) in enumerate(cum)
+    )
+    n = len(cum)
+    stacked = totals.select(
+        F.expr(
+            f"stack({n}, {pairs}) AS (stage_idx, stage, docs_in, docs_kept)"
+        )
+    )
+    return stacked.select(
+        F.col("stage_idx").cast("long"),
+        "stage",
+        F.col("docs_in").cast("long"),
+        F.col("docs_kept").cast("long"),
+        (F.col("docs_in") - F.col("docs_kept")).cast("long").alias("dropped"),
+        F.when(F.col("docs_in") > 0,
+               F.expr("((docs_in - docs_kept) * 1000000) div docs_in"))
+         .otherwise(F.lit(0)).cast("long").alias("drop_ppm"),
+    )
+
+
+def default_quality_stages(
+    text_col: str = "text", lang_col: str = "lang"
+) -> list:
+    """The standard heuristic chain as integer-exact predicates (every
+    ratio comparison is cross-multiplied to integers, so both engines
+    agree bit-for-bit): nonempty -> >= 20 tokens -> mean word length
+    in [3, 10] -> digit ratio <= 20% -> duplicate-line fraction <= 30%
+    -> lang == 'en'. Mirrors the C4/Gopher rule families documented in
+    `c4_clean` / `gopher_quality_filter`; this chain is the funnel's
+    default, not a replacement for those operators."""
+    toks = F.split(F.trim(F.lower(F.col(text_col))), r"\s+")
+    n_tok = F.when(
+        F.length(F.trim(F.col(text_col))) == 0, F.lit(0)
+    ).otherwise(F.size(toks)).cast("long")
+    n = F.length(text_col).cast("long")
+    spaces = F.length(F.regexp_replace(F.col(text_col), r"[^ \t\n]", "")).cast("long")
+    digits = F.length(F.regexp_replace(F.col(text_col), r"[^0-9]", "")).cast("long")
+    lines = split_lines(F.col(text_col))
+    n_lines = F.size(lines).cast("long")
+    n_dup_lines = (F.size(lines) - F.size(F.array_distinct(lines))).cast("long")
+    letters = n - spaces
+    return [
+        ("nonempty", n_tok > 0),
+        ("min_tokens_20", n_tok >= 20),
+        ("mean_word_len_3_10",
+         (letters >= 3 * n_tok) & (letters <= 10 * n_tok)),
+        ("digit_ratio_le_20pct", digits * 5 <= n),
+        ("dup_line_frac_le_30pct", n_dup_lines * 10 <= n_lines * 3),
+        ("lang_en", F.col(lang_col) == "en"),
+    ]

@@ -615,3 +615,20 @@ def test_hybrid_rrf_plan_shape(spark):
     assert "TakeOrderedAndProject" in plan
     assert "partial_" in plan
     assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
+
+
+def test_quality_funnel_plan_shape(spark):
+    # funnel contract: one narrow boolean projection + one 1-row
+    # global aggregate (map-side partial) + a 1-row unpivot — the
+    # corpus never hash-shuffles, no join, no window, scan count 1
+    from streamz_spark.plans import explain_string
+
+    import re
+
+    plan = explain_string(q("quality_funnel", spark))
+    assert "partial_" in plan
+    assert "Exchange hashpartitioning" not in plan
+    assert "Join" not in plan
+    assert "Window" not in plan
+    n_scans = len(re.findall(r"\(\d+\) Scan parquet", plan))
+    assert n_scans == 1, n_scans

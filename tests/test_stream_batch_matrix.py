@@ -1454,6 +1454,29 @@ def _cell_c4_clean_documents(spark):
 CELLS["c4_clean/documents"] = _cell_c4_clean_documents
 
 
+def _cell_quality_funnel_documents(spark):
+    # the attrition funnel as an ingest-time monitor: the cumulative
+    # stage flags are per-row stateless, the totals a complete-mode
+    # streaming aggregate — the final micro-batch's funnel must equal
+    # the batch report (all-integer, exact)
+    from streamz_spark.operators.quality import (
+        default_quality_stages,
+        quality_funnel,
+    )
+    from streamz_spark.streaming.sources import replay_table
+
+    shape = lambda df: quality_funnel(df, default_quality_stages())
+    got = sink_to_list(
+        shape(replay_table(spark, SF_DIR, "documents", chunk_col="doc_id")),
+        output_mode="complete",
+    )[-1]
+    want = shape(load_table(spark, SF_DIR, "documents")).toPandas()
+    return got, want
+
+
+CELLS["quality_funnel/documents"] = _cell_quality_funnel_documents
+
+
 # parametrized LAST so late-registered cells are included
 @pytest.mark.parametrize("cell", sorted(CELLS))
 def test_stream_batch_cell(cell, spark):
