@@ -23,7 +23,7 @@ from pyspark.sql import DataFrame, functions as F
 
 from streamz_spark.operators.text import word_shingles
 
-__all__ = ["contamination_check"]
+__all__ = ["contamination_check", "contamination_spans"]
 
 
 def _bloom_bits(n_items: int, fpp: float) -> int:
@@ -196,3 +196,58 @@ def contamination_check(
         )
         .select(*final_cols)
     )
+
+
+def contamination_spans(
+    docs: DataFrame,
+    benchmark: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    bench_text_col: str | None = None,
+    k: int = 8,
+) -> DataFrame:
+    """TARGETED decontamination — the span-level mode of Lee et al.
+    (2022) applied cross-corpus: report every maximal token span of a
+    training document whose k-grams all occur in the evaluation
+    benchmark, so the pipeline can CUT the benchmark text and keep the
+    document (`contamination_check` drops or flags whole documents;
+    frontier recipes surgically remove the overlapping passage — the
+    doc's unique prose is fine training data).
+
+    Algorithm: positional k-gram anchors on the doc side (one scan,
+    same anchor machinery as `dedup.duplicated_spans`), the benchmark
+    side collapsed to its DISTINCT gram-hash set, a semi-join keeps
+    doc anchors whose gram appears in the benchmark, then the shared
+    gaps-and-islands merge (`dedup._merge_anchor_spans`) produces
+    maximal spans.
+
+    Scale shape: the benchmark is MBs against TBs of corpus (the
+    `contamination_check` contract), so AQE plans the semi-join as a
+    broadcast and the corpus anchors never shuffle on the gram key at
+    all — the ONLY corpus exchange is the doc-key merge. Compare
+    `duplicated_spans`' self-dedup, which necessarily pays the gram
+    exchange; the cross-corpus asymmetry removes it.
+
+    Output: ``(id_col, span_start, span_end, span_len, n_anchors)``
+    with 0-based inclusive token positions. Feed to
+    :func:`dedup.cut_spans` for the removal transform.
+    """
+    from streamz_spark.io import ensure_scan_parallelism
+    from streamz_spark.operators.dedup import _merge_anchor_spans
+    from streamz_spark.operators.text import word_kgrams
+
+    bench_text_col = bench_text_col or text_col
+    docs = ensure_scan_parallelism(docs)
+    kg = docs.select(
+        F.col(id_col).alias("id"),
+        F.posexplode(word_kgrams(text_col, k)).alias("pos", "gram"),
+    ).select("id", "pos", F.xxhash64("gram").alias("gh"))
+    bench_gh = (
+        benchmark.select(
+            F.explode(word_kgrams(bench_text_col, k)).alias("gram")
+        )
+        .select(F.xxhash64("gram").alias("gh"))
+        .distinct()
+    )
+    anchors = kg.join(bench_gh, "gh", "left_semi").select("id", "pos")
+    return _merge_anchor_spans(anchors, k, id_col)

@@ -20,6 +20,7 @@ __all__ = [
     "dedup_exact",
     "duplicated_spans",
     "remove_duplicated_spans",
+    "cut_spans",
     "dedup_paragraphs",
     "fuzzy_levenshtein_pairs",
     "ngram_jaccard_pairs",
@@ -151,6 +152,17 @@ def duplicated_spans(
         .filter(F.col("cnt") >= min_count)
         .select("id", "pos")
     )
+    return _merge_anchor_spans(anchors, k, id_col)
+
+
+def _merge_anchor_spans(anchors: DataFrame, k: int, id_col: str) -> DataFrame:
+    """Gaps-and-islands merge of ``(id, pos)`` anchor rows into maximal
+    spans: anchors at p₁ < p₂ chain iff p₂ ≤ p₁ + k (their k-token
+    windows overlap or touch). ONE exchange on the doc key. Shared by
+    :func:`duplicated_spans` (self-dedup) and
+    :func:`contamination.contamination_spans` (cross-corpus)."""
+    from pyspark.sql import Window as W
+
     w_ord = W.partitionBy("id").orderBy("pos")
     prev = F.lag("pos").over(w_ord)
     flagged = anchors.withColumn(
@@ -181,6 +193,53 @@ def duplicated_spans(
     )
 
 
+def cut_spans(
+    df: DataFrame,
+    spans: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    out_col: str = "text_deduped",
+) -> DataFrame:
+    """Cut the token ranges of a span report (``(id_col, span_start,
+    span_end, ...)`` — from :func:`duplicated_spans` or
+    :func:`contamination.contamination_spans`) out of every document.
+
+    Shape: the span report aggregates to ONE row of ranges per
+    affected doc, joins back on the doc key, and the cut is a narrow
+    JVM filter over the token array — no explode of the output side,
+    no Python; unaffected docs pass through verbatim on the left
+    join's null arm. Adds ``out_col`` + ``n_tokens_removed``."""
+    from streamz_spark.operators.text import tokenize
+
+    per_doc = spans.groupBy(id_col).agg(
+        F.collect_list(F.struct("span_start", "span_end")).alias("__spans")
+    )
+    toks = tokenize(text_col)
+    kept = F.filter(
+        toks,
+        lambda x, i: ~F.exists(
+            F.col("__spans"),
+            lambda s: (i >= s["span_start"]) & (i <= s["span_end"]),
+        ),
+    )
+    out = df.join(per_doc, id_col, "left")
+    return (
+        out.withColumn(
+            out_col,
+            F.when(F.col("__spans").isNull(), F.col(text_col)).otherwise(
+                F.array_join(kept, " ")
+            ),
+        )
+        .withColumn(
+            "n_tokens_removed",
+            F.when(F.col("__spans").isNull(), F.lit(0)).otherwise(
+                F.size(toks) - F.size(kept)
+            ).cast("long"),
+        )
+        .drop("__spans")
+    )
+
+
 def remove_duplicated_spans(
     df: DataFrame,
     id_col: str = "doc_id",
@@ -206,37 +265,8 @@ def remove_duplicated_spans(
     ``n_tokens_removed``; the original column is preserved for
     auditability.
     """
-    from streamz_spark.operators.text import tokenize
-
     spans = duplicated_spans(df, id_col, text_col, k=k, min_count=min_count)
-    per_doc = spans.groupBy(id_col).agg(
-        F.collect_list(F.struct("span_start", "span_end")).alias("__spans")
-    )
-    toks = tokenize(text_col)
-    # pos is 0-based to match the span report
-    kept = F.filter(
-        toks,
-        lambda x, i: ~F.exists(
-            F.col("__spans"),
-            lambda s: (i >= s["span_start"]) & (i <= s["span_end"]),
-        ),
-    )
-    out = df.join(per_doc, id_col, "left")
-    return (
-        out.withColumn(
-            out_col,
-            F.when(F.col("__spans").isNull(), F.col(text_col)).otherwise(
-                F.array_join(kept, " ")
-            ),
-        )
-        .withColumn(
-            "n_tokens_removed",
-            F.when(F.col("__spans").isNull(), F.lit(0)).otherwise(
-                F.size(toks) - F.size(kept)
-            ).cast("long"),
-        )
-        .drop("__spans")
-    )
+    return cut_spans(df, spans, id_col, text_col, out_col)
 
 
 def dedup_paragraphs(

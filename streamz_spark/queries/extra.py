@@ -3990,3 +3990,74 @@ def quality_funnel(spark, sf_dir):
 
     docs = load_table(spark, sf_dir, "documents")
     return funnel(docs, default_quality_stages())
+
+
+# --------------------------------------------------------------------------
+# targeted decontamination: benchmark-overlap spans (cut, don't drop)
+# --------------------------------------------------------------------------
+
+_CSPAN_K = 7  # matches contamination_check's shingle size at this corpus
+
+_CONTAM_SPAN_ORACLE = f"""
+    WITH d AS (
+        SELECT doc_id AS id,
+               CASE WHEN length(trim(lower(text))) = 0 THEN []::VARCHAR[]
+                    ELSE regexp_split_to_array(trim(lower(text)), '\\s+')
+               END AS w
+        FROM documents
+    ),
+    kg AS (
+        SELECT id, t.p - 1 AS pos,
+               array_to_string(w[t.p:t.p+{_CSPAN_K}-1], ' ') AS gram
+        FROM d, UNNEST(generate_series(1, len(w) - {_CSPAN_K} + 1)) AS t(p)
+    ),
+    bg AS (SELECT DISTINCT gram FROM kg WHERE id % 97 = 0),
+    anch AS (SELECT id, pos FROM kg JOIN bg USING (gram)),
+    flagged AS (
+        SELECT id, pos,
+               CASE WHEN LAG(pos) OVER w IS NULL
+                      OR pos > LAG(pos) OVER w + {_CSPAN_K}
+                    THEN 1 ELSE 0 END AS new_span
+        FROM anch
+        WINDOW w AS (PARTITION BY id ORDER BY pos)
+    ),
+    isl AS (
+        SELECT id, pos,
+               SUM(new_span) OVER (PARTITION BY id ORDER BY pos
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS span_id
+        FROM flagged
+    )
+    SELECT id AS doc_id,
+           CAST(MIN(pos) AS BIGINT) AS span_start,
+           CAST(MAX(pos) + {_CSPAN_K} - 1 AS BIGINT) AS span_end,
+           CAST(MAX(pos) - MIN(pos) + {_CSPAN_K} AS BIGINT) AS span_len,
+           CAST(COUNT(*) AS BIGINT) AS n_anchors
+    FROM isl GROUP BY id, span_id
+"""
+
+
+@register_extra(
+    "contamination_spans",
+    oracle=_CONTAM_SPAN_ORACLE,
+    doc="TARGETED decontamination (Lee et al. span machinery applied "
+        "cross-corpus): maximal token spans of training docs whose "
+        "every k-gram occurs in the evaluation benchmark — cut the "
+        "benchmark text, keep the document (contamination_check drops "
+        "or flags whole docs; frontier recipes remove the passage). "
+        "Benchmark stand-in: the deterministic doc_id%97 sample. Scale "
+        "shape: the benchmark side collapses to its distinct gram-hash "
+        "set and AQE broadcasts the semi-join, so doc anchors never "
+        "shuffle on the gram key — the only corpus exchange is the "
+        "doc-key merge (the self-dedup ExactSubstr necessarily pays "
+        "the gram exchange; the cross-corpus asymmetry removes it). "
+        "The oracle joins on the gram STRING; agreement modulo "
+        "xxhash64 birthday odds as for exact_substring_spans.",
+)
+def contamination_spans(spark, sf_dir):
+    from streamz_spark.operators.contamination import (
+        contamination_spans as op,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    bench = docs.filter(F.col("doc_id") % 97 == 0)
+    return op(docs, bench, k=_CSPAN_K)

@@ -632,3 +632,18 @@ def test_quality_funnel_plan_shape(spark):
     assert "Window" not in plan
     n_scans = len(re.findall(r"\(\d+\) Scan parquet", plan))
     assert n_scans == 1, n_scans
+
+
+def test_contamination_spans_plan_shape(spark):
+    # cross-corpus asymmetry contract: the benchmark side collapses to
+    # a distinct gram set and BROADCASTS into a semi-join, so the doc
+    # anchors never shuffle on the gram key — the only gh exchange in
+    # the plan is the benchmark-sized distinct (under the broadcast),
+    # and the only corpus exchange is the doc-key merge. No SMJ.
+    from streamz_spark.plans import explain_string
+
+    plan = explain_string(q("contamination_spans", spark))
+    assert "SortMergeJoin" not in plan
+    assert "BroadcastHashJoin" in plan and "LeftSemi" in plan
+    assert plan.count("hashpartitioning(gh") == 1, plan
+    assert plan.count("hashpartitioning(id") == 1, plan

@@ -459,3 +459,35 @@ class TestTokenBudget:
             select_to_token_budget(
                 self._scored(spark), budget_tokens=-1, tokens_col="n_tokens"
             )
+
+
+def test_contamination_spans_planted_passage(spark):
+    # a 10-token benchmark passage planted mid-document must come back
+    # as EXACTLY one span covering its token range, and cut_spans must
+    # remove exactly those tokens; a clean doc reports nothing
+    from streamz_spark.operators.contamination import contamination_spans
+    from streamz_spark.operators.dedup import cut_spans
+
+    passage = " ".join(f"bench{i}" for i in range(10))
+    prefix = " ".join(f"pre{i}" for i in range(5))
+    suffix = " ".join(f"post{i}" for i in range(5))
+    docs = spark.createDataFrame(
+        [
+            (1, f"{prefix} {passage} {suffix}"),
+            (2, "entirely unrelated words " + " ".join(f"w{i}" for i in range(12))),
+        ],
+        ["doc_id", "text"],
+    )
+    bench = spark.createDataFrame([(99, passage)], ["doc_id", "text"])
+    spans = contamination_spans(docs, bench, k=8).collect()
+    assert len(spans) == 1
+    s = spans[0]
+    # tokens 5..14 are the passage (0-based); k=8 anchors at 5,6,7
+    assert (s["doc_id"], s["span_start"], s["span_end"], s["span_len"]) == (1, 5, 14, 10)
+    out = {r["doc_id"]: r for r in cut_spans(
+        docs, contamination_spans(docs, bench, k=8)
+    ).collect()}
+    assert out[1]["text_deduped"] == f"{prefix} {suffix}"
+    assert out[1]["n_tokens_removed"] == 10
+    assert out[2]["text_deduped"] == out[2]["text"]
+    assert out[2]["n_tokens_removed"] == 0
