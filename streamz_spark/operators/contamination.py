@@ -23,7 +23,7 @@ from pyspark.sql import DataFrame, functions as F
 
 from streamz_spark.operators.text import word_shingles
 
-__all__ = ["contamination_check", "contamination_spans"]
+__all__ = ["contamination_check", "contamination_spans", "contamination_spans_inline"]
 
 
 def _bloom_bits(n_items: int, fpp: float) -> int:
@@ -251,3 +251,75 @@ def contamination_spans(
     )
     anchors = kg.join(bench_gh, "gh", "left_semi").select("id", "pos")
     return _merge_anchor_spans(anchors, k, id_col)
+
+
+def contamination_spans_inline(
+    df: DataFrame,
+    bench_gh: list[int],
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 8,
+) -> DataFrame:
+    """Streaming-native form of :func:`contamination_spans`: the
+    benchmark's distinct gram-hash set rides in as a LITERAL array
+    (valid by the same benchmark-is-small contract; the
+    `streaming_semdedup` centroid-inlining precedent), so the whole
+    span computation is per-row expressions — anchor detection, the
+    gaps-and-islands merge as an `aggregate` fold over the (already
+    ordered) anchor positions, and the final explode. No shuffle, no
+    window, no state: runs unchanged on a stream, where the relational
+    form's doc-key window cannot.
+
+    An INDEPENDENT second implementation of the same contract —
+    the matrix cell differentials it against the relational operator,
+    which is a stronger check than replaying one implementation twice.
+
+    Output schema == :func:`contamination_spans`.
+    """
+    bench_lit = F.array(*[F.lit(int(h)) for h in bench_gh])
+    from streamz_spark.operators.text import word_kgrams
+
+    grams = word_kgrams(text_col, k)
+    # ordered anchor positions whose gram hash is in the benchmark set
+    anchors = F.filter(
+        F.transform(
+            grams,
+            lambda g, i: F.struct(
+                i.cast("long").alias("pos"), F.xxhash64(g).alias("gh")
+            ),
+        ),
+        lambda s: F.array_contains(bench_lit, s["gh"]),
+    )
+    positions = F.transform(anchors, lambda s: s["pos"])
+    # islands fold: acc is ARRAY<STRUCT<s, last, n>>; chain while
+    # pos <= last + k (k-token windows overlap or touch), else open a
+    # new span — positions arrive ascending by construction
+    empty = F.expr("CAST(array() AS ARRAY<STRUCT<s: BIGINT, last: BIGINT, n: BIGINT>>)")
+    new_span = lambda p: F.struct(
+        p.alias("s"), p.alias("last"), F.lit(1).cast("long").alias("n")
+    )
+    merged = lambda last, p: F.struct(
+        last["s"].alias("s"), p.alias("last"), (last["n"] + 1).alias("n")
+    )
+    spans = F.aggregate(
+        positions,
+        empty,
+        lambda acc, p: F.when(
+            (F.size(acc) == 0)
+            | (p > F.element_at(acc, -1)["last"] + F.lit(k)),
+            F.concat(acc, F.array(new_span(p))),
+        ).otherwise(
+            F.concat(
+                F.slice(acc, 1, F.size(acc) - 1),
+                F.array(merged(F.element_at(acc, -1), p)),
+            )
+        ),
+    )
+    out = df.select(F.col(id_col).alias("__id"), F.explode(spans).alias("sp"))
+    return out.select(
+        F.col("__id").alias(id_col),
+        F.col("sp.s").cast("long").alias("span_start"),
+        (F.col("sp.last") + F.lit(k - 1)).cast("long").alias("span_end"),
+        (F.col("sp.last") - F.col("sp.s") + F.lit(k)).cast("long").alias("span_len"),
+        F.col("sp.n").cast("long").alias("n_anchors"),
+    )

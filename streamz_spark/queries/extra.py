@@ -6,7 +6,7 @@ one per SURVEY.md §2 operator family. Everything here registers into
 a SEPARATE registry consumed by bench.py and tests only: importing
 this module never contaminates the driver's set.
 
-Contents (63 entries): the complete adapted TPC-H tail
+Contents (67 entries): the complete adapted TPC-H tail
 (q2/q4/q7-q22 — no partsupp, no commit/receipt dates, 1995-2001 date
 range, synthetic NATION_N names), the distributed
 connected-components variant, and the LLM-data operator families
@@ -14,7 +14,9 @@ connected-components variant, and the LLM-data operator families
 dedup, BM25/unigram-NLL/stupid-backoff LM scoring, DSIR, temperature
 mixing, BPE tokenizer, SemDeDup, quality pruning + token-budget
 selection, incremental dedup vs index, corpus data card, the composed
-pretraining pipeline). Each carries a DuckDB oracle checked by
+pretraining pipeline, hybrid BM25+vector RRF retrieval, the
+cross-source overlap matrix, the quality-funnel attrition report, and
+span-level targeted decontamination). Each carries a DuckDB oracle checked by
 tests/test_extra_queries.py with the same rows+schema+hash comparison
 the driver applies to the main 50 (declared-iterative entries are
 rows-only + determinism-barred).

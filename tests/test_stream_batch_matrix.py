@@ -1477,6 +1477,39 @@ def _cell_quality_funnel_documents(spark):
 CELLS["quality_funnel/documents"] = _cell_quality_funnel_documents
 
 
+def _cell_contamination_spans_documents(spark):
+    # targeted decontamination at ingest: the pure-expression inline
+    # form (benchmark gram hashes as a literal, per-row islands fold)
+    # over replayed chunks must equal the BATCH relational operator —
+    # two independent implementations of the same contract
+    from streamz_spark.operators.contamination import (
+        contamination_spans,
+        contamination_spans_inline,
+    )
+    from streamz_spark.operators.text import word_kgrams
+    from streamz_spark.streaming.sources import replay_table
+
+    docs = load_table(spark, SF_DIR, "documents")
+    bench = docs.filter(F.col("doc_id") % 97 == 0)
+    gh = [
+        r["gh"]
+        for r in bench.select(F.explode(word_kgrams("text", 7)).alias("g"))
+        .select(F.xxhash64("g").alias("gh"))
+        .distinct()
+        .collect()
+    ]
+    stream = replay_table(spark, SF_DIR, "documents", chunk_col="doc_id")
+    got = pd.concat(
+        sink_to_list(contamination_spans_inline(stream, gh, k=7)),
+        ignore_index=True,
+    )
+    want = contamination_spans(docs, bench, k=7).toPandas()
+    return got, want
+
+
+CELLS["contamination_spans/documents"] = _cell_contamination_spans_documents
+
+
 # parametrized LAST so late-registered cells are included
 @pytest.mark.parametrize("cell", sorted(CELLS))
 def test_stream_batch_cell(cell, spark):
