@@ -576,14 +576,21 @@ def minhash_near_duplicates(
     text_col: str = "text",
     num_perm: int = 64,
     k: int = 3,
-    bands: int = 16,
+    bands: int | str = 16,
     threshold: float = 0.5,
 ) -> DataFrame:
     """Full near-dup pipeline: MinHash → LSH candidates → exact Jaccard
     verify on the candidate pairs only (join back to shingle sets).
     Output = verified pairs ≥ threshold; LSH only bounds the candidate
     set, the verify step makes results hash-independent up to recall.
+
+    ``bands="auto"`` derives the banding from ``threshold`` via
+    :func:`plan_lsh_params` (S-curve FP/FN optimization) instead of
+    the fixed default — at the defaults (0.5, 64) the planner lands on
+    the same 16 bands, so "auto" is a no-op there by construction.
     """
+    if bands == "auto":
+        bands, _ = plan_lsh_params(threshold, num_perm)
     rows_per_band = num_perm // bands
     # fan the scan out: shingling + the per-shingle xxhash pass is the
     # expensive narrow stage (no-op on an already-split input)

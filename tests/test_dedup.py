@@ -384,3 +384,17 @@ def test_plan_lsh_params_validation():
         plan_lsh_params(1.0, 64)
     with _pytest.raises(ValueError):
         plan_lsh_params(0.5, 1)
+
+
+def test_minhash_bands_auto_matches_default_at_defaults(spark):
+    # bands="auto" routes through the planner; at (threshold=0.5,
+    # num_perm=64) the planner derives the fixed default 16, so the
+    # two calls must produce the identical pair set
+    from streamz_spark.io import load_table as lt
+    from streamz_spark.operators.dedup import minhash_near_duplicates
+
+    docs = lt(spark, SF_DIR, "documents")
+    fixed = {(r.id_a, r.id_b) for r in minhash_near_duplicates(docs).collect()}
+    auto = {(r.id_a, r.id_b) for r in
+            minhash_near_duplicates(docs, bands="auto").collect()}
+    assert fixed == auto and len(fixed) > 0
