@@ -432,6 +432,7 @@ def source_overlap(
 def quality_funnel(
     df: DataFrame,
     stages: list[tuple[str, Column]],
+    group_col: str | None = None,
 ) -> DataFrame:
     """Per-stage attrition report for a filter chain — the funnel
     table every published pipeline reports (C4/Gopher/RefinedWeb all
@@ -456,15 +457,24 @@ def quality_funnel(
     for name, pred in stages:
         acc = acc & pred
         cum.append((name, acc))
+    group_cols = [group_col] if group_col else []
     flagged = df.select(
+        *group_cols,
         *[c.cast("long").alias(f"__s{i}") for i, (_, c) in enumerate(cum)],
     )
-    totals = flagged.agg(
+    aggs = [
         F.count(F.lit(1)).alias("__n"),
         *[F.sum(f"__s{i}").alias(f"__k{i}") for i in range(len(cum))],
+    ]
+    # grouped form (`group_col=`): per-source attrition — same single
+    # scan, the aggregate becomes one map-side-combinable groupBy on
+    # the (low-cardinality) group key, unpivot runs per group row
+    totals = (
+        flagged.groupBy(*group_cols).agg(*aggs) if group_cols
+        else flagged.agg(*aggs)
     )
-    # unpivot the 1-row totals into stage rows: stack is evaluated on
-    # a single row — negligible
+    # unpivot the 1-row-per-group totals into stage rows: stack is
+    # evaluated on |groups| rows — negligible
     pairs = ", ".join(
         "{}L, '{}', {}, __k{}".format(
             i, name, "__n" if i == 0 else f"__k{i-1}", i
@@ -473,11 +483,13 @@ def quality_funnel(
     )
     n = len(cum)
     stacked = totals.select(
+        *group_cols,
         F.expr(
             f"stack({n}, {pairs}) AS (stage_idx, stage, docs_in, docs_kept)"
-        )
+        ),
     )
     return stacked.select(
+        *group_cols,
         F.col("stage_idx").cast("long"),
         "stage",
         F.col("docs_in").cast("long"),

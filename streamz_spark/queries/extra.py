@@ -4063,3 +4063,94 @@ def contamination_spans(spark, sf_dir):
     docs = load_table(spark, sf_dir, "documents")
     bench = docs.filter(F.col("doc_id") % 97 == 0)
     return op(docs, bench, k=_CSPAN_K)
+
+
+_QUALITY_FUNNEL_BY_SOURCE_ORACLE = """
+    WITH q AS (
+        SELECT doc_id, lang, source,
+               CASE WHEN length(trim(text)) = 0 THEN 0
+                    ELSE len(regexp_split_to_array(trim(lower(text)), '\\s+'))
+               END AS n_tok,
+               length(text) AS n,
+               length(regexp_replace(text, '[^ \t\n]', '', 'g')) AS spaces,
+               length(regexp_replace(text, '[^0-9]', '', 'g')) AS digits,
+               list_filter(list_transform(regexp_split_to_array(text, '\n'),
+                                          x -> trim(x)),
+                           x -> length(x) > 0) AS lines
+        FROM documents
+    ), f AS (
+        SELECT source,
+               (n_tok > 0) AS s0,
+               (n_tok > 0 AND n_tok >= 20) AS s1,
+               (n_tok > 0 AND n_tok >= 20
+                AND (n - spaces) >= 3 * n_tok
+                AND (n - spaces) <= 10 * n_tok) AS s2,
+               (n_tok > 0 AND n_tok >= 20
+                AND (n - spaces) >= 3 * n_tok
+                AND (n - spaces) <= 10 * n_tok
+                AND digits * 5 <= n) AS s3,
+               (n_tok > 0 AND n_tok >= 20
+                AND (n - spaces) >= 3 * n_tok
+                AND (n - spaces) <= 10 * n_tok
+                AND digits * 5 <= n
+                AND (len(lines) - len(list_distinct(lines))) * 10
+                    <= len(lines) * 3) AS s4,
+               (n_tok > 0 AND n_tok >= 20
+                AND (n - spaces) >= 3 * n_tok
+                AND (n - spaces) <= 10 * n_tok
+                AND digits * 5 <= n
+                AND (len(lines) - len(list_distinct(lines))) * 10
+                    <= len(lines) * 3
+                AND lang = 'en') AS s5
+        FROM q
+    ), t AS (
+        SELECT source, COUNT(*) AS n,
+               SUM(s0::BIGINT) AS k0, SUM(s1::BIGINT) AS k1,
+               SUM(s2::BIGINT) AS k2, SUM(s3::BIGINT) AS k3,
+               SUM(s4::BIGINT) AS k4, SUM(s5::BIGINT) AS k5
+        FROM f GROUP BY source
+    ), rows_ AS (
+        SELECT * FROM (VALUES
+            (0, 'nonempty'), (1, 'min_tokens_20'),
+            (2, 'mean_word_len_3_10'), (3, 'digit_ratio_le_20pct'),
+            (4, 'dup_line_frac_le_30pct'), (5, 'lang_en')
+        ) AS v(stage_idx, stage)
+    )
+    SELECT source, CAST(stage_idx AS BIGINT) AS stage_idx, stage,
+           CAST(docs_in AS BIGINT) AS docs_in,
+           CAST(docs_kept AS BIGINT) AS docs_kept,
+           CAST(docs_in - docs_kept AS BIGINT) AS dropped,
+           CAST(CASE WHEN docs_in > 0
+                     THEN ((docs_in - docs_kept) * 1000000) // docs_in
+                     ELSE 0 END AS BIGINT) AS drop_ppm
+    FROM (
+        SELECT t.source, stage_idx, stage,
+               CASE stage_idx WHEN 0 THEN t.n WHEN 1 THEN t.k0
+                    WHEN 2 THEN t.k1 WHEN 3 THEN t.k2
+                    WHEN 4 THEN t.k3 ELSE t.k4 END AS docs_in,
+               CASE stage_idx WHEN 0 THEN t.k0 WHEN 1 THEN t.k1
+                    WHEN 2 THEN t.k2 WHEN 3 THEN t.k3
+                    WHEN 4 THEN t.k4 ELSE t.k5 END AS docs_kept
+        FROM rows_ CROSS JOIN t
+    )
+"""
+
+
+@register_extra(
+    "quality_funnel_by_source",
+    oracle=_QUALITY_FUNNEL_BY_SOURCE_ORACLE,
+    doc="per-SOURCE attrition funnel (the grouped form of "
+        "quality_funnel): the per-domain removal-rate matrix a mixture "
+        "plan consumes — a source whose survivors crater changes the "
+        "mixing weights. Same single scan; the aggregate becomes one "
+        "map-side-combinable groupBy on the low-cardinality source "
+        "key, the unpivot runs on |sources| rows.",
+)
+def quality_funnel_by_source(spark, sf_dir):
+    from streamz_spark.operators.quality import (
+        default_quality_stages,
+        quality_funnel as funnel,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    return funnel(docs, default_quality_stages(), group_col="source")

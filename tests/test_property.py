@@ -648,3 +648,88 @@ def test_nb_classifier_matches_independent_python_nb(spark, rows, vlim):
         for r in nb_quality_classifier(df, "y", vocab_limit=vlim).collect()
     }
     assert got == want
+
+
+# --------------------------------------------------------------------------
+# Targeted decontamination: both implementations (relational semi-join
+# + inline expression fold) vs a brute-force python reference on
+# random corpora with a planted benchmark phrase
+# --------------------------------------------------------------------------
+
+def _brute_contam_spans(docs, bench_texts, k):
+    bench_grams = set()
+    for t in bench_texts:
+        w = t.lower().split()
+        for i in range(len(w) - k + 1):
+            bench_grams.add(" ".join(w[i:i + k]))
+    want = set()
+    for i, text in docs:
+        toks = text.lower().split()
+        pos = [p for p in range(len(toks) - k + 1)
+               if " ".join(toks[p:p + k]) in bench_grams]
+        cur = None
+        for p in pos:
+            if cur is not None and p <= cur[1] + k:
+                cur = (cur[0], p, cur[2] + 1)
+            else:
+                if cur is not None:
+                    want.add((i, cur[0], cur[1] + k - 1, cur[1] - cur[0] + k, cur[2]))
+                cur = (p, p, 1)
+        if cur is not None:
+            want.add((i, cur[0], cur[1] + k - 1, cur[1] - cur[0] + k, cur[2]))
+    return want
+
+
+@st.composite
+def contam_corpus(draw):
+    words = ["alpha", "beta", "gamma", "delta", "eps", "zeta", "eta", "theta"]
+    k = draw(st.integers(min_value=2, max_value=3))
+    phrase_len = draw(st.integers(min_value=k, max_value=k + 3))
+    phrase = draw(st.lists(st.sampled_from(words), min_size=phrase_len,
+                           max_size=phrase_len))
+    bench_texts = [" ".join(phrase)]
+    n_docs = draw(st.integers(min_value=2, max_value=8))
+    docs = []
+    for i in range(n_docs):
+        n_words = draw(st.integers(min_value=0, max_value=10))
+        toks = draw(st.lists(st.sampled_from(words), min_size=n_words,
+                             max_size=n_words))
+        if draw(st.booleans()):  # plant the benchmark phrase in ~half
+            at = draw(st.integers(min_value=0, max_value=len(toks)))
+            toks = toks[:at] + phrase + toks[at:]
+        docs.append((i, " ".join(toks)))
+    return docs, bench_texts, k
+
+
+@given(data=contam_corpus())
+@settings(max_examples=10, deadline=None)
+def test_contamination_spans_both_impls_match_bruteforce(spark, data):
+    from pyspark.sql import functions as F
+
+    from streamz_spark.operators.contamination import (
+        contamination_spans,
+        contamination_spans_inline,
+    )
+    from streamz_spark.operators.text import word_kgrams
+
+    docs, bench_texts, k = data
+    want = _brute_contam_spans(docs, bench_texts, k)
+    sdf = spark.createDataFrame(docs, "doc_id long, text string")
+    bench = spark.createDataFrame(
+        [(j, t) for j, t in enumerate(bench_texts)], "doc_id long, text string"
+    )
+    got_rel = {
+        (r.doc_id, r.span_start, r.span_end, r.span_len, r.n_anchors)
+        for r in contamination_spans(sdf, bench, k=k).collect()
+    }
+    assert got_rel == want
+    gh = [
+        r["gh"]
+        for r in bench.select(F.explode(word_kgrams("text", k)).alias("g"))
+        .select(F.xxhash64("g").alias("gh")).distinct().collect()
+    ]
+    got_inline = {
+        (r.doc_id, r.span_start, r.span_end, r.span_len, r.n_anchors)
+        for r in contamination_spans_inline(sdf, gh, k=k).collect()
+    }
+    assert got_inline == want
