@@ -39,10 +39,12 @@ from pyspark.sql import DataFrame, SparkSession
 __all__ = ["DedupIndexStore"]
 
 _TABLES = ("fp", "sh", "band")
-# bound the per-table file count after compaction: the band table is
-# the hot join side; 1 file per LSH band keeps the screen's scan list
-# O(bands) no matter how many days were appended
-_COMPACT_PARTITIONS = {"fp": 4, "sh": 4, "band": 16}
+# compaction targets ~this many bytes per output file — the partition
+# count SCALES with the table (a fixed count would write 4 pathological
+# multi-GB files for a 100 TB index's fp relation, or cap the band
+# table's parallelism); floors keep tiny test corpora sane
+_TARGET_FILE_BYTES = 128 << 20
+_MIN_PARTITIONS = {"fp": 4, "sh": 4, "band": 16}
 
 
 class DedupIndexStore:
@@ -116,11 +118,14 @@ class DedupIndexStore:
         fp, sh, band = self._artifacts_for(index)
         fp.write.mode("overwrite").parquet(self._path("fp"))
         sh.write.mode("overwrite").parquet(self._path("sh"))
-        # lay the hot join side out on its join key so compacted files
-        # are band-clustered (scan pruning + co-located-ish buckets)
-        band.repartition(self.bands, "band").write.mode("overwrite").parquet(
-            self._path("band")
-        )
+        # lay the hot join side out on its FULL join key (band, bhash)
+        # — partitioning on band alone hashes a |bands|-value key and
+        # caps both write parallelism and join co-location at |bands|
+        # buckets regardless of data size
+        band.repartition(
+            max(self.bands, 2 * (self.spark.sparkContext.defaultParallelism or 1)),
+            "band", "bhash",
+        ).write.mode("overwrite").parquet(self._path("band"))
 
     def artifacts(self):
         """The three stored relations, as `incremental_dedup` expects."""
@@ -194,12 +199,32 @@ class DedupIndexStore:
         kept ids), and the exact screen is an anti-join — set
         semantics, immune to the fp DISTINCT.
 
+        The partition count is SIZE-BASED (on-disk bytes /
+        ``_TARGET_FILE_BYTES``, floored per table) so it scales with
+        the index — a fixed count would write pathological multi-GB
+        files for a 100 TB index, and the band table repartitions on
+        its full (band, bhash) join key (band alone caps parallelism
+        at |bands| buckets).
+
         Returns the post-compaction file counts.
         """
+        def _n_parts(table: str) -> int:
+            p = self._path(table)
+            nbytes = sum(
+                os.path.getsize(os.path.join(root, f))
+                for root, _, files in os.walk(p)
+                for f in files
+                if f.endswith(".parquet")
+            )
+            return max(
+                _MIN_PARTITIONS[table],
+                -(-nbytes // _TARGET_FILE_BYTES),  # ceil
+            )
+
         specs = {
-            "fp": lambda df: df.distinct().repartition(_COMPACT_PARTITIONS["fp"]),
-            "sh": lambda df: df.repartition(_COMPACT_PARTITIONS["sh"]),
-            "band": lambda df: df.repartition(_COMPACT_PARTITIONS["band"], "band"),
+            "fp": lambda df: df.distinct().repartition(_n_parts("fp")),
+            "sh": lambda df: df.repartition(_n_parts("sh")),
+            "band": lambda df: df.repartition(_n_parts("band"), "band", "bhash"),
         }
         for t, fix in specs.items():
             src = self._path(t)
