@@ -4154,3 +4154,88 @@ def quality_funnel_by_source(spark, sf_dir):
 
     docs = load_table(spark, sf_dir, "documents")
     return funnel(docs, default_quality_stages(), group_col="source")
+
+
+_DECONTAM_CUT_ORACLE = f"""
+    WITH d AS (
+        SELECT doc_id AS id, text,
+               CASE WHEN length(trim(lower(text))) = 0 THEN []::VARCHAR[]
+                    ELSE regexp_split_to_array(trim(lower(text)), '\\s+')
+               END AS w
+        FROM documents
+    ),
+    kg AS (
+        SELECT id, t.p - 1 AS pos,
+               array_to_string(w[t.p:t.p+{_CSPAN_K}-1], ' ') AS gram
+        FROM d, UNNEST(generate_series(1, len(w) - {_CSPAN_K} + 1)) AS t(p)
+    ),
+    bg AS (SELECT DISTINCT gram FROM kg WHERE id % 97 = 0),
+    anch AS (SELECT id, pos FROM kg JOIN bg USING (gram)),
+    flagged AS (
+        SELECT id, pos,
+               CASE WHEN LAG(pos) OVER w IS NULL
+                      OR pos > LAG(pos) OVER w + {_CSPAN_K}
+                    THEN 1 ELSE 0 END AS new_span
+        FROM anch
+        WINDOW w AS (PARTITION BY id ORDER BY pos)
+    ),
+    isl AS (
+        SELECT id, pos,
+               SUM(new_span) OVER (PARTITION BY id ORDER BY pos
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS span_id
+        FROM flagged
+    ),
+    spans AS (
+        SELECT id, MIN(pos) AS s, MAX(pos) + {_CSPAN_K} - 1 AS e
+        FROM isl GROUP BY id, span_id
+    ),
+    sp_agg AS (
+        SELECT id, list(struct_pack(s := s, e := e)) AS sps
+        FROM spans GROUP BY id
+    ),
+    cut AS (
+        SELECT d.id, d.text, sp_agg.sps,
+               list_filter(
+                   list_transform(w, (x, i) -> CASE WHEN len(list_filter(
+                       sp_agg.sps,
+                       sp -> i - 1 >= sp.s AND i - 1 <= sp.e)) = 0
+                       THEN x ELSE NULL END),
+                   x -> x IS NOT NULL) AS kept,
+               len(w) AS n_tok
+        FROM d LEFT JOIN sp_agg ON sp_agg.id = d.id
+    )
+    SELECT id AS doc_id,
+           CASE WHEN sps IS NULL THEN text
+                ELSE COALESCE(array_to_string(kept, ' '), '') END
+               AS text_deduped,
+           CAST(CASE WHEN sps IS NULL THEN 0
+                     ELSE n_tok - len(kept) END AS BIGINT)
+               AS n_tokens_removed
+    FROM cut
+"""
+
+
+@register_extra(
+    "decontaminate_corpus",
+    oracle=_DECONTAM_CUT_ORACLE,
+    doc="end-to-end targeted decontamination: contamination_spans + "
+        "cut_spans as ONE transform — every token span overlapping the "
+        "benchmark (doc_id%97 stand-in) is cut, unaffected docs pass "
+        "through verbatim. The cut itself is a narrow JVM token-array "
+        "filter (no output-side explode, no Python); the only corpus "
+        "exchanges are the doc-key span merge and the span join-back. "
+        "Note the cut re-tokenizes, so text_deduped is whitespace-"
+        "normalized in both engines identically.",
+)
+def decontaminate_corpus(spark, sf_dir):
+    from streamz_spark.operators.contamination import (
+        contamination_spans as spans_op,
+    )
+    from streamz_spark.operators.dedup import cut_spans
+
+    docs = load_table(spark, sf_dir, "documents")
+    bench = docs.filter(F.col("doc_id") % 97 == 0)
+    spans = spans_op(docs, bench, k=_CSPAN_K)
+    return cut_spans(docs, spans).select(
+        "doc_id", "text_deduped", "n_tokens_removed"
+    )
