@@ -6,7 +6,7 @@ one per SURVEY.md §2 operator family. Everything here registers into
 a SEPARATE registry consumed by bench.py and tests only: importing
 this module never contaminates the driver's set.
 
-Contents (67 entries): the complete adapted TPC-H tail
+Contents (69 entries): the complete adapted TPC-H tail
 (q2/q4/q7-q22 — no partsupp, no commit/receipt dates, 1995-2001 date
 range, synthetic NATION_N names), the distributed
 connected-components variant, and the LLM-data operator families
