@@ -23,7 +23,7 @@ from pyspark.sql import DataFrame, functions as F
 
 from streamz_spark.operators.text import word_shingles
 
-__all__ = ["contamination_check", "contamination_spans", "contamination_spans_inline"]
+__all__ = ["contamination_check", "contamination_spans", "contamination_spans_inline", "decontaminate_inline"]
 
 
 def _bloom_bits(n_items: int, fpp: float) -> int:
@@ -322,4 +322,100 @@ def contamination_spans_inline(
         (F.col("sp.last") + F.lit(k - 1)).cast("long").alias("span_end"),
         (F.col("sp.last") - F.col("sp.s") + F.lit(k)).cast("long").alias("span_len"),
         F.col("sp.n").cast("long").alias("n_anchors"),
+    )
+
+
+def decontaminate_inline(
+    df: DataFrame,
+    bench_gh: list[int],
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 8,
+    out_col: str = "text_deduped",
+) -> DataFrame:
+    """Fully-stateless ingest-time decontamination: spans AND cut both
+    per-row — :func:`contamination_spans_inline`'s islands fold
+    produces the span list inside the row, and the cut is the same
+    token-position filter `dedup.cut_spans` uses, evaluated against
+    that in-row list instead of a joined-back aggregate. No shuffle,
+    no join, no window, no state: a document is decontaminated the
+    moment it arrives, which is exactly where a production ingest
+    pipeline wants this (the benchmark set is fixed; waiting for a
+    batch join-back buys nothing).
+
+    Output: ``(id_col, out_col, n_tokens_removed)`` — row-equal to
+    ``cut_spans(df, contamination_spans(df, bench))`` projected to the
+    same columns (the matrix cell differentials the two paths).
+    """
+    from streamz_spark.operators.text import tokenize, word_kgrams
+
+    bench_lit = F.array(*[F.lit(int(h)) for h in bench_gh])
+    grams = word_kgrams(text_col, k)
+    anchors = F.filter(
+        F.transform(
+            grams,
+            lambda g, i: F.struct(
+                i.cast("long").alias("pos"), F.xxhash64(g).alias("gh")
+            ),
+        ),
+        lambda s: F.array_contains(bench_lit, s["gh"]),
+    )
+    positions = F.transform(anchors, lambda s: s["pos"])
+    empty = F.expr(
+        "CAST(array() AS ARRAY<STRUCT<s: BIGINT, last: BIGINT>>)"
+    )
+    spans = F.aggregate(
+        positions,
+        empty,
+        lambda acc, p: F.when(
+            (F.size(acc) == 0)
+            | (p > F.element_at(acc, -1)["last"] + F.lit(k)),
+            F.concat(
+                acc,
+                F.array(F.struct(p.alias("s"), p.alias("last"))),
+            ),
+        ).otherwise(
+            F.concat(
+                F.slice(acc, 1, F.size(acc) - 1),
+                F.array(
+                    F.struct(
+                        F.element_at(acc, -1)["s"].alias("s"),
+                        p.alias("last"),
+                    )
+                ),
+            )
+        ),
+    )
+    toks = tokenize(text_col)
+    with_spans = df.withColumn(
+        "__spans",
+        F.transform(
+            spans,
+            lambda sp: F.struct(
+                sp["s"].alias("span_start"),
+                (sp["last"] + F.lit(k - 1)).alias("span_end"),
+            ),
+        ),
+    )
+    kept = F.filter(
+        toks,
+        lambda x, i: ~F.exists(
+            F.col("__spans"),
+            lambda s: (i >= s["span_start"]) & (i <= s["span_end"]),
+        ),
+    )
+    return (
+        with_spans.withColumn(
+            out_col,
+            F.when(F.size("__spans") == 0, F.col(text_col)).otherwise(
+                F.array_join(kept, " ")
+            ),
+        )
+        .withColumn(
+            "n_tokens_removed",
+            F.when(F.size("__spans") == 0, F.lit(0)).otherwise(
+                F.size(toks) - F.size(kept)
+            ).cast("long"),
+        )
+        .select(id_col, out_col, "n_tokens_removed")
     )

@@ -1510,6 +1510,42 @@ def _cell_contamination_spans_documents(spark):
 CELLS["contamination_spans/documents"] = _cell_contamination_spans_documents
 
 
+def _cell_decontaminate_documents(spark):
+    # fully-stateless ingest-time decontamination: in-row span fold +
+    # in-row cut over replayed chunks must equal the BATCH two-step
+    # (relational spans + join-back cut_spans) projected to the same
+    # columns — again two independent implementations of one contract
+    from streamz_spark.operators.contamination import (
+        contamination_spans,
+        decontaminate_inline,
+    )
+    from streamz_spark.operators.dedup import cut_spans
+    from streamz_spark.operators.text import word_kgrams
+    from streamz_spark.streaming.sources import replay_table
+
+    docs = load_table(spark, SF_DIR, "documents")
+    bench = docs.filter(F.col("doc_id") % 97 == 0)
+    gh = [
+        r["gh"]
+        for r in bench.select(F.explode(word_kgrams("text", 7)).alias("g"))
+        .select(F.xxhash64("g").alias("gh"))
+        .distinct()
+        .collect()
+    ]
+    stream = replay_table(spark, SF_DIR, "documents", chunk_col="doc_id")
+    got = pd.concat(
+        sink_to_list(decontaminate_inline(stream, gh, k=7)),
+        ignore_index=True,
+    )
+    want = cut_spans(docs, contamination_spans(docs, bench, k=7)).select(
+        "doc_id", "text_deduped", "n_tokens_removed"
+    ).toPandas()
+    return got, want
+
+
+CELLS["decontaminate/documents"] = _cell_decontaminate_documents
+
+
 # parametrized LAST so late-registered cells are included
 @pytest.mark.parametrize("cell", sorted(CELLS))
 def test_stream_batch_cell(cell, spark):
