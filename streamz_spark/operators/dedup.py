@@ -651,7 +651,8 @@ def dedup_index_artifacts(
     text_col: str = "text",
     num_perm: int = 64,
     k: int = 3,
-    bands: int = 16,
+    bands: int | str = 16,
+    threshold: float | None = None,
 ):
     """Build the STORED index artifact for :func:`incremental_dedup`:
     ``(fingerprints, shingles, band_table)`` — the three relations a
@@ -667,6 +668,10 @@ def dedup_index_artifacts(
     """
     from streamz_spark.io import ensure_scan_parallelism
 
+    if bands == "auto":
+        bands, _ = plan_lsh_params(
+            threshold if threshold is not None else 0.5, num_perm
+        )
     index = ensure_scan_parallelism(index)
     fp = index.select(fingerprint(text_col, "__fp"))
     sh = index.select(
@@ -685,7 +690,7 @@ def incremental_dedup(
     text_col: str = "text",
     num_perm: int = 64,
     k: int = 3,
-    bands: int = 16,
+    bands: int | str = 16,
     threshold: float = 0.5,
     index_artifacts=None,
 ) -> DataFrame:
@@ -725,6 +730,12 @@ def incremental_dedup(
 
     if (index is None) == (index_artifacts is None):
         raise ValueError("pass exactly one of index or index_artifacts")
+    if bands == "auto":
+        # same planner dispatch as minhash_near_duplicates — the
+        # resolved banding must match the STORED artifact's if
+        # index_artifacts are passed (parameters are pinned at store
+        # creation; DedupIndexStore owns that invariant)
+        bands, _ = plan_lsh_params(threshold, num_perm)
     rows_per_band = num_perm // bands
     incoming = ensure_scan_parallelism(incoming)
     if index_artifacts is not None:

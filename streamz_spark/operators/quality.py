@@ -452,6 +452,8 @@ def quality_funnel(
     corpus, no second scan, cost identical to one boolean pass
     regardless of stage count.
     """
+    if not stages:
+        raise ValueError("quality_funnel requires at least one stage")
     cum = []
     acc = F.lit(True)
     for name, pred in stages:

@@ -398,3 +398,30 @@ def test_minhash_bands_auto_matches_default_at_defaults(spark):
     auto = {(r.id_a, r.id_b) for r in
             minhash_near_duplicates(docs, bands="auto").collect()}
     assert fixed == auto and len(fixed) > 0
+
+
+def test_incremental_dedup_bands_auto(spark):
+    # bands="auto" in the incremental path must match the fixed
+    # default's kept set at the default (threshold, num_perm)
+    from pyspark.sql import functions as F
+
+    from streamz_spark.io import load_table as lt
+    from streamz_spark.operators.dedup import incremental_dedup
+
+    docs = lt(spark, SF_DIR, "documents").select("doc_id", "text")
+    index = docs.where(F.col("doc_id") % 10 >= 5)
+    incoming = docs.where(F.col("doc_id") % 10 < 5)
+    fixed = {r.doc_id for r in incremental_dedup(incoming, index=index).collect()}
+    auto = {r.doc_id for r in
+            incremental_dedup(incoming, index=index, bands="auto").collect()}
+    assert fixed == auto and len(fixed) > 0
+
+
+def test_quality_funnel_rejects_empty_stages(spark):
+    import pytest as _pytest
+
+    from streamz_spark.operators.quality import quality_funnel
+
+    df = spark.createDataFrame([(1, "x")], ["doc_id", "text"])
+    with _pytest.raises(ValueError):
+        quality_funnel(df, [])
