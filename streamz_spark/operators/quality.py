@@ -369,6 +369,7 @@ def source_overlap(
     source_col: str = "source",
     text_col: str = "text",
     k: int = 3,
+    max_sources: int | None = None,
 ) -> DataFrame:
     """Cross-source content-overlap audit: for every pair of sources,
     how many distinct word k-shingles they share, plus the overlap
@@ -405,6 +406,24 @@ def source_overlap(
         .localCheckpoint(eager=False)
     )
     totals = sh.groupBy("src").agg(F.count(F.lit(1)).alias("n_sh"))
+    if max_sources is not None:
+        # df-cutoff on the SOURCE frequency (the posting-list cap of
+        # ngram_jaccard_pairs, lifted to sources): a shingle present
+        # in more than max_sources sources is cross-source boilerplate
+        # — it saturates every pair equally and contributes
+        # C(sources, 2) join rows PER SHINGLE, which at 10^4 sources
+        # is the fan-out that melts the self-join. Totals (the
+        # overlap-coefficient denominators) are computed BEFORE the
+        # cut, so the ppm stays a fraction of each source's true
+        # shingle count.
+        from pyspark.sql import Window as W
+
+        w_s = W.partitionBy("s")
+        sh = (
+            sh.withColumn("__nsrc", F.count(F.lit(1)).over(w_s))
+            .filter(F.col("__nsrc") <= max_sources)
+            .drop("__nsrc")
+        )
     a = sh.select(F.col("src").alias("source_a"), "s")
     b = sh.select(F.col("src").alias("source_b"), "s")
     pairs = (

@@ -632,3 +632,31 @@ def test_source_overlap_planted(spark):
         for r in source_overlap(df, k=3).collect()
     }
     assert got == {("a", "b"): (1, 1000000 // 3)}
+
+
+def test_source_overlap_max_sources_cap(spark):
+    # a shingle in ALL sources is boilerplate: with max_sources=2 it
+    # must stop contributing to every pair, while the pairwise shingle
+    # survives; totals (ppm denominators) stay PRE-cut
+    from streamz_spark.operators.quality import source_overlap
+
+    rows = [
+        (1, "a", "common boiler plate here now"),
+        (2, "b", "common boiler plate also present"),
+        (3, "c", "common boiler plate third copy"),
+        (4, "a", "the quick fox jumps high"),
+        (5, "b", "said the quick fox today"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "source", "text"])
+    uncapped = {
+        (r.source_a, r.source_b): r.shared_shingles
+        for r in source_overlap(df, k=3).collect()
+    }
+    assert uncapped[("a", "c")] >= 1  # boilerplate shingle pairs a-c
+    capped_rows = source_overlap(df, k=3, max_sources=2).collect()
+    capped = {(r.source_a, r.source_b): r for r in capped_rows}
+    assert ("a", "c") not in capped and ("b", "c") not in capped
+    r = capped[("a", "b")]
+    assert r.shared_shingles == 1  # only 'the quick fox'
+    # denominators unchanged by the cut: a has 3+3 distinct shingles
+    assert r.shingles_a == 6
