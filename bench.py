@@ -89,6 +89,20 @@ HEADLINE = [
     "boilerplate_common_shingles",
 ]
 
+# Canary protocol: a pinned scan+agg query (tpch_q6) measured before
+# AND after the sweep against a quiet-window reference time. When the
+# host is noisy (round 6: identical-commit A/B swung 46%), the canary
+# ratio exceeds the threshold and the artifact is stamped
+# `noisy_host: true` — it is then excluded from delta_vs_prev /
+# regressions, both as the current run (its own lists are emptied)
+# and as a future baseline (prior-artifact selection skips noisy
+# artifacts). This turns the manual "refresh only from a quiet-window
+# run" protocol (BENCH_NOTES.md round-6 note) into an enforced gate.
+CANARY_QUERY = "tpch_q6_forecast_revenue"
+CANARY_REF_SEC = {0.1: 0.153}  # quiet-window reference, by SF
+CANARY_NOISY_RATIO = 1.2
+CANARY_RUNS = 3
+
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -111,8 +125,26 @@ def main() -> None:
         # noop-sink write: full expression evaluation, zero driver/disk IO
         df.write.format("noop").mode("overwrite").save()
 
+    import gc
+
+    def run_canary() -> float:
+        # min-of-N pinned scan+agg measurement under the same per-run
+        # hygiene as the sweep; -1.0 when the canary query is absent
+        if CANARY_QUERY not in registry:
+            return -1.0
+        times = []
+        for _ in range(CANARY_RUNS):
+            spark.catalog.clearCache()
+            gc.collect()
+            spark._jvm.System.gc()
+            t0 = time.perf_counter()
+            force(registry[CANARY_QUERY].fn(spark, sf_dir))
+            times.append(time.perf_counter() - t0)
+        return round(min(times), 4)
+
     # warm the JVM + parquet footers once (not counted per-query)
     force(registry[names[0]].fn(spark, sf_dir))
+    canary_before = run_canary()
 
     repo_dir = os.path.dirname(os.path.abspath(__file__))
     # prior-round detail for per-query deltas: the newest versioned
@@ -136,18 +168,29 @@ def main() -> None:
         if _re.fullmatch(r"BENCH_DETAIL_r\d+\.json", f)
         and f != f"BENCH_DETAIL_{tag}.json"
     )
-    prior, prior_tag = {}, None
-    prior_path = os.path.join(
-        repo_dir, versioned[-1] if versioned else "BENCH_DETAIL.json"
-    )
-    try:
-        with open(prior_path) as f:
-            pj = json.load(f)
-        prior_tag = versioned[-1][len("BENCH_DETAIL_"):-len(".json")] if versioned else "prev"
-        prior = pj.get("queries", {}) if pj.get("sf") is not None else {}
-        prior_sf = pj.get("sf")
-    except (OSError, ValueError):
-        prior_sf = None
+    # newest QUIET versioned artifact wins: an artifact stamped
+    # `noisy_host: true` (canary gate, or retroactive round-6 stamp)
+    # must never become the comparison base — its inflated times would
+    # manufacture phantom improvements and mask real regressions
+    prior, prior_tag, prior_sf = {}, None, None
+    candidates = [
+        (f, f[len("BENCH_DETAIL_"):-len(".json")])
+        for f in reversed(versioned)
+    ] or [("BENCH_DETAIL.json", "prev")]
+    for fname, ptag in candidates:
+        try:
+            with open(os.path.join(repo_dir, fname)) as f:
+                pj = json.load(f)
+        except (OSError, ValueError):
+            continue
+        if pj.get("noisy_host"):
+            print(f"bench: skipping noisy baseline {fname}", file=sys.stderr)
+            continue
+        if pj.get("sf") is not None:
+            prior = pj.get("queries", {})
+            prior_sf = pj.get("sf")
+            prior_tag = ptag
+        break
 
     timings: dict[str, float] = {}
     spread: dict[str, float] = {}
@@ -158,7 +201,6 @@ def main() -> None:
     # recorded so cross-round deltas inside the jitter band are
     # distinguishable from real plan movement
     runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "2"))
-    import gc
 
     for name in names:
         times: list[float] = []
@@ -189,14 +231,35 @@ def main() -> None:
         spread[name] = round(max(times) - min(times), 4) if times else -1.0
         total += max(best, 0.0)
 
+    canary_after = run_canary()
+
     sf_val = float(sf) if sf.replace(".", "").isdigit() else sf
+    # canary gate: both before/after measurements vs the pinned
+    # quiet-window reference; the artifact is invalid-for-comparison
+    # when EITHER end of the sweep ran on a noisy host
+    canary_ref = CANARY_REF_SEC.get(sf_val)
+    canary = {
+        "query": CANARY_QUERY,
+        "before": canary_before,
+        "after": canary_after,
+        "ref": canary_ref,
+        "threshold": CANARY_NOISY_RATIO,
+    }
+    noisy_host = False
+    if canary_ref and canary_before > 0 and canary_after > 0:
+        canary["ratio_before"] = round(canary_before / canary_ref, 3)
+        canary["ratio_after"] = round(canary_after / canary_ref, 3)
+        noisy_host = (
+            canary["ratio_before"] > CANARY_NOISY_RATIO
+            or canary["ratio_after"] > CANARY_NOISY_RATIO
+        )
     # cross-round comparison (same-SF only): a regression is real when
     # the delta clears BOTH an absolute floor and the query's own
     # observed run-to-run spread — sub-second scheduler jitter
     # (±0.1-0.2 s at this scale) stays out of the list
     deltas: dict[str, float] = {}
     regressions: dict[str, dict] = {}
-    if prior and prior_sf == sf_val:
+    if prior and prior_sf == sf_val and not noisy_host:
         for name, t in timings.items():
             p = prior.get(name)
             if p is None or p < 0 or t < 0:
@@ -216,6 +279,8 @@ def main() -> None:
         "prev_tag": prior_tag if deltas else None,
         "delta_vs_prev": deltas,
         "regressions": regressions,
+        "canary": canary,
+        "noisy_host": noisy_host,
     }
     # Per-query map goes to a committed artifact file: an 89-entry dict
     # on stdout exceeded the driver's tail capture and left
@@ -249,6 +314,8 @@ def main() -> None:
         "n_queries": len(timings),
         "n_failed": len(failed),
         "n_regressions": len(regressions),
+        "noisy_host": noisy_host,
+        "canary_ratio": canary.get("ratio_after"),
         "slowest": {n: t for n, t in slowest},
         "sf": sf_val,
         "queries_detail_file": os.path.basename(detail_path),

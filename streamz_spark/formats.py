@@ -133,7 +133,11 @@ def read_wet(
     raw = spark.read.format("binaryFile").load(path)
     out = raw.select("path", "content").mapInPandas(_parse_files, WET_SCHEMA)
     if conversion_only:
-        out = out.filter(out.warc_type == "conversion")
+        # keep the malformed-file sentinel rows (record_seq == -1) so an
+        # entirely-truncated archive stays visible for quarantine audit
+        out = out.filter(
+            (out.warc_type == "conversion") | (out.record_seq == -1)
+        )
     return out
 
 
@@ -151,7 +155,9 @@ def stream_wet(
     )
     out = raw.select("path", "content").mapInPandas(_parse_files, WET_SCHEMA)
     if conversion_only:
-        out = out.filter(out.warc_type == "conversion")
+        out = out.filter(
+            (out.warc_type == "conversion") | (out.record_seq == -1)
+        )
     return out
 
 

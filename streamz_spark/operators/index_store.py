@@ -71,8 +71,18 @@ class DedupIndexStore:
         bands: int = 16,
         threshold: float = 0.5,
     ):
+        # compact()/file_counts() manipulate files with os.walk/os.rename,
+        # so the store is local-filesystem-only; fail fast on object-store
+        # URIs before any rewrite could be staged halfway
+        scheme = base.split("://", 1)[0] if "://" in base else ""
+        if scheme and scheme != "file":
+            raise ValueError(
+                "DedupIndexStore requires a local filesystem base "
+                f"(got scheme {scheme!r}); compact()/file_counts() use "
+                "os-level file operations"
+            )
         self.spark = spark
-        self.base = base
+        self.base = base[len("file://"):] if base.startswith("file://") else base
         self.id_col = id_col
         self.text_col = text_col
         self.num_perm = num_perm

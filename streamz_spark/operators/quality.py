@@ -496,9 +496,15 @@ def quality_funnel(
     )
     # unpivot the 1-row-per-group totals into stage rows: stack is
     # evaluated on |groups| rows — negligible
+    def _sql_str(s):
+        # stage names land inside single-quoted SQL literals — escape
+        # backslashes and quotes so a name like "it's" can't break the
+        # generated stack() expression with an opaque parse error
+        return "'" + str(s).replace("\\", "\\\\").replace("'", "\\'") + "'"
+
     pairs = ", ".join(
-        "{}L, '{}', {}, __k{}".format(
-            i, name, "__n" if i == 0 else f"__k{i-1}", i
+        "{}L, {}, {}, __k{}".format(
+            i, _sql_str(name), "__n" if i == 0 else f"__k{i-1}", i
         )
         for i, (name, _) in enumerate(cum)
     )

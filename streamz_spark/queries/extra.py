@@ -3592,8 +3592,8 @@ _HH_KEY = "CAST(FLOOR(SQRT(CAST(user_id AS DOUBLE))) AS BIGINT)"
     "heavy_hitter_keys",
     oracle=f"""
     WITH t AS (SELECT {_HH_KEY} AS key FROM events),
-    f AS (SELECT key, COUNT(*) AS cnt FROM t GROUP BY 1)
-    SELECT key, cnt FROM f WHERE cnt * {_HH_K} > (SELECT COUNT(*) FROM t)
+    f AS (SELECT key, COUNT(*) AS cnt FROM t GROUP BY 1 HAVING key IS NOT NULL)
+    SELECT key, cnt FROM f WHERE cnt * {_HH_K} > (SELECT COUNT(key) FROM t)
     """,
     doc="EXACT heavy hitters (every key holding > 1/30 of the rows, "
         "with exact counts) via the two-pass Misra-Gries shape "
