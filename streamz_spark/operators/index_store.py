@@ -292,7 +292,13 @@ class DedupIndexStore:
             # docs are not yet indexed, so they re-screen as kept and
             # land twice — at-least-once on kept_sink; downstream
             # consumers dedup by fingerprint (dedup_exact), or swap
-            # kept_sink for a transactional table for exactly-once
+            # kept_sink for a transactional table for exactly-once.
+            # Failure AFTER append (before checkpoint commit) is
+            # exactly-once on both sides: the replay screens against
+            # an index that already holds the batch, keeps nothing,
+            # re-lands nothing, and appends an empty survivor set.
+            # Both kill points are pinned by chaos tests
+            # (tests/test_index_store.py::test_ingest_stream_crash_*).
 
         writer = stream.writeStream.outputMode("append").foreachBatch(
             _screen_and_fold

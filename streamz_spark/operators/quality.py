@@ -416,14 +416,23 @@ def source_overlap(
         # overlap-coefficient denominators) are computed BEFORE the
         # cut, so the ppm stays a fraction of each source's true
         # shingle count.
-        from pyspark.sql import Window as W
-
-        w_s = W.partitionBy("s")
-        sh = (
-            sh.withColumn("__nsrc", F.count(F.lit(1)).over(w_s))
-            .filter(F.col("__nsrc") <= max_sources)
-            .drop("__nsrc")
+        #
+        # Shape (the `common_shingle_stats` pattern): aggregate the
+        # SMALL high-df set — shingles in > max_sources sources — with
+        # a map-side-combinable hash groupBy, then broadcast-anti-join
+        # it away. The earlier Window.partitionBy(s) form paid an
+        # exchange+SORT over the full corpus-sized (source, shingle)
+        # relation in exactly the high-fan-out regime the cut exists
+        # for; the cut-list here is tiny by construction (boilerplate
+        # is high-df), so the anti-join is a broadcast — no sort, no
+        # second corpus shuffle.
+        hot = (
+            sh.groupBy("s")
+            .agg(F.count(F.lit(1)).alias("__nsrc"))
+            .filter(F.col("__nsrc") > max_sources)
+            .select("s")
         )
+        sh = sh.join(F.broadcast(hot), "s", "left_anti")
     a = sh.select(F.col("src").alias("source_a"), "s")
     b = sh.select(F.col("src").alias("source_b"), "s")
     pairs = (

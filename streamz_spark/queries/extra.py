@@ -3897,6 +3897,62 @@ def source_overlap_matrix(spark, sf_dir):
     return source_overlap(docs, k=3)
 
 
+_SOURCE_OVERLAP_CAPPED_ORACLE = """
+    WITH toks AS (
+        SELECT source,
+               CASE WHEN length(trim(lower(text))) = 0 THEN []::VARCHAR[]
+                    ELSE regexp_split_to_array(trim(lower(text)), '\\s+')
+               END AS t
+        FROM documents
+    ),
+    sh AS (
+        SELECT DISTINCT source AS src,
+               unnest(list_transform(range(1, greatest(len(t) - 2, 0) + 1),
+                      i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS s
+        FROM toks
+    ),
+    totals AS (SELECT src, COUNT(*) AS n_sh FROM sh GROUP BY 1),
+    hot AS (SELECT s FROM sh GROUP BY s HAVING COUNT(*) > 5),
+    shc AS (SELECT * FROM sh ANTI JOIN hot USING (s)),
+    pairs AS (
+        SELECT a.src AS source_a, b.src AS source_b,
+               COUNT(*) AS shared_shingles
+        FROM shc a JOIN shc b ON a.s = b.s AND a.src < b.src
+        GROUP BY 1, 2
+    )
+    SELECT p.source_a, p.source_b,
+           CAST(shared_shingles AS BIGINT) AS shared_shingles,
+           CAST(ta.n_sh AS BIGINT) AS shingles_a,
+           CAST(tb.n_sh AS BIGINT) AS shingles_b,
+           CAST((shared_shingles * 1000000) // least(ta.n_sh, tb.n_sh)
+                AS BIGINT) AS overlap_ppm
+    FROM pairs p
+    JOIN totals ta ON ta.src = p.source_a
+    JOIN totals tb ON tb.src = p.source_b
+"""
+
+
+@register_extra(
+    "source_overlap_capped",
+    oracle=_SOURCE_OVERLAP_CAPPED_ORACLE,
+    doc="source_overlap with the max_sources df-cutoff: shingles "
+        "present in > 5 sources are cross-source boilerplate — they "
+        "saturate every pair equally while contributing C(sources, 2) "
+        "join rows PER SHINGLE, the fan-out that melts the self-join "
+        "at 10^4 sources. The cut-list is a map-side-combinable hash "
+        "aggregate over the small high-df set, broadcast-ANTI-joined "
+        "away (never a Window exchange+sort over the corpus-sized "
+        "relation — plan-pinned in test_plans). Totals (ppm "
+        "denominators) stay PRE-cut, so the coefficient remains a "
+        "fraction of each source's true shingle count.",
+)
+def source_overlap_capped(spark, sf_dir):
+    from streamz_spark.operators.quality import source_overlap
+
+    docs = load_table(spark, sf_dir, "documents")
+    return source_overlap(docs, k=3, max_sources=5)
+
+
 # --------------------------------------------------------------------------
 # quality-funnel attrition report
 # --------------------------------------------------------------------------

@@ -181,3 +181,88 @@ def test_ingest_stream_dedups_across_batches_via_the_store(spark, tmp_path):
     store.ingest_stream(stream2, kept_sink, checkpoint=ckpt)
     kept2 = spark.read.parquet(kept_sink)
     assert kept2.count() == n_after_first  # nothing new kept, nothing re-landed
+
+
+def _crash_harness(spark, tmp_path, *, crash_after_append: bool):
+    """Shared chaos rig: one chunk streams in, the first ingest attempt
+    is killed at a chosen point inside the foreachBatch (via a patched
+    `append`), then an unpatched restart from the same checkpoint
+    replays the uncommitted batch. Returns (store, kept_sink, chunk)."""
+    from streamz_spark.streaming.sources import from_directory
+
+    store = DedupIndexStore(spark, str(tmp_path / "idx"))
+    docs = _docs(spark)
+    store.initialize(docs.where(F.col("doc_id") % 10 >= 8))
+    chunk = docs.where(F.col("doc_id") % 10 < 2)
+    src = tmp_path / "chunks"
+    chunk.coalesce(1).write.parquet(str(src / "c=00000"))
+
+    kept_sink = str(tmp_path / "kept")
+    ckpt = str(tmp_path / "ckpt")
+    real_append = store.append
+
+    def crashing_append(kept):
+        if crash_after_append:
+            real_append(kept)  # index mutated, THEN the process dies
+        raise RuntimeError("injected crash")
+
+    store.append = crashing_append
+    stream = from_directory(
+        spark, str(src / "c=*"), chunk.schema,
+        one_file_per_trigger=True, pathGlobFilter="*.parquet",
+    )
+    with pytest.raises(Exception, match="injected crash"):
+        store.ingest_stream(stream, kept_sink, checkpoint=ckpt)
+    store.append = real_append
+
+    # restart from the same checkpoint: the failed batch replays
+    stream2 = from_directory(
+        spark, str(src / "c=*"), chunk.schema,
+        one_file_per_trigger=True, pathGlobFilter="*.parquet",
+    )
+    store.ingest_stream(stream2, kept_sink, checkpoint=ckpt)
+    return store, kept_sink, chunk
+
+
+def test_ingest_stream_crash_before_append_replays_at_least_once(spark, tmp_path):
+    # kill point 1: after the kept_sink write, BEFORE the index append.
+    # The replayed batch is not yet indexed, so it re-screens as kept
+    # and lands twice — the documented at-least-once contract on
+    # kept_sink — while the index admits each document exactly once
+    # (no duplicate admissions: the crashed attempt appended nothing).
+    store, kept_sink, chunk = _crash_harness(
+        spark, tmp_path, crash_after_append=False
+    )
+    kept = spark.read.parquet(kept_sink)
+    n_unique = chunk.select("text").distinct().count()
+    # no lost appends: every unique text admitted to the index once
+    fp, sh, band = store.artifacts()
+    init_fp = store._artifacts_for(
+        _docs(spark).where(F.col("doc_id") % 10 >= 8)
+    )[0].count()
+    assert fp.count() - init_fp == kept.select("text").distinct().count()
+    assert fp.count() == fp.distinct().count()  # exactly once each
+    # at-least-once on the sink: duplicates by fingerprint are allowed
+    # and expected here, but the DEDUPED content equals one clean pass
+    assert kept.select("text").distinct().count() == kept.count() // 2
+    # re-screening the same texts now drops everything (fully indexed)
+    probe = chunk.select((F.col("doc_id") + 700_000).alias("doc_id"), "text")
+    assert store.screen(probe).count() == 0
+
+
+def test_ingest_stream_crash_after_append_is_exactly_once(spark, tmp_path):
+    # kill point 2: after the index append, BEFORE the checkpoint
+    # commit. The replayed batch screens against an index that already
+    # contains it, so nothing re-lands and nothing re-appends —
+    # exactly-once on BOTH the sink and the store in this failure mode.
+    store, kept_sink, chunk = _crash_harness(
+        spark, tmp_path, crash_after_append=True
+    )
+    kept = spark.read.parquet(kept_sink)
+    # exactly once on the sink: no row duplicated by the replay
+    assert kept.count() == kept.select("text").distinct().count()
+    # exactly once in the store: replay appended an empty survivor set
+    fp, _, _ = store.artifacts()
+    assert fp.count() == fp.distinct().count()
+    probe = chunk.select((F.col("doc_id") + 700_000).alias("doc_id"), "text")
+    assert store.screen(probe).count() == 0

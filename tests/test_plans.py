@@ -647,3 +647,21 @@ def test_contamination_spans_plan_shape(spark):
     assert "BroadcastHashJoin" in plan and "LeftSemi" in plan
     assert plan.count("hashpartitioning(gh") == 1, plan
     assert plan.count("hashpartitioning(id") == 1, plan
+
+
+def test_source_overlap_cutoff_plan_shape(spark):
+    # max_sources cut contract: the high-df cut-list is a map-side-
+    # combinable hash aggregate broadcast-ANTI-joined away — never a
+    # Window (exchange+SORT) over the corpus-sized (source, shingle)
+    # relation, which is exactly the fan-out regime the cut exists for
+    from streamz_spark.operators.quality import source_overlap
+    from streamz_spark.plans import explain_string
+    from streamz_spark.io import load_table
+
+    docs = load_table(spark, SF_DIR, "documents").selectExpr(
+        "doc_id", "concat('s', doc_id % 7) AS source", "text"
+    )
+    plan = explain_string(source_overlap(docs, k=3, max_sources=3))
+    assert "Window" not in plan, "df-cutoff regressed to a corpus-sized Window"
+    assert "BroadcastHashJoin" in plan and "LeftAnti" in plan
+    assert "partial_count" in plan  # cut-list agg combines map-side

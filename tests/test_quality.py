@@ -660,3 +660,23 @@ def test_source_overlap_max_sources_cap(spark):
     assert r.shared_shingles == 1  # only 'the quick fox'
     # denominators unchanged by the cut: a has 3+3 distinct shingles
     assert r.shingles_a == 6
+
+
+def test_source_overlap_high_fanout_many_sources(spark):
+    # 10^4 sources all sharing one boilerplate text: uncapped, the
+    # shared shingles would each contribute C(10^4, 2) ≈ 5e7 join rows
+    # — the melt case. With max_sources the boilerplate is cut by the
+    # broadcast anti-join and only the two planted genuine overlaps
+    # survive, in seconds not hours.
+    from streamz_spark.operators.quality import source_overlap
+
+    n = 10_000
+    rows = [(i, f"src{i:05d}", f"common boiler plate here now u{i} v{i} w{i}")
+            for i in range(n)]
+    # planted genuine overlap between src00000 and src00001 only
+    rows.append((n, "src00000", "the quick fox jumps high"))
+    rows.append((n + 1, "src00001", "said the quick fox today"))
+    df = spark.createDataFrame(rows, ["doc_id", "source", "text"])
+    got = {(r.source_a, r.source_b): r.shared_shingles
+           for r in source_overlap(df, k=3, max_sources=10).collect()}
+    assert got == {("src00000", "src00001"): 1}
