@@ -30,6 +30,7 @@ from streamz_spark.streaming.sinks import (
     sink_to_directory,
     sink_to_list,
     sink_to_memory,
+    to_kafka,
     to_mqtt,
     to_websocket,
     updating_to_list,
@@ -42,7 +43,7 @@ __all__ = [
     "filelog_append", "from_filelog", "from_http_server", "from_mqtt",
     "from_process", "from_q", "from_websocket", "to_filelog",
     "run_available_now", "sink_foreach_batch", "sink_to_directory",
-    "sink_to_list", "sink_to_memory", "to_mqtt", "to_websocket",
+    "sink_to_list", "sink_to_memory", "to_kafka", "to_mqtt", "to_websocket",
     "updating_to_list",
     "accumulate", "partition_batches",
 ]

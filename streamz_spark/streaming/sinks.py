@@ -108,6 +108,45 @@ def sink_foreach_batch(df: DataFrame, func, output_mode: str = "append", timeout
     return run_available_now(writer, timeout)
 
 
+def to_kafka(
+    df: DataFrame,
+    bootstrap_servers: str,
+    topic: str,
+    checkpoint: str | None = None,
+    **options,
+):
+    """Kafka sink — reference to_kafka (sinks.py:116-195). A thin
+    forwarder onto ``writeStream.format("kafka")``: the frame must
+    carry a ``value`` column (string/binary) and may carry ``key`` /
+    ``headers`` / ``partition``, exactly the connector's contract.
+    Delivery is the connector's native at-least-once (the reference's
+    producer offers the same without idempotence); checkpointing makes
+    retries batch-scoped.
+
+    Environment-gated like :func:`streamz_spark.streaming.sources.from_kafka`:
+    requires the spark-sql-kafka connector jar (absent in this image —
+    scripts/probe_kafka.py documents the probe). Option forwarding is
+    pinned up to the jar boundary by tests/test_sources.py's
+    format-capture contract tests.
+    """
+    writer = (
+        df.writeStream.format("kafka")
+        .option("kafka.bootstrap.servers", bootstrap_servers)
+        .option("topic", topic)
+    )
+    if checkpoint:
+        writer = writer.option("checkpointLocation", checkpoint)
+    for k, v in options.items():
+        writer = writer.option(k, v)
+    try:
+        return writer.start()
+    except Exception as exc:  # connector jar absent in this image
+        raise RuntimeError(
+            "Kafka sink requires the spark-sql-kafka connector on the "
+            "classpath (spark.jars.packages org.apache.spark:spark-sql-kafka-0-10_2.13)."
+        ) from exc
+
+
 def sink_to_memory(
     df: DataFrame, name: str, output_mode: str = "append", timeout: int = 300
 ):
