@@ -22,9 +22,125 @@ __all__ = [
     "deterministic_shuffle",
     "pack_sequences",
     "chunk_documents",
+    "corpus_data_card",
     "corpus_diff",
     "write_partitioned_corpus",
 ]
+
+
+def corpus_data_card(
+    docs: DataFrame,
+    source_col: str = "source",
+    lang_col: str = "lang",
+    text_col: str = "text",
+    p50: str = "exact",
+    p50_accuracy: int = 10_000,
+) -> DataFrame:
+    """Per-source corpus profile (the "data card" a pretraining team
+    publishes): doc/token/char totals, median tokens-per-doc, mean word
+    length (integer micro units — associative sums, no float-order
+    exposure), language count and the dominant language with a
+    DETERMINISTIC tie-break (docs desc, lang asc).
+
+    Shape: one narrow per-doc projection feeds a (source, lang)
+    map-side-combinable aggregate; every source-level stat except the
+    median derives from that tiny table. The median has two arms:
+
+    - ``p50="exact"``: ``F.percentile`` — exact interpolated median
+      (matches ``quantile_cont``, the DuckDB-oracle arm). Its partial
+      aggregation buffer is the FULL per-group value list, so the
+      source-key exchange still carries one value per document.
+    - ``p50="sketch"``: ``F.percentile_approx`` — the mergeable KLL-
+      style sketch (Spark's ApproximatePercentile; rank error bounded
+      by ``1/p50_accuracy``). The map-side partial is a BOUNDED sketch,
+      so the exchange carries |sources| × sketch bytes regardless of
+      corpus size — the 100 TB arm. Tolerance differential vs the
+      exact arm + plan contract in tests/test_quality.py.
+
+    All joins are source-cardinality broadcasts.
+    """
+    from pyspark.sql import Window
+
+    from streamz_spark.io import ensure_scan_parallelism
+    from streamz_spark.operators.text import token_count
+
+    if p50 not in ("exact", "sketch"):
+        raise ValueError(f"p50 must be 'exact' or 'sketch', got {p50!r}")
+    docs = ensure_scan_parallelism(docs)
+    perdoc = docs.select(
+        F.col(source_col).alias("source"),
+        F.col(lang_col).alias("lang"),
+        token_count(text_col).alias("n_tok"),
+        F.length(text_col).cast("long").alias("n_ch"),
+        (
+            F.length(text_col).cast("double")
+            - F.length(F.regexp_replace(text_col, r"[^ \t\n]", "")).cast("double")
+        ).alias("spaces"),
+    ).withColumn(
+        "mwl_micro",
+        F.floor(
+            F.when(
+                F.col("n_tok") > 0,
+                (F.col("n_ch").cast("double") - F.col("spaces"))
+                / F.col("n_tok").cast("double"),
+            ).otherwise(F.lit(0.0))
+            * 1000000.0
+        ).cast("long"),
+    )
+    slc = perdoc.groupBy("source", "lang").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("n_tok").alias("tok"),
+        F.sum("n_ch").alias("ch"),
+        F.sum("mwl_micro").alias("mwl"),
+    )
+    src = slc.groupBy("source").agg(
+        F.sum("n").cast("long").alias("n_docs"),
+        F.sum("tok").cast("long").alias("n_tokens"),
+        F.sum("ch").cast("long").alias("n_chars"),
+        F.sum("mwl").cast("long").alias("mwl_sum"),
+        F.count(F.lit(1)).cast("long").alias("n_langs"),
+    )
+    top = (
+        slc.withColumn(
+            "rk",
+            F.row_number().over(
+                Window.partitionBy("source").orderBy(
+                    F.col("n").desc(), F.col("lang").asc()
+                )
+            ),
+        )
+        .where(F.col("rk") == 1)
+        .select(
+            "source",
+            F.col("lang").alias("top_lang"),
+            F.col("n").cast("long").alias("top_lang_docs"),
+        )
+    )
+    if p50 == "exact":
+        p50_agg = F.percentile("n_tok", F.lit(0.5))
+    else:
+        p50_agg = F.percentile_approx(
+            "n_tok", F.lit(0.5), F.lit(p50_accuracy)
+        ).cast("double")
+    pctl = perdoc.groupBy("source").agg(p50_agg.alias("tokens_per_doc_p50"))
+    return (
+        src.join(F.broadcast(top), "source")
+        .join(F.broadcast(pctl), "source")
+        .select(
+            "source",
+            "n_docs",
+            "n_tokens",
+            "n_chars",
+            (
+                F.col("n_tokens").cast("double") / F.col("n_docs").cast("double")
+            ).alias("tokens_per_doc_mean"),
+            "tokens_per_doc_p50",
+            F.expr("mwl_sum div n_docs").cast("long").alias("mean_word_len_micro"),
+            "n_langs",
+            "top_lang",
+            "top_lang_docs",
+        )
+    )
 
 
 def corpus_diff(

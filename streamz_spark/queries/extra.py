@@ -2957,87 +2957,17 @@ _DATA_CARD_ORACLE = r"""
         "combinable aggregate; every source-level stat except the median "
         "derives from that tiny table, so the corpus shuffles only the "
         "doc-level token counts for the exact percentile (kept exact for "
-        "oracle reproducibility — the 100 TB call swaps percentile for "
-        "the mergeable KLL sketch already benched in approx_sketches). "
+        "oracle reproducibility — the 100 TB call is the operator's "
+        "p50='sketch' arm: percentile_approx, whose map-side partial is "
+        "a bounded mergeable sketch instead of the full value list; "
+        "tolerance differential + plan contract in tests/test_quality.py). "
         "All joins are source-cardinality.",
 )
 def corpus_data_card(spark, sf_dir):
-    from pyspark.sql import Window
+    from streamz_spark.operators.export import corpus_data_card as data_card
 
-    from streamz_spark.io import ensure_scan_parallelism
-    from streamz_spark.operators.text import token_count
-
-    docs = ensure_scan_parallelism(load_table(spark, sf_dir, "documents"))
-    perdoc = docs.select(
-        "source",
-        "lang",
-        token_count("text").alias("n_tok"),
-        F.length("text").cast("long").alias("n_ch"),
-        (
-            F.length("text").cast("double")
-            - F.length(F.regexp_replace("text", r"[^ \t\n]", "")).cast("double")
-        ).alias("spaces"),
-    ).withColumn(
-        "mwl_micro",
-        F.floor(
-            F.when(
-                F.col("n_tok") > 0,
-                (F.col("n_ch").cast("double") - F.col("spaces"))
-                / F.col("n_tok").cast("double"),
-            ).otherwise(F.lit(0.0))
-            * 1000000.0
-        ).cast("long"),
-    )
-    slc = perdoc.groupBy("source", "lang").agg(
-        F.count(F.lit(1)).alias("n"),
-        F.sum("n_tok").alias("tok"),
-        F.sum("n_ch").alias("ch"),
-        F.sum("mwl_micro").alias("mwl"),
-    )
-    src = slc.groupBy("source").agg(
-        F.sum("n").cast("long").alias("n_docs"),
-        F.sum("tok").cast("long").alias("n_tokens"),
-        F.sum("ch").cast("long").alias("n_chars"),
-        F.sum("mwl").cast("long").alias("mwl_sum"),
-        F.count(F.lit(1)).cast("long").alias("n_langs"),
-    )
-    top = (
-        slc.withColumn(
-            "rk",
-            F.row_number().over(
-                Window.partitionBy("source").orderBy(
-                    F.col("n").desc(), F.col("lang").asc()
-                )
-            ),
-        )
-        .where(F.col("rk") == 1)
-        .select(
-            "source",
-            F.col("lang").alias("top_lang"),
-            F.col("n").cast("long").alias("top_lang_docs"),
-        )
-    )
-    pctl = perdoc.groupBy("source").agg(
-        F.percentile("n_tok", F.lit(0.5)).alias("tokens_per_doc_p50")
-    )
-    return (
-        src.join(F.broadcast(top), "source")
-        .join(F.broadcast(pctl), "source")
-        .select(
-            "source",
-            "n_docs",
-            "n_tokens",
-            "n_chars",
-            (
-                F.col("n_tokens").cast("double") / F.col("n_docs").cast("double")
-            ).alias("tokens_per_doc_mean"),
-            "tokens_per_doc_p50",
-            F.expr("mwl_sum div n_docs").cast("long").alias("mean_word_len_micro"),
-            "n_langs",
-            "top_lang",
-            "top_lang_docs",
-        )
-    )
+    docs = load_table(spark, sf_dir, "documents")
+    return data_card(docs, p50="exact")
 
 
 # --------------------------------------------------------------------------

@@ -680,3 +680,68 @@ def test_source_overlap_high_fanout_many_sources(spark):
     got = {(r.source_a, r.source_b): r.shared_shingles
            for r in source_overlap(df, k=3, max_sources=10).collect()}
     assert got == {("src00000", "src00001"): 1}
+
+
+def test_data_card_sketch_arm_matches_exact_within_tolerance(spark):
+    # the KLL arm's p50 must track the exact arm's interpolated median
+    # within the sketch's rank-error bound, with every other column
+    # bit-identical (the sketch only replaces the percentile aggregate)
+    from streamz_spark.io import load_table
+    from streamz_spark.operators.export import corpus_data_card
+
+    from .conftest import SF_DIR
+
+    docs = load_table(spark, SF_DIR, "documents")
+    exact = {r["source"]: r.asDict()
+             for r in corpus_data_card(docs, p50="exact").collect()}
+    sketch = {r["source"]: r.asDict()
+              for r in corpus_data_card(docs, p50="sketch").collect()}
+    assert set(exact) == set(sketch)
+    for src, e in exact.items():
+        s = sketch[src]
+        for col in ("n_docs", "n_tokens", "n_chars", "mean_word_len_micro",
+                    "n_langs", "top_lang", "top_lang_docs",
+                    "tokens_per_doc_mean"):
+            assert s[col] == e[col], (src, col)
+        # approx picks an actual value (no interpolation): allow the
+        # half-step plus the 1/accuracy rank error on this distribution
+        assert abs(s["tokens_per_doc_p50"] - e["tokens_per_doc_p50"]) <= max(
+            1.0, 0.02 * e["tokens_per_doc_p50"]
+        ), src
+
+
+def test_data_card_sketch_arm_plan_contract(spark):
+    # the doc-level shuffle payload is gone in the sketch arm: the
+    # percentile aggregate's map-side partial is a bounded
+    # ApproximatePercentile sketch (partial_percentile_approx), where
+    # the exact arm's partial buffer is the full per-group value list —
+    # at 100 TB that exchange carries |sources| x sketch bytes vs one
+    # value per document
+    from streamz_spark.io import load_table
+    from streamz_spark.operators.export import corpus_data_card
+    from streamz_spark.plans import explain_string
+
+    from .conftest import SF_DIR
+
+    docs = load_table(spark, SF_DIR, "documents")
+    exact_plan = explain_string(corpus_data_card(docs, p50="exact"))
+    sketch_plan = explain_string(corpus_data_card(docs, p50="sketch"))
+    assert "percentile_approx" not in exact_plan
+    assert "partial_percentile" in exact_plan
+    assert "percentile_approx" in sketch_plan
+    # the sketch arm must not regress to the exact aggregate
+    import re
+    assert not re.search(r"partial_percentile\(", sketch_plan)
+
+
+def test_data_card_p50_arg_validated(spark):
+    import pytest
+
+    from streamz_spark.io import load_table
+    from streamz_spark.operators.export import corpus_data_card
+
+    from .conftest import SF_DIR
+
+    docs = load_table(spark, SF_DIR, "documents")
+    with pytest.raises(ValueError, match="p50"):
+        corpus_data_card(docs, p50="bogus")

@@ -154,3 +154,90 @@ def test_aggregation_harness_max_rows_guard(spark):
         aggregate_updating_to_list(src, Count(), max_rows=10)
     src2 = from_iterable(spark, [chunk], "x long")
     assert aggregate_updating_to_list(src2, Count(), max_rows=1000) == [100]
+
+
+# -- property: arbitrary-depth updating chains == pandas replication --
+#
+# The reference's dominant differential pattern (stream the chunks,
+# replicate on the whole frame with plain pandas, compare after every
+# chunk — dataframe/tests/test_dataframes.py passim) applied to its
+# hardest semantic: updating aggregates feeding further arithmetic and
+# re-aggregation at arbitrary depth (SURVEY.md §7 hard item #1). Chains
+# are random trees of (first streaming groupby-sum) -> arithmetic ->
+# aggregate -> arithmetic ... ; Spark executes everything past the
+# first aggregate via the deferred _post closure, pandas replays the
+# same chain on each cumulative prefix.
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+_ARITH = {
+    "add": (lambda f, c: f + c, lambda s, c: s + c),
+    "sub": (lambda f, c: f - c, lambda s, c: s - c),
+    "rsub": (lambda f, c: c - f, lambda s, c: c - s),
+    "mul": (lambda f, c: f * c, lambda s, c: s * c),
+}
+_AGGS = ("sum", "mean", "max", "min", "count")
+
+_chunks_st = st.lists(
+    st.lists(
+        st.tuples(st.integers(0, 2), st.integers(-50, 50)),
+        min_size=1, max_size=5,
+    ),
+    min_size=1, max_size=3,
+)
+_chain_st = st.lists(
+    st.one_of(
+        st.tuples(
+            st.just("arith"),
+            st.tuples(st.sampled_from(sorted(_ARITH)), st.integers(-5, 5)),
+        ),
+        st.tuples(st.just("agg"), st.sampled_from(_AGGS)),
+    ),
+    min_size=1, max_size=4,
+).filter(lambda c: any(k == "agg" for k, _ in c))
+
+
+def _replicate_pandas(chunks, chain, upto):
+    # whole-frame pandas replay of the chain on chunks[: upto + 1]
+    pdf = pd.concat(chunks[: upto + 1], ignore_index=True)
+    vals = pdf.groupby("x")["y"].sum()
+    for kind, arg in chain:
+        if kind == "arith":
+            op, c = arg
+            vals = _ARITH[op][1](vals, c)
+        else:
+            v = getattr(vals, arg)()
+            vals = pd.Series([float(v)])
+    assert len(vals) == 1
+    return float(vals.iloc[0])
+
+
+@settings(
+    max_examples=8, deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+    derandomize=True,
+)
+@given(rows=_chunks_st, chain=_chain_st)
+def test_updating_chain_matches_pandas_replication(spark, rows, chain):
+    chunks = [
+        pd.DataFrame(
+            {"x": [r[0] for r in ch], "y": [float(r[1]) for r in ch]}
+        )
+        for ch in rows
+    ]
+    stream = from_iterable(spark, chunks, schema="x long, y double")
+    cur = StreamingFrame(stream).groupby("x").y.sum()
+    name = "y_sum"
+    for kind, arg in chain:
+        if kind == "arith":
+            op, c = arg
+            cur = _ARITH[op][0](cur, c)
+        else:
+            cur = getattr(cur[name], arg)()
+            name = f"{name}_{arg}"
+    batches = updating_to_list(cur)
+    assert len(batches) == len(chunks)
+    got = [float(b[name].iloc[0]) for b in batches]
+    want = [_replicate_pandas(chunks, chain, i) for i in range(len(chunks))]
+    assert got == pytest.approx(want, rel=1e-9, abs=1e-9)
