@@ -13,8 +13,11 @@ Key consistency across tables is preserved (l_orderkey and o_orderkey
 shift by the same offset, etc.), so TPC-H joins shard cleanly. Pure
 dimension tables (region, nation) are copied once, unshifted.
 
-Usage: python scripts/make_scale_replica.py [N] [src_sf_dir] [out_dir]
-Defaults: N=10, src=/root/testdata/sf0.1, out=<repo>/.scale/sf1
+Usage: python scripts/make_scale_replica.py [N] [src_sf_dir] [out_dir] [tables...]
+Defaults: N=10, src=/root/testdata/sf0.1, out=<repo>/.scale/sf1,
+tables=all. Passing an explicit table list (e.g. just ``documents``)
+builds a partial replica — enough for the documents-only operator
+family at 100× without writing 100×-replicated fact tables.
 """
 
 from __future__ import annotations
@@ -58,18 +61,23 @@ TABLES = (
 )
 
 
-def replicate(spark, src: str, out: str, n: int) -> None:
+def replicate(spark, src: str, out: str, n: int, tables=None) -> None:
     os.makedirs(out, exist_ok=True)
+    tables = tuple(tables) if tables else TABLES
     # one offset per key domain: max over every column in the domain
     offsets: dict[str, int] = {}
     for dom, tabs in KEY_DOMAINS.items():
+        if not any(t in tables for t in tabs):
+            continue
         hi = 0
         for tab, cols in tabs.items():
+            if tab not in tables:
+                continue
             df = load_table(spark, src, tab)
             for c in cols:
                 hi = max(hi, int(df.agg(F.max(c)).first()[0]))
         offsets[dom] = hi + 1
-    for tab in TABLES:
+    for tab in tables:
         base = load_table(spark, src, tab)
         dst = os.path.join(out, f"{tab}.parquet")
         if tab in DIMENSIONS:
@@ -79,6 +87,8 @@ def replicate(spark, src: str, out: str, n: int) -> None:
         for i in range(n):
             c = base
             for dom, tabs in KEY_DOMAINS.items():
+                if dom not in offsets:
+                    continue
                 for col in tabs.get(tab, []):
                     c = c.withColumn(col, F.col(col) + F.lit(i * offsets[dom]))
             if i > 0:
@@ -120,8 +130,9 @@ def main() -> None:
     src = sys.argv[2] if len(sys.argv) > 2 else "/root/testdata/sf0.1"
     repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     out = sys.argv[3] if len(sys.argv) > 3 else os.path.join(repo, ".scale", "sf1")
+    tables = sys.argv[4:] or None
     spark = get_spark("scale-replica")
-    replicate(spark, src, out, n)
+    replicate(spark, src, out, n, tables=tables)
     spark.stop()
 
 
