@@ -104,6 +104,66 @@ CANARY_NOISY_RATIO = 1.2
 CANARY_RUNS = 3
 
 
+def pick_prior_baseline(repo_dir: str, tag: str):
+    """Choose the cross-round comparison base: the newest QUIET
+    versioned artifact from an EARLIER round (a re-run within the same
+    round must not become its own baseline), falling back to the
+    unversioned working file when no versioned copy exists. Artifacts
+    stamped ``noisy_host: true`` (canary gate, or the retroactive
+    round-6 stamp) are skipped — their inflated times would
+    manufacture phantom improvements and mask real regressions.
+
+    Returns (prior_queries, prior_tag, prior_sf).
+    """
+    import re as _re
+
+    versioned = sorted(
+        f for f in os.listdir(repo_dir)
+        if _re.fullmatch(r"BENCH_DETAIL_r\d+\.json", f)
+        and f != f"BENCH_DETAIL_{tag}.json"
+    )
+    candidates = [
+        (f, f[len("BENCH_DETAIL_"):-len(".json")])
+        for f in reversed(versioned)
+    ] or [("BENCH_DETAIL.json", "prev")]
+    for fname, ptag in candidates:
+        try:
+            with open(os.path.join(repo_dir, fname)) as f:
+                pj = json.load(f)
+        except (OSError, ValueError):
+            continue
+        if pj.get("noisy_host"):
+            print(f"bench: skipping noisy baseline {fname}", file=sys.stderr)
+            continue
+        if pj.get("sf") is not None:
+            return pj.get("queries", {}), ptag, pj.get("sf")
+        return {}, None, None
+    return {}, None, None
+
+
+def canary_verdict(before: float, after: float, ref: float | None,
+                   threshold: float = CANARY_NOISY_RATIO):
+    """Build the canary artifact fields and the noisy-host verdict:
+    the sweep is invalid-for-comparison when EITHER end ran on a noisy
+    host (before/after each min-of-N vs the pinned quiet reference)."""
+    canary = {
+        "query": CANARY_QUERY,
+        "before": before,
+        "after": after,
+        "ref": ref,
+        "threshold": threshold,
+    }
+    noisy = False
+    if ref and before > 0 and after > 0:
+        canary["ratio_before"] = round(before / ref, 3)
+        canary["ratio_after"] = round(after / ref, 3)
+        noisy = (
+            canary["ratio_before"] > threshold
+            or canary["ratio_after"] > threshold
+        )
+    return canary, noisy
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
@@ -160,37 +220,7 @@ def main() -> None:
             if (m := _re.fullmatch(r"BENCH_r(\d+)\.json", f))
         ]
         tag = f"r{(max(rounds) + 1) if rounds else 1:02d}"
-    # prior-round baseline: the newest versioned copy from an EARLIER
-    # round (a re-run within the same round must not become its own
-    # baseline), else the unversioned working file (pre-overwrite)
-    versioned = sorted(
-        f for f in os.listdir(repo_dir)
-        if _re.fullmatch(r"BENCH_DETAIL_r\d+\.json", f)
-        and f != f"BENCH_DETAIL_{tag}.json"
-    )
-    # newest QUIET versioned artifact wins: an artifact stamped
-    # `noisy_host: true` (canary gate, or retroactive round-6 stamp)
-    # must never become the comparison base — its inflated times would
-    # manufacture phantom improvements and mask real regressions
-    prior, prior_tag, prior_sf = {}, None, None
-    candidates = [
-        (f, f[len("BENCH_DETAIL_"):-len(".json")])
-        for f in reversed(versioned)
-    ] or [("BENCH_DETAIL.json", "prev")]
-    for fname, ptag in candidates:
-        try:
-            with open(os.path.join(repo_dir, fname)) as f:
-                pj = json.load(f)
-        except (OSError, ValueError):
-            continue
-        if pj.get("noisy_host"):
-            print(f"bench: skipping noisy baseline {fname}", file=sys.stderr)
-            continue
-        if pj.get("sf") is not None:
-            prior = pj.get("queries", {})
-            prior_sf = pj.get("sf")
-            prior_tag = ptag
-        break
+    prior, prior_tag, prior_sf = pick_prior_baseline(repo_dir, tag)
 
     timings: dict[str, float] = {}
     spread: dict[str, float] = {}
@@ -234,25 +264,9 @@ def main() -> None:
     canary_after = run_canary()
 
     sf_val = float(sf) if sf.replace(".", "").isdigit() else sf
-    # canary gate: both before/after measurements vs the pinned
-    # quiet-window reference; the artifact is invalid-for-comparison
-    # when EITHER end of the sweep ran on a noisy host
-    canary_ref = CANARY_REF_SEC.get(sf_val)
-    canary = {
-        "query": CANARY_QUERY,
-        "before": canary_before,
-        "after": canary_after,
-        "ref": canary_ref,
-        "threshold": CANARY_NOISY_RATIO,
-    }
-    noisy_host = False
-    if canary_ref and canary_before > 0 and canary_after > 0:
-        canary["ratio_before"] = round(canary_before / canary_ref, 3)
-        canary["ratio_after"] = round(canary_after / canary_ref, 3)
-        noisy_host = (
-            canary["ratio_before"] > CANARY_NOISY_RATIO
-            or canary["ratio_after"] > CANARY_NOISY_RATIO
-        )
+    canary, noisy_host = canary_verdict(
+        canary_before, canary_after, CANARY_REF_SEC.get(sf_val)
+    )
     # cross-round comparison (same-SF only): a regression is real when
     # the delta clears BOTH an absolute floor and the query's own
     # observed run-to-run spread — sub-second scheduler jitter

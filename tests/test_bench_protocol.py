@@ -1,0 +1,111 @@
+"""Unit tests for the bench measurement protocol (bench.py) — the
+canary gate and baseline selection are load-bearing for every
+cross-round performance claim, so their logic is pinned here without
+spinning Spark.
+
+Context (BENCH_NOTES.md rounds 6-7): the shared host has multi-hour
+noisy-neighbor windows that inflate every query a uniform ~1.45x;
+round 6's artifact recorded 43 phantom regressions from one. The
+protocol's answer: a pinned canary before/after the sweep stamps the
+artifact noisy_host, noisy artifacts never become the comparison
+base, and a noisy current run publishes no delta/regression lists.
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+from pathlib import Path
+
+import pytest
+
+sys.path.insert(0, str(Path(__file__).parent.parent))
+
+import bench
+
+
+def _write(dirpath, name, **payload):
+    (dirpath / name).write_text(json.dumps(payload))
+
+
+def test_canary_verdict_quiet():
+    canary, noisy = bench.canary_verdict(0.16, 0.17, 0.153)
+    assert not noisy
+    assert canary["ratio_before"] == pytest.approx(1.046, abs=1e-3)
+    assert canary["ratio_after"] == pytest.approx(1.111, abs=1e-3)
+
+
+def test_canary_verdict_noisy_on_either_end():
+    # noisy BEFORE only: the sweep started on a loaded host
+    _, noisy = bench.canary_verdict(0.40, 0.16, 0.153)
+    assert noisy
+    # noisy AFTER only: load arrived mid-sweep
+    _, noisy = bench.canary_verdict(0.16, 0.40, 0.153)
+    assert noisy
+
+
+def test_canary_verdict_no_reference_sf():
+    # smoke runs at sf0.001 have no pinned reference: record raw times,
+    # never stamp noisy (there is nothing to compare against)
+    canary, noisy = bench.canary_verdict(0.05, 0.06, None)
+    assert not noisy
+    assert "ratio_before" not in canary
+
+
+def test_canary_verdict_failed_measurement():
+    _, noisy = bench.canary_verdict(-1.0, -1.0, 0.153)
+    assert not noisy  # absent canary query: no verdict, no stamp
+
+
+def test_baseline_skips_noisy_versioned_artifacts(tmp_path):
+    _write(tmp_path, "BENCH_DETAIL_r05.json",
+           sf=0.1, queries={"q": 1.0})
+    _write(tmp_path, "BENCH_DETAIL_r06.json",
+           sf=0.1, queries={"q": 1.5}, noisy_host=True)
+    prior, tag, sf = bench.pick_prior_baseline(str(tmp_path), "r07")
+    assert tag == "r05" and sf == 0.1
+    assert prior == {"q": 1.0}
+
+
+def test_baseline_excludes_own_round(tmp_path):
+    # a re-run within the same round must not become its own baseline
+    _write(tmp_path, "BENCH_DETAIL_r07.json", sf=0.1, queries={"q": 9.0})
+    _write(tmp_path, "BENCH_DETAIL_r05.json", sf=0.1, queries={"q": 1.0})
+    prior, tag, _ = bench.pick_prior_baseline(str(tmp_path), "r07")
+    assert tag == "r05" and prior == {"q": 1.0}
+
+
+def test_baseline_falls_back_to_working_file(tmp_path):
+    _write(tmp_path, "BENCH_DETAIL.json", sf=0.1, queries={"q": 2.0})
+    prior, tag, sf = bench.pick_prior_baseline(str(tmp_path), "r07")
+    assert tag == "prev" and sf == 0.1 and prior == {"q": 2.0}
+
+
+def test_baseline_none_when_all_noisy(tmp_path):
+    _write(tmp_path, "BENCH_DETAIL_r06.json",
+           sf=0.1, queries={"q": 1.5}, noisy_host=True)
+    prior, tag, sf = bench.pick_prior_baseline(str(tmp_path), "r07")
+    assert prior == {} and tag is None and sf is None
+
+
+def test_committed_r06_artifact_is_stamped_noisy():
+    # the retroactive stamp that keeps r06's 43 phantom regressions
+    # out of every future comparison — if someone regenerates the
+    # artifact without the stamp, this fails
+    repo = Path(__file__).parent.parent
+    d = json.loads((repo / "BENCH_DETAIL_r06.json").read_text())
+    assert d.get("noisy_host") is True
+
+
+def test_committed_r07_artifact_carries_canary_fields():
+    repo = Path(__file__).parent.parent
+    p = repo / "BENCH_DETAIL_r07.json"
+    if not p.exists():
+        pytest.skip("r07 artifact not yet taken")
+    d = json.loads(p.read_text())
+    c = d.get("canary", {})
+    assert c.get("query") == bench.CANARY_QUERY
+    assert "before" in c and "after" in c and "threshold" in c
+    # invariant: a noisy-stamped artifact publishes no regression list
+    if d.get("noisy_host"):
+        assert d["regressions"] == {} and d["delta_vs_prev"] == {}
