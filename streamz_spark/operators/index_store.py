@@ -241,10 +241,73 @@ class DedupIndexStore:
             stage = src + "__compact_" + uuid.uuid4().hex[:8]
             fix(self.spark.read.parquet(src)).write.mode("overwrite").parquet(stage)
             old = src + "__old_" + uuid.uuid4().hex[:8]
+            # the swap has a crash window: between these two renames
+            # the table directory does not exist. recover() repairs it
+            # (rename old back) — chaos-tested per crash point.
             os.rename(src, old)
             os.rename(stage, src)
             shutil.rmtree(old)
         return self.file_counts()
+
+    def recover(self) -> dict[str, str]:
+        """Repair an interrupted :meth:`compact` — idempotent, run it
+        before using a store whose last compaction may have crashed.
+
+        Per table, by crash point:
+
+        * crash after the stage write (``<t>__compact_*`` orphan, table
+          intact): the staged rewrite is DISCARDED — the live table is
+          the source of truth and the next compact() re-derives it.
+        * crash between the two renames (table directory MISSING, one
+          ``<t>__old_*`` present): the old directory is renamed back —
+          no data was lost, the compaction simply never happened.
+        * crash after the swap (``<t>__old_*`` orphan, table intact):
+          the old copy is deleted, finishing what compact() started.
+
+        Returns {table_or_orphan: action}. Raises if a table is missing
+        and no old copy exists to restore (real data loss — a repair
+        must not silently mint an empty table).
+        """
+        actions: dict[str, str] = {}
+        base_dir = os.path.dirname(self._path(_TABLES[0])) or "."
+        entries = os.listdir(base_dir) if os.path.isdir(base_dir) else []
+        for t in _TABLES:
+            src = self._path(t)
+            olds = sorted(
+                os.path.join(base_dir, e) for e in entries
+                if e.startswith(f"{t}__old_")
+            )
+            stages = sorted(
+                os.path.join(base_dir, e) for e in entries
+                if e.startswith(f"{t}__compact_")
+            )
+            if not os.path.isdir(src):
+                if len(olds) == 1:
+                    os.rename(olds[0], src)
+                    actions[t] = "restored from old copy"
+                    olds = []
+                elif olds:
+                    raise RuntimeError(
+                        f"{t}: table missing with {len(olds)} old copies — "
+                        "ambiguous, refusing to pick one automatically"
+                    )
+                else:
+                    raise RuntimeError(
+                        f"{t}: table missing with no old copy to restore"
+                        + (
+                            " — only a staged rewrite exists; the stage "
+                            "may be mid-write, restore from backup rather "
+                            "than promoting it blindly"
+                            if stages else ""
+                        )
+                    )
+            for o in olds:
+                shutil.rmtree(o)
+                actions[os.path.basename(o)] = "removed superseded old copy"
+            for s in stages:
+                shutil.rmtree(s)
+                actions[os.path.basename(s)] = "discarded incomplete stage"
+        return actions
 
     # -- streaming ---------------------------------------------------------
     def ingest_stream(

@@ -266,3 +266,77 @@ def test_ingest_stream_crash_after_append_is_exactly_once(spark, tmp_path):
     assert fp.count() == fp.distinct().count()
     probe = chunk.select((F.col("doc_id") + 700_000).alias("doc_id"), "text")
     assert store.screen(probe).count() == 0
+
+
+def _fault_compact(store, crash_at: str):
+    """Run compact()'s exact sequence but crash at a named point for
+    the FIRST table, by monkeypatching os.rename — simulating a kill
+    at each window of the staged swap."""
+    import os as _os
+
+    real_rename = _os.rename
+    state = {"renames": 0}
+
+    def crashing_rename(a, b):
+        if crash_at == "before_any_rename":
+            raise RuntimeError("injected crash")
+        state["renames"] += 1
+        if crash_at == "between_renames" and state["renames"] == 1:
+            real_rename(a, b)
+            raise RuntimeError("injected crash")
+        real_rename(a, b)
+        if crash_at == "after_swap" and state["renames"] == 2:
+            raise RuntimeError("injected crash")
+
+    _os.rename = crashing_rename
+    try:
+        with pytest.raises(RuntimeError, match="injected crash"):
+            store.compact()
+    finally:
+        _os.rename = real_rename
+
+
+@pytest.mark.parametrize(
+    "crash_at", ["before_any_rename", "between_renames", "after_swap"]
+)
+def test_compact_crash_recovery(spark, store, crash_at):
+    # chaos per crash window of the staged swap: recover() must return
+    # the store to a state where screening gives the SAME answer as
+    # before the interrupted compaction, with no orphan directories
+    import os as _os
+
+    docs = _docs(spark).limit(60)
+    store.initialize(docs)
+    probe = docs.select((F.col("doc_id") + 900_000).alias("doc_id"), "text")
+    want = _ids(store.screen(probe))  # all dups -> empty set expected
+    assert want == set()
+
+    _fault_compact(store, crash_at)
+    if crash_at == "between_renames":
+        # the fp table directory is genuinely missing in this window
+        assert not _os.path.isdir(store._path("fp"))
+
+    actions = store.recover()
+    assert actions, f"recover() took no action after {crash_at}"
+    # all three tables present, no orphan stage/old dirs left behind
+    base_dir = _os.path.dirname(store._path("fp"))
+    leftovers = [
+        e for e in _os.listdir(base_dir)
+        if "__compact_" in e or "__old_" in e
+    ]
+    assert leftovers == []
+    assert _ids(store.screen(probe)) == want
+    # recover is idempotent and the store compacts cleanly afterwards
+    assert store.recover() == {}
+    store.compact()
+    assert _ids(store.screen(probe)) == want
+
+
+def test_recover_refuses_to_mint_empty_table(spark, store, tmp_path):
+    # a missing table with NO old copy is data loss, not a repair case
+    import shutil as _shutil
+
+    store.initialize(_docs(spark).limit(20))
+    _shutil.rmtree(store._path("sh"))
+    with pytest.raises(RuntimeError, match="missing"):
+        store.recover()
