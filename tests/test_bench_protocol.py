@@ -109,3 +109,81 @@ def test_committed_r07_artifact_carries_canary_fields():
     # invariant: a noisy-stamped artifact publishes no regression list
     if d.get("noisy_host"):
         assert d["regressions"] == {} and d["delta_vs_prev"] == {}
+
+
+# -- noise-matched secondary channel ----------------------------------
+
+def _art(tmp_path, tag, queries, ratio=None, sf=0.1):
+    payload = {"sf": sf, "queries": queries}
+    if ratio is not None:
+        payload["canary"] = {"ratio_after": ratio}
+    _write(tmp_path, f"BENCH_DETAIL_{tag}.json", **payload)
+
+
+def test_noise_matched_uniform_inflation_flags_nothing(tmp_path):
+    # a pure host-factor window (every query x1.4) must produce ZERO
+    # flags after median normalization — the r06 failure mode
+    base = {f"q{i}": 1.0 + i * 0.1 for i in range(15)}
+    _art(tmp_path, "r07", base, ratio=1.44)
+    now = {k: round(v * 1.4, 4) for k, v in base.items()}
+    spread = {k: 0.05 for k in now}
+    tag_, med, flags = bench.noise_matched_regressions(
+        now, spread, str(tmp_path), "r08", 0.1, 1.5
+    )
+    assert tag_ == "r07"
+    assert med == pytest.approx(1.4, abs=0.01)
+    assert flags == {}
+
+
+def test_noise_matched_catches_genuine_regression(tmp_path):
+    base = {f"q{i}": 1.0 for i in range(14)}
+    base["big"] = 4.0
+    _art(tmp_path, "r07", base, ratio=1.44)
+    now = {k: 1.4 for k in base}
+    now["big"] = 4.0 * 1.4 * 2.2  # a real 2.2x plan regression on top
+    spread = {k: 0.05 for k in now}
+    _, _, flags = bench.noise_matched_regressions(
+        now, spread, str(tmp_path), "r08", 0.1, 1.5
+    )
+    assert list(flags) == ["big"]
+    assert flags["big"]["normalized_ratio"] == pytest.approx(2.2, abs=0.1)
+
+
+def test_noise_matched_requires_similar_canary(tmp_path):
+    # a 1.44x-window artifact is NOT comparable to a 2.5x-window run
+    base = {f"q{i}": 1.0 for i in range(15)}
+    _art(tmp_path, "r07", base, ratio=1.44)
+    tag_, _, flags = bench.noise_matched_regressions(
+        {k: 2.5 for k in base}, {k: 0.0 for k in base},
+        str(tmp_path), "r08", 0.1, 2.5,
+    )
+    assert tag_ is None and flags == {}
+
+
+def test_noise_matched_skips_artifacts_without_canary(tmp_path):
+    # pre-protocol artifacts (r05 and earlier) carry no canary ratio —
+    # their host factor is unknown, so they are not match candidates
+    base = {f"q{i}": 1.0 for i in range(15)}
+    _art(tmp_path, "r05", base, ratio=None)
+    tag_, _, _ = bench.noise_matched_regressions(
+        {k: 1.4 for k in base}, {k: 0.0 for k in base},
+        str(tmp_path), "r08", 0.1, 1.44,
+    )
+    assert tag_ is None
+
+
+def test_noise_matched_spread_guard(tmp_path):
+    # a sub-second entry whose excess sits inside its own run-to-run
+    # spread is jitter, not a regression (the unigram_nll_full_vocab
+    # case from the round-7 manual audit)
+    base = {f"q{i}": 1.0 for i in range(14)}
+    base["jittery"] = 0.8
+    _art(tmp_path, "r07", base, ratio=1.44)
+    now = {k: 1.4 for k in base}
+    now["jittery"] = 0.8 * 1.4 * 1.8  # 1.8x normalized...
+    spread = {k: 0.05 for k in now}
+    spread["jittery"] = 0.9  # ...but inside its own spread band
+    _, _, flags = bench.noise_matched_regressions(
+        now, spread, str(tmp_path), "r08", 0.1, 1.5
+    )
+    assert flags == {}
