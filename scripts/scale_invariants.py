@@ -53,7 +53,13 @@ def main() -> None:
     print("|---|---|---|")
 
     # -- N-times row-count conservation -------------------------------
+    # minhash pair conservation == planted-dup recall 1.0 at scale
+    # (replicas share no shingles, so the true pair set is exactly
+    # N x base; a missed banding candidate shows as a shortfall).
+    # ngram_jaccard_pairs is covered transitively: the
+    # dedup_clusters_distributed row below consumes its pair output.
     for q in (
+        "minhash_near_duplicates",
         "exact_substring_spans",
         "incremental_dedup_vs_index",
         "dedup_clusters_distributed",
