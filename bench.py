@@ -19,6 +19,7 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
+from streamz_spark.benchmetrics import harvest_group_metrics, metric_regressions
 from streamz_spark.catalog import load_all
 from streamz_spark.session import get_spark
 
@@ -141,6 +142,34 @@ def pick_prior_baseline(repo_dir: str, tag: str):
     return {}, None, None
 
 
+def pick_metrics_baseline(repo_dir: str, tag: str):
+    """Choose the comparison base for the DETERMINISTIC metrics channel:
+    the newest versioned artifact carrying a non-empty ``exec_metrics``
+    map. Unlike the wall-time baseline, noisy-stamped artifacts are
+    eligible — shuffle volume and stage counts don't inflate with host
+    load, which is the whole point of the channel (round-7 VERDICT #1).
+    A same-tag artifact (an earlier run of this round) is eligible too.
+
+    Returns (prior_metrics, prior_tag, prior_sf).
+    """
+    import re as _re
+
+    versioned = sorted(
+        f for f in os.listdir(repo_dir)
+        if _re.fullmatch(r"BENCH_DETAIL_r\d+\.json", f)
+    )
+    for fname in reversed(versioned):
+        try:
+            with open(os.path.join(repo_dir, fname)) as f:
+                pj = json.load(f)
+        except (OSError, ValueError):
+            continue
+        em = pj.get("exec_metrics")
+        if em and pj.get("sf") is not None:
+            return em, fname[len("BENCH_DETAIL_"):-len(".json")], pj.get("sf")
+    return {}, None, None
+
+
 def canary_verdict(before: float, after: float, ref: float | None,
                    threshold: float = CANARY_NOISY_RATIO):
     """Build the canary artifact fields and the noisy-host verdict:
@@ -164,9 +193,26 @@ def canary_verdict(before: float, after: float, ref: float | None,
     return canary, noisy
 
 
+def _canary_ends(canary):
+    """Normalize a canary descriptor to ``(lo, hi)`` over its
+    before/after ratios. Accepts the canary dict, a bare float (legacy
+    single after-ratio, treated as stationary), or None."""
+    if canary is None:
+        return None
+    if isinstance(canary, dict):
+        ends = [
+            r for r in (canary.get("ratio_before"), canary.get("ratio_after"))
+            if r
+        ]
+        if not ends:
+            return None
+        return min(ends), max(ends)
+    return (canary, canary) if canary else None
+
+
 def noise_matched_regressions(
     timings: dict, spread: dict, repo_dir: str, tag: str, sf_val,
-    current_ratio: float | None,
+    current_canary,
     band: float = 1.15, rel: float = 0.3, floor: float = 0.15,
 ):
     """Secondary comparison channel for noisy hosts — NEVER a
@@ -184,16 +230,24 @@ def noise_matched_regressions(
     run-to-run spread. Returns ``(matched_tag, median_ratio, flags)``;
     ``(None, None, {})`` when no same-SF canary-carrying artifact falls
     inside the band.
+
+    The band is enforced on BOTH canary ends of BOTH runs (round-7
+    ADVICE): a run whose before/after ratios disagree beyond the band
+    ran under a decaying, non-uniform host factor — the shared-factor
+    normalization assumption fails, so it neither matches nor is
+    matched. A previously-written artifact with the SAME tag (an
+    earlier run of this round, about to be overwritten) IS an eligible
+    base — it is a different run, just same tag (round-7 VERDICT #5).
     """
     import re as _re
     import statistics
 
-    if not current_ratio:
+    cur = _canary_ends(current_canary)
+    if not cur or cur[1] / cur[0] > band:
         return None, None, {}
     versioned = sorted(
         f for f in os.listdir(repo_dir)
         if _re.fullmatch(r"BENCH_DETAIL_r\d+\.json", f)
-        and f != f"BENCH_DETAIL_{tag}.json"
     )
     for fname in reversed(versioned):
         try:
@@ -201,10 +255,11 @@ def noise_matched_regressions(
                 pj = json.load(f)
         except (OSError, ValueError):
             continue
-        base_ratio = (pj.get("canary") or {}).get("ratio_after")
-        if pj.get("sf") != sf_val or not base_ratio:
+        base = _canary_ends(pj.get("canary"))
+        if pj.get("sf") != sf_val or not base:
             continue
-        hi, lo = max(current_ratio, base_ratio), min(current_ratio, base_ratio)
+        hi = max(cur[1], base[1])
+        lo = min(cur[0], base[0])
         if hi / lo > band:
             continue
         prior = pj.get("queries", {})
@@ -289,7 +344,9 @@ def main() -> None:
 
     timings: dict[str, float] = {}
     spread: dict[str, float] = {}
+    exec_metrics: dict[str, dict | None] = {}
     total = 0.0
+    sc = spark.sparkContext
     # min of N runs per query: steady-state time, not first-run JIT /
     # shuffle-file-allocation noise (single-run jitter at sub-second
     # scale was ±30% on local[32]); the max-min spread per query is
@@ -299,8 +356,9 @@ def main() -> None:
 
     for name in names:
         times: list[float] = []
+        group = None
         try:
-            for _ in range(runs):
+            for i in range(runs):
                 # clean slate per run: operators that persist query-
                 # internal relations (dedup posting lists, LSH buckets)
                 # otherwise accumulate storage-memory blocks across the
@@ -314,6 +372,11 @@ def main() -> None:
                 # 2-10x inflation on late entries); collecting between
                 # runs keeps pauses out of the measurement
                 spark._jvm.System.gc()
+                # per-run job group: the LAST run's group is harvested
+                # for deterministic execution metrics (set BEFORE fn()
+                # so localCheckpoint jobs inside plan construction count)
+                group = f"bench::{name}::{i}"
+                sc.setJobGroup(group, name)
                 t0 = time.perf_counter()
                 df = registry[name].fn(spark, sf_dir)
                 force(df)
@@ -325,6 +388,18 @@ def main() -> None:
         timings[name] = round(best, 4)
         spread[name] = round(max(times) - min(times), 4) if times else -1.0
         total += max(best, 0.0)
+        # deterministic execution metrics (shuffle volume, stage counts,
+        # executor CPU) from the final steady-state run — the host-
+        # noise-immune regression channel; harvest immediately so the
+        # status store's retained-job window can't evict the jobs
+        exec_metrics[name] = None
+        if times and group:
+            try:
+                exec_metrics[name] = harvest_group_metrics(spark, group)
+            except Exception as exc:
+                print(f"bench: metrics harvest failed for {name}: {exc}",
+                      file=sys.stderr)
+        sc.setJobGroup("bench::idle", "")
 
     canary_after = run_canary()
 
@@ -347,12 +422,26 @@ def main() -> None:
             deltas[name] = d
             if d > max(0.15, 0.2 * p, spread.get(name, 0.0)):
                 regressions[name] = {"prev": p, "now": t, "delta": d}
+    # deterministic-metrics channel: host-noise-free by construction,
+    # so it compares across noisy rounds and is the PRIMARY regression
+    # signal whenever the canary stamps the run noisy (wall-time
+    # `regressions` stays primary on quiet hosts; the two lists are
+    # labeled separately in the artifact)
+    m_prior, m_tag, m_sf = pick_metrics_baseline(repo_dir, tag)
+    metric_regs: dict[str, dict] = {}
+    if m_prior and m_sf == sf_val:
+        metric_regs = metric_regressions(exec_metrics, m_prior)
+    else:
+        m_tag = None
     detail = {
         "metric": "headline_queries_total",
         "value": round(total, 4),
         "unit": "sec",
         "queries": timings,
         "spread": spread,
+        "exec_metrics": exec_metrics,
+        "metric_base_tag": m_tag,
+        "metric_regressions": metric_regs,
         "sf": sf_val,
         "tag": tag,
         "prev_tag": prior_tag if deltas else None,
@@ -366,13 +455,13 @@ def main() -> None:
         "runs": runs,
     }
     if noisy_host:
-        # secondary channel: compare against a similarly-noisy prior
-        # artifact with the shared host factor median-normalized out;
-        # labeled separately — the quiet-base `regressions` list above
-        # stays the only primary signal
+        # secondary wall-time channel: compare against a similarly-noisy
+        # prior artifact with the shared host factor median-normalized
+        # out; labeled separately — quiet-base `regressions` (quiet
+        # hosts) and `metric_regressions` (always) carry the primary
+        # signals
         nm_tag, nm_med, nm_flags = noise_matched_regressions(
-            timings, spread, repo_dir, tag, sf_val,
-            canary.get("ratio_after"),
+            timings, spread, repo_dir, tag, sf_val, canary,
         )
         detail["noise_matched"] = {
             "base_tag": nm_tag,
@@ -411,6 +500,7 @@ def main() -> None:
         "n_queries": len(timings),
         "n_failed": len(failed),
         "n_regressions": len(regressions),
+        "n_metric_regressions": len(metric_regs),
         "noisy_host": noisy_host,
         "canary_ratio": canary.get("ratio_after"),
         "slowest": {n: t for n, t in slowest},

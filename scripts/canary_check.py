@@ -24,6 +24,19 @@ def main() -> None:
     from streamz_spark.session import get_spark
 
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    # derive the SF from the dir (as bench.py does) and look up the
+    # reference by SF — comparing another scale factor's time against
+    # the sf0.1 reference would produce a meaningless ratio
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    sf_val = float(sf) if sf.replace(".", "").isdigit() else sf
+    ref = CANARY_REF_SEC.get(sf_val)
+    if ref is None:
+        print(
+            f"canary: no pinned quiet reference for sf={sf_val!r} "
+            f"(have {sorted(CANARY_REF_SEC)}); refusing a meaningless ratio",
+            file=sys.stderr,
+        )
+        sys.exit(2)
     spark = get_spark("canary-check")
     fn = load_all()[CANARY_QUERY].fn
     # warm once (JVM + parquet footers), then measure
@@ -37,7 +50,6 @@ def main() -> None:
         fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
         times.append(time.perf_counter() - t0)
     best = min(times)
-    ref = CANARY_REF_SEC.get(0.1)
     ratio = best / ref
     quiet = ratio <= CANARY_NOISY_RATIO
     print(

@@ -18,6 +18,13 @@ Defaults: N=10, src=/root/testdata/sf0.1, out=<repo>/.scale/sf1,
 tables=all. Passing an explicit table list (e.g. just ``documents``)
 builds a partial replica — enough for the documents-only operator
 family at 100× without writing 100×-replicated fact tables.
+
+Partial-replica caveat: key-domain offsets are computed from the
+INCLUDED tables only, so a partial replica is self-consistent but NOT
+key-compatible with a full replica built at the same N — e.g. a
+domain whose max key lives in an excluded table gets a smaller offset.
+Never mix a partial replica's table into a previously built full
+replica; rebuild the full set (or the same subset) instead.
 """
 
 from __future__ import annotations

@@ -1,0 +1,131 @@
+"""Deterministic per-query execution metrics for the bench protocol.
+
+Wall-clock time on the shared bench host carries a multi-hour
+noisy-neighbor factor (BENCH_NOTES.md rounds 6-7: identical-commit A/B
+swung 46%), so the canary gate must discard wall-time regression
+signals for whole rounds at a time. The metrics here are harvested
+from Spark's AppStatusStore per job group and are host-noise-FREE (or
+nearly so):
+
+- ``stages`` / ``jobs`` / ``tasks``: plan shape. An extra exchange in a
+  query plan is an extra shuffle stage — exactly the regression class
+  wall-time noise hides.
+- ``shuffle_write_records`` / ``shuffle_write_bytes`` /
+  ``shuffle_read_bytes``: shuffle volume. Records are exactly
+  deterministic for a deterministic plan over fixed data; bytes vary
+  only with compression layout (sub-percent).
+- ``executor_cpu_ms``: CPU time degrades far less than wall time under
+  host contention — a secondary, softer signal.
+- ``input_bytes`` / ``spill_bytes``: scan volume (pushdown/pruning
+  regressions) and memory pressure.
+
+Harvest path: ``sc.setJobGroup(tag)`` around the query, then job IDs
+via ``statusTracker().getJobIdsForGroup`` -> stage IDs -> per-stage
+metrics via the JVM ``AppStatusStore.stageData`` (py4j; Scala default
+args don't exist at the bytecode level, so every argument is passed
+explicitly). SKIPPED stages (AQE exchange reuse) are counted
+separately — they did no work.
+"""
+
+from __future__ import annotations
+
+METRIC_FIELDS = (
+    "jobs",
+    "stages",
+    "skipped_stages",
+    "tasks",
+    "shuffle_write_bytes",
+    "shuffle_write_records",
+    "shuffle_read_bytes",
+    "executor_cpu_ms",
+    "input_bytes",
+    "spill_bytes",
+)
+
+
+def harvest_group_metrics(spark, group: str) -> dict:
+    """Sum deterministic execution metrics over every job the given
+    job group ran. Call AFTER the group's jobs complete and BEFORE the
+    status store's retained-job window (default 1000) evicts them —
+    i.e. immediately after each bench query."""
+    sc = spark.sparkContext
+    tracker = sc.statusTracker()
+    job_ids = tracker.getJobIdsForGroup(group)
+    stage_ids: set[int] = set()
+    for jid in job_ids:
+        info = tracker.getJobInfo(jid)
+        if info is not None:
+            stage_ids.update(int(s) for s in info.stageIds)
+
+    jvm = sc._jvm
+    store = sc._jsc.sc().statusStore()
+    no_task_statuses = jvm.java.util.ArrayList()
+    no_quantiles = sc._gateway.new_array(jvm.double, 0)
+
+    out = {k: 0 for k in METRIC_FIELDS}
+    out["jobs"] = len(job_ids)
+    cpu_ns = 0
+    for sid in sorted(stage_ids):
+        # stageData(stageId, details, taskStatus, withSummaries, quantiles)
+        datas = store.stageData(sid, False, no_task_statuses, False, no_quantiles)
+        it = datas.iterator()
+        while it.hasNext():
+            d = it.next()
+            if str(d.status()) == "SKIPPED":
+                out["skipped_stages"] += 1
+                continue
+            out["stages"] += 1
+            out["tasks"] += d.numCompleteTasks()
+            out["shuffle_write_bytes"] += d.shuffleWriteBytes()
+            out["shuffle_write_records"] += d.shuffleWriteRecords()
+            out["shuffle_read_bytes"] += d.shuffleReadBytes()
+            out["input_bytes"] += d.inputBytes()
+            out["spill_bytes"] += d.memoryBytesSpilled() + d.diskBytesSpilled()
+            cpu_ns += d.executorCpuTime()
+    out["executor_cpu_ms"] = int(cpu_ns // 1_000_000)
+    return out
+
+
+# Flag rules: (field, relative-growth threshold, absolute floor).
+# Plan-shape fields use growth of ANY size above a zero floor (stage
+# creation is deterministic for a fixed plan over fixed data); volume
+# fields take a relative band plus an absolute floor so tiny queries
+# don't flag on rounding; CPU gets the widest band — it is the one
+# field with residual host sensitivity (cache thrash under contention).
+METRIC_RULES = (
+    ("stages", 0.0, 0),
+    ("shuffle_write_records", 0.2, 1_000),
+    ("shuffle_write_bytes", 0.3, 1 << 20),
+    ("input_bytes", 0.3, 1 << 20),
+    ("spill_bytes", 0.5, 16 << 20),
+    ("executor_cpu_ms", 0.5, 500),
+)
+
+
+def metric_regressions(
+    current: dict[str, dict], prior: dict[str, dict],
+    rules=METRIC_RULES,
+) -> dict[str, dict]:
+    """Compare two per-query metric maps; return flagged queries.
+
+    A query is flagged when any rule's field grew past BOTH its
+    relative threshold and its absolute floor. Unlike wall time, these
+    comparisons are valid across noisy-host rounds — this is the
+    primary regression channel whenever the canary stamps the run
+    ``noisy_host`` (VERDICT round-7 next-round #1).
+    """
+    flags: dict[str, dict] = {}
+    for name, now in current.items():
+        prev = prior.get(name)
+        if not isinstance(now, dict) or not isinstance(prev, dict):
+            continue
+        hits = {}
+        for field, rel, floor in rules:
+            a, b = prev.get(field), now.get(field)
+            if a is None or b is None:
+                continue
+            if b > a * (1 + rel) and (b - a) > floor:
+                hits[field] = {"prev": a, "now": b}
+        if hits:
+            flags[name] = hits
+    return flags

@@ -129,7 +129,13 @@ def read_wet(
     """Parse a directory/glob of WET/WARC files into one row per
     record. `conversion_only=True` keeps only `WARC-Type: conversion`
     records (the text extracts), dropping warcinfo/request/response
-    bookkeeping — what a pretraining pipeline wants."""
+    bookkeeping — what a pretraining pipeline wants.
+
+    Malformed-file sentinel rows (``record_seq == -1``, NULL
+    warc_type/url/text, ``_malformed`` set) are RETAINED even under
+    ``conversion_only=True`` so an entirely-unparseable archive stays
+    visible for quarantine audit; downstream consumers that want text
+    rows only should also filter ``record_seq >= 0``."""
     raw = spark.read.format("binaryFile").load(path)
     out = raw.select("path", "content").mapInPandas(_parse_files, WET_SCHEMA)
     if conversion_only:

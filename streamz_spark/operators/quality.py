@@ -370,6 +370,8 @@ def source_overlap(
     text_col: str = "text",
     k: int = 3,
     max_sources: int | None = None,
+    hot_join: str = "auto",
+    hot_broadcast_limit: int = 2_000_000,
 ) -> DataFrame:
     """Cross-source content-overlap audit: for every pair of sources,
     how many distinct word k-shingles they share, plus the overlap
@@ -419,20 +421,39 @@ def source_overlap(
         #
         # Shape (the `common_shingle_stats` pattern): aggregate the
         # SMALL high-df set — shingles in > max_sources sources — with
-        # a map-side-combinable hash groupBy, then broadcast-anti-join
-        # it away. The earlier Window.partitionBy(s) form paid an
-        # exchange+SORT over the full corpus-sized (source, shingle)
-        # relation in exactly the high-fan-out regime the cut exists
-        # for; the cut-list here is tiny by construction (boilerplate
-        # is high-df), so the anti-join is a broadcast — no sort, no
-        # second corpus shuffle.
+        # a map-side-combinable hash groupBy, then anti-join it away.
+        # The earlier Window.partitionBy(s) form paid an exchange+SORT
+        # over the full corpus-sized (source, shingle) relation in
+        # exactly the high-fan-out regime the cut exists for.
+        #
+        # Anti-join dispatch (``hot_join``): the cut list is tiny by
+        # construction for real boilerplate (high-df), so the default
+        # path is a broadcast anti-join — no sort, no second corpus
+        # shuffle. But at 100 TB with a LOW max_sources the
+        # >max_sources set can reach tens of millions of rows — a
+        # driver-pressure broadcast. ``"auto"`` counts the hot set
+        # (forcing the shared shingling checkpoint, which every
+        # downstream branch reuses) and degrades to a ``shuffle_hash``
+        # anti-join past ``hot_broadcast_limit`` rows — the same
+        # size-dispatch contract as ``unigram_nll_quality(lm_join=
+        # "auto")`` / ``embedding_near_duplicates(prefilter="auto")``.
+        if hot_join not in ("auto", "broadcast", "shuffle"):
+            raise ValueError(f"hot_join must be auto|broadcast|shuffle, got {hot_join!r}")
         hot = (
             sh.groupBy("s")
             .agg(F.count(F.lit(1)).alias("__nsrc"))
             .filter(F.col("__nsrc") > max_sources)
             .select("s")
         )
-        sh = sh.join(F.broadcast(hot), "s", "left_anti")
+        mode = hot_join
+        if mode == "auto":
+            # checkpoint the hot set so the dispatch count and the
+            # anti-join share ONE aggregate (the count also forces the
+            # shared shingling checkpoint every downstream branch reuses)
+            hot = hot.localCheckpoint(eager=False)
+            mode = "broadcast" if hot.count() <= hot_broadcast_limit else "shuffle"
+        hot_rel = F.broadcast(hot) if mode == "broadcast" else hot.hint("shuffle_hash")
+        sh = sh.join(hot_rel, "s", "left_anti")
     a = sh.select(F.col("src").alias("source_a"), "s")
     b = sh.select(F.col("src").alias("source_b"), "s")
     pairs = (

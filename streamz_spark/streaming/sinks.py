@@ -140,11 +140,22 @@ def to_kafka(
         writer = writer.option(k, v)
     try:
         return writer.start()
-    except Exception as exc:  # connector jar absent in this image
-        raise RuntimeError(
-            "Kafka sink requires the spark-sql-kafka connector on the "
-            "classpath (spark.jars.packages org.apache.spark:spark-sql-kafka-0-10_2.13)."
-        ) from exc
+    except Exception as exc:
+        # rewrap ONLY the missing-connector-jar failure with the fix-it
+        # coordinate; anything else (bad checkpoint path, invalid option,
+        # auth error) propagates unchanged so the real cause is visible
+        msg = str(exc)
+        if (
+            "Failed to find data source: kafka" in msg
+            or "Failed to find the data source: kafka" in msg
+            or "DATA_SOURCE_NOT_FOUND" in msg
+            or "ClassNotFoundException" in msg
+        ):
+            raise RuntimeError(
+                "Kafka sink requires the spark-sql-kafka connector on the "
+                "classpath (spark.jars.packages org.apache.spark:spark-sql-kafka-0-10_2.13)."
+            ) from exc
+        raise
 
 
 def sink_to_memory(

@@ -172,6 +172,54 @@ def test_noise_matched_skips_artifacts_without_canary(tmp_path):
     assert tag_ is None
 
 
+def test_noise_matched_same_tag_prior_artifact_is_eligible(tmp_path):
+    # round-7 VERDICT #5: an in-round re-run about to overwrite
+    # BENCH_DETAIL_<tag>.json must be able to match the existing
+    # committed same-tag artifact — it is a DIFFERENT run, just same
+    # tag (the driver's r07 re-sweep got base_tag null with an eligible
+    # base at canary 1.444 vs its 1.475)
+    base = {f"q{i}": 1.0 for i in range(15)}
+    _art(tmp_path, "r08", base, ratio=1.444)
+    tag_, med, flags = bench.noise_matched_regressions(
+        {k: 1.475 for k in base}, {k: 0.0 for k in base},
+        str(tmp_path), "r08", 0.1, 1.475,
+    )
+    assert tag_ == "r08"
+    assert med == pytest.approx(1.475, abs=0.01)
+    assert flags == {}
+
+
+def test_noise_matched_rejects_decaying_current_run(tmp_path):
+    # round-7 ADVICE: a run noisy only BEFORE the sweep (ratio_before
+    # 2.4, ratio_after 1.44) ran under a decaying, non-uniform host
+    # factor — the median-normalization assumption fails, so the
+    # channel must refuse to match rather than compare
+    base = {f"q{i}": 1.0 for i in range(15)}
+    _art(tmp_path, "r07", base, ratio=1.44)
+    tag_, _, flags = bench.noise_matched_regressions(
+        {k: 1.44 for k in base}, {k: 0.0 for k in base},
+        str(tmp_path), "r08", 0.1,
+        {"ratio_before": 2.392, "ratio_after": 1.444},
+    )
+    assert tag_ is None and flags == {}
+
+
+def test_noise_matched_rejects_decaying_candidate(tmp_path):
+    # symmetric: a candidate artifact whose own before/after disagree
+    # beyond the band is not a valid base either
+    base = {f"q{i}": 1.0 for i in range(15)}
+    payload = {
+        "sf": 0.1, "queries": base,
+        "canary": {"ratio_before": 2.392, "ratio_after": 1.444},
+    }
+    _write(tmp_path, "BENCH_DETAIL_r07.json", **payload)
+    tag_, _, _ = bench.noise_matched_regressions(
+        {k: 1.44 for k in base}, {k: 0.0 for k in base},
+        str(tmp_path), "r08", 0.1, 1.444,
+    )
+    assert tag_ is None
+
+
 def test_noise_matched_spread_guard(tmp_path):
     # a sub-second entry whose excess sits inside its own run-to-run
     # spread is jitter, not a regression (the unigram_nll_full_vocab
@@ -187,3 +235,100 @@ def test_noise_matched_spread_guard(tmp_path):
         now, spread, str(tmp_path), "r08", 0.1, 1.5
     )
     assert flags == {}
+
+
+# -- deterministic-metrics channel -------------------------------------
+
+from streamz_spark.benchmetrics import (  # noqa: E402
+    harvest_group_metrics,
+    metric_regressions,
+)
+
+
+def _m(stages=3, swr=10_000, swb=5 << 20, cpu=2_000, inp=50 << 20, spill=0):
+    return {
+        "jobs": 1, "stages": stages, "skipped_stages": 0, "tasks": 64,
+        "shuffle_write_bytes": swb, "shuffle_write_records": swr,
+        "shuffle_read_bytes": swb, "executor_cpu_ms": cpu,
+        "input_bytes": inp, "spill_bytes": spill,
+    }
+
+
+def test_metric_regressions_catch_planted_extra_exchange():
+    # the scenario wall-time noise hides (round-7 VERDICT #1): a plan
+    # regression adds one exchange — an extra shuffle stage plus extra
+    # shuffle records — while a 1.5x host factor swamps the wall-clock
+    # delta. The metrics channel must flag it regardless of host state.
+    prior = {"q_join": _m(stages=3, swr=10_000)}
+    now = {"q_join": _m(stages=4, swr=25_000)}
+    flags = metric_regressions(now, prior)
+    assert "q_join" in flags
+    assert flags["q_join"]["stages"] == {"prev": 3, "now": 4}
+    assert flags["q_join"]["shuffle_write_records"]["now"] == 25_000
+
+
+def test_metric_regressions_ignore_host_noise_shaped_drift():
+    # uniform host contention inflates wall time ~1.5x but leaves plan
+    # shape and shuffle volume IDENTICAL and CPU within its band —
+    # nothing to flag (this is what makes the channel noise-immune)
+    prior = {"q": _m(cpu=2_000)}
+    now = {"q": _m(cpu=2_600)}  # +30% CPU: under the 50% band
+    assert metric_regressions(now, prior) == {}
+
+
+def test_metric_regressions_absolute_floors():
+    # tiny queries: +60% of nearly-nothing is rounding, not regression
+    prior = {"q": _m(swr=100, swb=1000, cpu=50, inp=1000)}
+    now = {"q": _m(swr=160, swb=1600, cpu=80, inp=1600)}
+    assert metric_regressions(now, prior) == {}
+
+
+def test_metric_regressions_skip_failed_and_new_queries():
+    prior = {"old": _m()}
+    now = {"old": None, "new": _m()}  # harvest failed / no prior entry
+    assert metric_regressions(now, prior) == {}
+
+
+def test_metrics_baseline_accepts_noisy_artifacts(tmp_path):
+    # unlike the wall-time baseline, noisy-stamped artifacts ARE
+    # eligible metric bases — shuffle volume doesn't inflate with load
+    _write(tmp_path, "BENCH_DETAIL_r07.json",
+           sf=0.1, queries={"q": 1.5}, noisy_host=True,
+           exec_metrics={"q": _m()})
+    _write(tmp_path, "BENCH_DETAIL_r05.json",
+           sf=0.1, queries={"q": 1.0})  # quiet but pre-metrics: skipped
+    prior, tag, sf = bench.pick_metrics_baseline(str(tmp_path), "r08")
+    assert tag == "r07" and sf == 0.1
+    assert prior == {"q": _m()}
+
+
+def test_metrics_baseline_same_tag_eligible(tmp_path):
+    _write(tmp_path, "BENCH_DETAIL_r08.json",
+           sf=0.1, queries={"q": 1.0}, exec_metrics={"q": _m()})
+    _, tag, _ = bench.pick_metrics_baseline(str(tmp_path), "r08")
+    assert tag == "r08"
+
+
+def test_metrics_baseline_none_without_metrics(tmp_path):
+    _write(tmp_path, "BENCH_DETAIL_r06.json", sf=0.1, queries={"q": 1.0})
+    prior, tag, sf = bench.pick_metrics_baseline(str(tmp_path), "r08")
+    assert prior == {} and tag is None
+
+
+def test_harvest_group_metrics_live(spark):
+    # end-to-end: a groupBy over range data must show >=2 complete
+    # stages (map + reduce), real shuffle records, and nonzero CPU
+    sc = spark.sparkContext
+    sc.setJobGroup("bench_metrics_live_test", "probe")
+    (spark.range(100_000)
+     .selectExpr("id % 7 AS k", "id AS v")
+     .groupBy("k").sum("v")
+     .write.format("noop").mode("overwrite").save())
+    sc.setJobGroup("bench_metrics_idle", "")
+    m = harvest_group_metrics(spark, "bench_metrics_live_test")
+    assert m["jobs"] >= 1
+    assert m["stages"] >= 2
+    assert m["shuffle_write_records"] > 0
+    assert m["shuffle_read_bytes"] == m["shuffle_write_bytes"] > 0
+    assert m["executor_cpu_ms"] > 0
+    assert m["tasks"] > 0

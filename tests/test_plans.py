@@ -665,3 +665,28 @@ def test_source_overlap_cutoff_plan_shape(spark):
     assert "Window" not in plan, "df-cutoff regressed to a corpus-sized Window"
     assert "BroadcastHashJoin" in plan and "LeftAnti" in plan
     assert "partial_count" in plan  # cut-list agg combines map-side
+
+
+def test_source_overlap_cutoff_shuffle_arm_plan_shape(spark):
+    # size-dispatch shuffle arm (round-7 VERDICT #4): a pathologically
+    # large >max_sources cut-list must NOT become a driver-pressure
+    # broadcast — hot_join="shuffle" (what auto picks past
+    # hot_broadcast_limit) anti-joins via shuffle_hash: both sides
+    # exchange on the shingle key, no sort, no broadcast of the hot set
+    from streamz_spark.operators.quality import source_overlap
+    from streamz_spark.plans import explain_string
+    from streamz_spark.io import load_table
+
+    docs = load_table(spark, SF_DIR, "documents").selectExpr(
+        "doc_id", "concat('s', doc_id % 7) AS source", "text"
+    )
+    plan = explain_string(
+        source_overlap(docs, k=3, max_sources=3, hot_join="shuffle")
+    )
+    assert "Window" not in plan
+    assert "ShuffledHashJoin" in plan and "LeftAnti" in plan
+    # the anti-join side must not be broadcast (totals broadcasts remain)
+    assert not any(
+        "BroadcastHashJoin" in ln and "LeftAnti" in ln
+        for ln in plan.splitlines()
+    )

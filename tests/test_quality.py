@@ -682,6 +682,37 @@ def test_source_overlap_high_fanout_many_sources(spark):
     assert got == {("src00000", "src00001"): 1}
 
 
+def test_source_overlap_auto_dispatch_forces_shuffle_arm(spark):
+    # high-boilerplate frame with hot_broadcast_limit=0: auto must
+    # degrade the hot-set anti-join to the shuffle arm — and the
+    # results must be IDENTICAL to the broadcast arm (the dispatch is
+    # an execution-strategy choice, never a semantics choice)
+    from streamz_spark.operators.quality import source_overlap
+
+    rows = [
+        (1, "a", "common boiler plate here now"),
+        (2, "b", "common boiler plate also present"),
+        (3, "c", "common boiler plate third copy"),
+        (4, "a", "the quick fox jumps high"),
+        (5, "b", "said the quick fox today"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "source", "text"])
+    want = sorted(
+        tuple(r) for r in
+        source_overlap(df, k=3, max_sources=2, hot_join="broadcast").collect()
+    )
+    got = sorted(
+        tuple(r) for r in
+        source_overlap(
+            df, k=3, max_sources=2, hot_join="auto", hot_broadcast_limit=0
+        ).collect()
+    )
+    assert got == want
+    assert {(r[0], r[1]) for r in got} == {("a", "b")}
+    with pytest.raises(ValueError):
+        source_overlap(df, k=3, max_sources=2, hot_join="bogus").collect()
+
+
 def test_data_card_sketch_arm_matches_exact_within_tolerance(spark):
     # the KLL arm's p50 must track the exact arm's interpolated median
     # within the sketch's rank-error bound, with every other column

@@ -108,6 +108,22 @@ def test_wet_garbage_only_file_yields_error_row(spark, tmp_path):
     assert got[0]["record_seq"] == -1 and got[0]["_malformed"] == 1
 
 
+def test_wet_sentinel_survives_conversion_only(spark, tmp_path):
+    # the malformed-file sentinel (record_seq == -1) must survive the
+    # DEFAULT conversion_only=True path — an entirely-unparseable
+    # archive stays visible for quarantine audit (ADVICE round 7)
+    (tmp_path / "bad.warc.wet").write_bytes(b"not a warc file at all")
+    good = wet_bytes([("http://ok", None, "fine")])
+    (tmp_path / "ok.warc.wet").write_bytes(good)
+    got = read_wet(spark, str(tmp_path)).collect()  # conversion_only default
+    by_seq = sorted(got, key=lambda r: r["record_seq"])
+    assert [r["record_seq"] for r in by_seq] == [-1, 0]
+    sentinel = by_seq[0]
+    assert sentinel["_malformed"] == 1
+    assert sentinel["warc_type"] is None and sentinel["text"] is None
+    assert by_seq[1]["url"] == "http://ok"
+
+
 def test_wet_stream_equals_batch(spark, wet_dir):
     path, _ = wet_dir
     batch = (
