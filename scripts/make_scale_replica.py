@@ -60,6 +60,38 @@ KEY_DOMAINS = {
 # far below any near-dup threshold.
 SALTED = {"documents": ["text"], "part": ["p_name"]}
 LANG_PRESERVING = {"documents"}
+# embedding columns get a per-replica SIGNED-PERMUTATION (orthogonal)
+# transform: replica i>0 maps component j to ±old[π_i(j)], with the
+# permutation and signs drawn deterministically from md5(i, j) on the
+# driver. A signed permutation is orthogonal and exact in IEEE floats
+# (±1 multiplication and element reordering introduce no rounding), so
+# every WITHIN-replica dot product / cosine equals the base value to
+# the last ulp of summation order — the true near-dup pair set and
+# per-query ANN ranking are exactly N copies — while CROSS-replica
+# cosines scramble to the independent-vector regime ~N(0, 1/d): each
+# replica is an isolated shard of embedding space, the
+# similarity-family analogue of token salting. (Pure sign flips leave
+# same-base-vector cross pairs at σ=sqrt(3/d) — measured |cos| up to
+# 0.44 at d=64 — too heavy-tailed for clean pair invariants; verbatim
+# copies would make every vector a 100-way exact duplicate and measure
+# the pathological dup-heavy regime, not data scaling.)
+SIGN_PERMUTED = {"embeddings": ["embedding"]}
+
+
+def _signed_perm(i: int, d: int):
+    """Deterministic signed permutation for replica i over d dims:
+    π = argsort of md5(i, j), signs = md5 parity. Python-side so the
+    randomness source is engine-independent and stable across runs."""
+    import hashlib
+
+    def h(*parts) -> int:
+        return int.from_bytes(
+            hashlib.md5("|".join(map(str, parts)).encode()).digest()[:8], "big"
+        )
+
+    perm = sorted(range(d), key=lambda j: h("perm", i, j))
+    signs = [1 if h("sign", i, j) % 2 == 0 else -1 for j in range(d)]
+    return perm, signs
 # pure dimensions: copied once, never replicated
 DIMENSIONS = ("region", "nation")
 TABLES = (
@@ -124,6 +156,19 @@ def replicate(spark, src: str, out: str, n: int, tables=None) -> None:
                         c = c.withColumn(
                             col, F.regexp_replace(F.col(col), r"(\S+)", f"$1_{i}")
                         )
+                for col in SIGN_PERMUTED.get(tab, []):
+                    d = len(base.select(col).first()[0])
+                    perm, signs = _signed_perm(i, d)
+                    src_el = [
+                        F.element_at(F.col(col), perm[j] + 1) for j in range(d)
+                    ]
+                    c = c.withColumn(
+                        col,
+                        F.array(*[
+                            src_el[j] if signs[j] > 0 else -src_el[j]
+                            for j in range(d)
+                        ]),
+                    )
             copies.append(c)
         u = copies[0]
         for c in copies[1:]:

@@ -180,6 +180,133 @@ def main() -> None:
         f"per-pair ratio/[Nx base] range [{lo:.4f}, {hi:.4f}]",
     )
 
+    # -- TPC-H join family at Nx (round-8: replica now carries the fact
+    # tables). Replicas are key-shifted verbatim copies sharing the
+    # nation/region dimensions and every supplier/customer NAME, so:
+    # grouped-by-dimension aggregates keep IDENTICAL groups with
+    # exactly N x the additive measures; integer counts scale N x
+    # EXACTLY; float sums scale N x within rounding (outputs round at
+    # 4-6 dp). A lost/duplicated join branch, a broken semi-join, or a
+    # key-misaligned replica all break these.
+    if os.path.exists(os.path.join(replica, "lineitem.parquet")):
+        def rows_by(fn_name, keys):
+            fn = registry[fn_name].fn
+            b = {tuple(r[k] for k in keys): r.asDict() for r in fn(spark, base).collect()}
+            r_ = {tuple(r[k] for k in keys): r.asDict() for r in fn(spark, replica).collect()}
+            return b, r_
+
+        def ratio_band(bd, rd, keys, col, exact=False, tol=1e-6):
+            if set(bd) != set(rd):
+                return False, f"group sets differ ({len(bd)} vs {len(rd)})"
+            worst = 0.0
+            for g in bd:
+                want, got = n * bd[g][col], rd[g][col]
+                if exact and want != got:
+                    return False, f"{col}@{g}: {got} != {want}"
+                if not exact and want:
+                    worst = max(worst, abs(got - want) / abs(want))
+            if not exact and worst > tol:
+                return False, f"{col} worst rel dev {worst:.2e}"
+            return True, f"{col} x{n} over {len(bd)} groups" + (
+                "" if exact else f" (worst rel dev {worst:.1e})"
+            )
+
+        bq1, rq1 = rows_by("tpch_q1_pricing_summary", ("l_returnflag", "l_linestatus"))
+        for col, exact in (("sum_qty", False), ("sum_disc_price", False),
+                           ("count_order", True)):
+            ok, msg = ratio_band(bq1, rq1, None, col, exact=exact)
+            check(f"tpch_q1: {col} == N x base", ok, msg)
+        # averages are scale-INVARIANT (same distribution N times over)
+        worst = max(
+            abs(rq1[g]["avg_qty"] - bq1[g]["avg_qty"]) for g in bq1
+        ) if set(bq1) == set(rq1) else float("inf")
+        check("tpch_q1: avg_qty scale-invariant", worst <= 2e-6,
+              f"worst abs dev {worst:.2e}")
+
+        # q6-SHAPED selective scan-agg with a date window that exists in
+        # the synthetic data (l_shipdate spans 1995-2001, so the
+        # standard 1994 window sums zero rows — oracle-consistent NULL,
+        # but vacuous as an invariant)
+        from pyspark.sql import functions as _F
+
+        from streamz_spark.io import load_table as _lt
+
+        def q6_shaped(sf_dir):
+            li = _lt(spark, sf_dir, "lineitem")
+            return li.filter(
+                (_F.col("l_shipdate") >= _F.lit("1996-01-01").cast("timestamp_ntz"))
+                & (_F.col("l_shipdate") < _F.lit("1997-01-01").cast("timestamp_ntz"))
+                & (_F.col("l_discount") >= 0.05)
+                & (_F.col("l_discount") <= 0.07)
+                & (_F.col("l_quantity") < 24)
+            ).agg(
+                _F.sum(_F.col("l_extendedprice") * _F.col("l_discount")).alias("revenue"),
+                _F.count(_F.lit(1)).alias("n_rows"),
+            ).first()
+
+        b6 = q6_shaped(base)
+        r6 = q6_shaped(replica)
+        check(
+            "tpch_q6-shaped: revenue == N x base (1996 window, non-vacuous)",
+            b6["n_rows"] > 0
+            and r6["n_rows"] == n * b6["n_rows"]
+            and abs(r6["revenue"] - n * b6["revenue"]) / (n * b6["revenue"]) <= 1e-9,
+            f"base rows {b6['n_rows']} rev {b6['revenue']:.2f}, "
+            f"replica rows {r6['n_rows']} rev {r6['revenue']:.2f}",
+        )
+
+        bq9, rq9 = rows_by("tpch_q9_product_profit", ("nation", "o_year"))
+        ok, msg = ratio_band(bq9, rq9, None, "profit")
+        check("tpch_q9: groups invariant, profit == N x base", ok, msg)
+
+        bq21, rq21 = rows_by("tpch_q21_waiting_suppliers", ("s_name",))
+        ok, msg = ratio_band(bq21, rq21, None, "numwait", exact=True)
+        check("tpch_q21: numwait == N x base exactly", ok, msg)
+
+        # q18 (top-100 by totalprice): at Nx the limit fills with N
+        # copies of the top base rows. With a unique base top row, the
+        # result is EXACTLY its 100 replicas: same (c_name, totalprice,
+        # sum_qty) on every row, orderkeys = base key + i*order_offset.
+        fn = registry["tpch_q18_large_volume"].fn
+        b18 = fn(spark, base).collect()
+        top = b18[0]
+        unique_top = len(b18) < 2 or b18[1]["o_totalprice"] != top["o_totalprice"]
+        r18 = fn(spark, replica).collect()
+        if unique_top and n >= 100:
+            vals_ok = all(
+                r["c_name"] == top["c_name"]
+                and r["o_totalprice"] == top["o_totalprice"]
+                and r["sum_qty"] == top["sum_qty"]
+                for r in r18
+            )
+            import pyspark.sql.functions as _F
+            okey_off = (
+                spark.read.parquet(os.path.join(base, "orders.parquet"))
+                .agg(_F.max("o_orderkey")).first()[0]
+            )
+            lkey_off = (
+                spark.read.parquet(os.path.join(base, "lineitem.parquet"))
+                .agg(_F.max("l_orderkey")).first()[0]
+            )
+            off = max(okey_off, lkey_off) + 1
+            keys_ok = (
+                sorted(r["o_orderkey"] for r in r18)
+                == sorted(top["o_orderkey"] + i * off for i in range(100))
+            )
+            check(
+                "tpch_q18: top-100 == 100 replicas of base top row",
+                len(r18) == 100 and vals_ok and keys_ok,
+                f"rows {len(r18)}, values_ok {vals_ok}, keys_ok {keys_ok}",
+            )
+        else:
+            base_vals = {(r["o_totalprice"], r["sum_qty"]) for r in b18}
+            check(
+                "tpch_q18: replica top-100 values from base top set",
+                len(r18) == 100
+                and all((r["o_totalprice"], r["sum_qty"]) in base_vals for r in r18),
+                f"rows {len(r18)} (tied base top)",
+            )
+
     n_fail = sum(1 for _, s, _ in results if s == "FAIL")
     print(f"\n{len(results) - n_fail}/{len(results)} invariants PASS", flush=True)
     spark.stop()

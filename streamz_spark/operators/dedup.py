@@ -873,29 +873,38 @@ def embedding_near_duplicates(
         prefilter = "blas" if df.count() <= broadcast_limit else "lsh"
 
     if prefilter == "lsh":
-        from streamz_spark.operators.similarity import lsh_buckets, paired_cosine
+        from streamz_spark.operators.similarity import lsh_auto_planes, lsh_buckets
 
-        # bucketed candidates, exact-cosine verify, id_a < id_b canonical
+        # bucketed candidates, exact-cosine verify, id_a < id_b
+        # canonical. Planes scale with the corpus (constant bucket
+        # occupancy — fixed planes are quadratic in candidate volume);
+        # the verify cosine is computed INSIDE the bucket self-join
+        # where both vectors are collocated, and multi-table duplicate
+        # pairs collapse via a groupBy over narrow (id, id, cosine)
+        # tuples — re-attaching vectors to deduped id pairs through two
+        # more shuffle joins moved the full vector payload per
+        # CANDIDATE and dominated at 200k+ vectors (round-8 rewrite,
+        # same shape as hyperplane_lsh_ann).
         dim = len(df.select(vec_col).first()[0])
         # persist: self-joined below (see hyperplane_lsh_ann)
-        buckets = lsh_buckets(v, planes=12, tables=8, dim=dim).persist()
+        buckets = lsh_buckets(
+            v, planes=lsh_auto_planes(v.count()), tables=8, dim=dim
+        ).persist()
         a, b = buckets.alias("a"), buckets.alias("b")
-        # dedupe pairs BEFORE scoring (multi-table collisions), verify
-        # the unique pairs in one vectorized pass
-        pairs = (
+        return (
             a.join(
                 b,
                 (F.col("a.tbl") == F.col("b.tbl"))
                 & (F.col("a.bucket") == F.col("b.bucket"))
                 & (F.col("a.id") < F.col("b.id")),
             )
-            .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
-            .distinct()
-        )
-        va = v.select(F.col("id").alias("id_a"), F.col("v").alias("va"), F.col("norm").alias("na"))
-        vb = v.select(F.col("id").alias("id_b"), F.col("v").alias("vb"), F.col("norm").alias("nb"))
-        return (
-            paired_cosine(pairs.join(va, "id_a").join(vb, "id_b"), "va", "vb", "na", "nb")
+            .select(
+                F.col("a.id").alias("id_a"),
+                F.col("b.id").alias("id_b"),
+                cosine_expr("a.v", "b.v", "a.norm", "b.norm").alias("cosine"),
+            )
+            .groupBy("id_a", "id_b")
+            .agg(F.max("cosine").alias("cosine"))
             .filter(F.col("cosine") >= threshold)
             .select("id_a", "id_b", "cosine")
         )

@@ -250,6 +250,8 @@ def ivf_ann(
     n_probe: int = 3,
     seed: int = 42,
     centroids: str = "kmeans",
+    queries: DataFrame | None = None,
+    query_id_col: str = "vec_id",
 ) -> DataFrame:
     """IVF (inverted-file) ANN: coarse-quantize vectors to their nearest
     centroid cell; candidates = pairs whose cells overlap within each
@@ -270,6 +272,15 @@ def ivf_ann(
     n/n_cells, so a fixed cell count degrades quadratically as the
     corpus grows (measured: 8 cells on a 25k corpus = ~230M candidate
     dot products; sqrt-sizing keeps it at ~n^1.5 total).
+
+    ``queries=None`` (default) self-queries the corpus (every vector is
+    both index entry and query — the all-pairs audit shape; total work
+    ~n^1.5 with sqrt cells). Passing ``queries`` is the SERVING shape:
+    the corpus is indexed once and only the query workload probes it —
+    per-query cost is n_probe·(n/n_cells) ≈ n_probe·√n, so a fixed
+    workload over a 100× corpus costs ~10×, not 1000× (this is how an
+    ANN index is actually consumed at 100 TB). Self-matches (same id)
+    are excluded either way.
     """
     import math
 
@@ -328,24 +339,41 @@ def ivf_ann(
             ),
         )
     )
-    # persist: both candidate sides (probed queries, primary-cell corpus)
-    # read this subtree; without it the centroid scoring runs twice
-    probes = (
-        v.crossJoin(cent_packed)
-        .select(
-            "id", "v", "norm",
-            F.posexplode(F.slice(scored_cells, 1, n_probe)).alias("pos", "sc"),
+    def _probed(frame, probe_n):
+        return (
+            frame.crossJoin(cent_packed)
+            .select(
+                "id", "v", "norm",
+                F.posexplode(F.slice(scored_cells, 1, probe_n)).alias("pos", "sc"),
+            )
+            .select(
+                "id", "v", "norm",
+                F.col("sc.cell").alias("cell"),
+                (F.col("pos") + 1).alias("rnk"),
+            )
         )
-        .select(
-            "id", "v", "norm",
-            F.col("sc.cell").alias("cell"),
-            (F.col("pos") + 1).alias("rnk"),
-        )
-        .persist()
-    )
 
-    a = probes.select(F.col("id").alias("qid"), F.col("v").alias("qv"),
-                      F.col("norm").alias("qnorm"), "cell")
+    if queries is None:
+        # self-query: both candidate sides (probed queries, primary-cell
+        # corpus) read the probe subtree — persist so the centroid
+        # scoring runs once
+        probes = _probed(v, n_probe).persist()
+        q_probes = probes
+    else:
+        # serving shape: the corpus side only needs its PRIMARY cell
+        # (the inverted file); only the query workload probes n_probe
+        # cells. Each subtree has a single consumer — no persist.
+        probes = _probed(v, 1)
+        qv = with_norm(
+            queries.select(
+                F.col(query_id_col).alias("id"), F.col(vec_col).alias("v")
+            ),
+            "v", "norm",
+        )
+        q_probes = _probed(qv, n_probe)
+
+    a = q_probes.select(F.col("id").alias("qid"), F.col("v").alias("qv"),
+                        F.col("norm").alias("qnorm"), "cell")
     b = probes.filter(F.col("rnk") == 1).select(
         F.col("id").alias("cid"), F.col("v").alias("cv"),
         F.col("norm").alias("cnorm"), "cell",
@@ -360,12 +388,31 @@ def ivf_ann(
     return cand.withColumn("rank", F.row_number().over(wr)).filter(F.col("rank") <= k)
 
 
+def lsh_auto_planes(n: int, bucket_target: int = 50,
+                    lo: int = 8, hi: int = 20) -> int:
+    """Scale the signature width with the corpus: planes =
+    ceil(log2(n / bucket_target)) clamped to [lo, hi], holding the
+    EXPECTED bucket occupancy (and so per-table candidate work
+    ~n·bucket_target) constant as n grows. Fixed planes are the
+    classic LSH scale trap — candidate pairs grow ~n²/2^planes, i.e.
+    quadratically (measured: ann_lsh_topk at planes=10 went from 2 s
+    at 2k vectors to >15 min at 200k before this round's rewrite);
+    log-scaled planes keep the candidate volume linear in n. The
+    recall cost of wider signatures is the standard trade: collision
+    probability per table is (1−θ/π)^planes, so hold recall by raising
+    ``tables`` (S-curve: recall = 1−(1−p^planes)^tables) — at cosine
+    0.9 and planes 12, 8 tables give ~0.74, 16 give ~0.93."""
+    import math
+
+    return max(lo, min(hi, math.ceil(math.log2(max(2.0, n / bucket_target)))))
+
+
 def hyperplane_lsh_ann(
     corpus: DataFrame,
     k: int = 5,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
-    planes: int = 12,
+    planes: int | None = 12,
     tables: int = 4,
     dim: int | None = None,
     plane_style: str = "gaussianish",
@@ -376,8 +423,24 @@ def hyperplane_lsh_ann(
     signature; candidates = same-bucket pairs in any table; verify =
     exact cosine. Shuffle key = (table, bucket) — bounded fan-out,
     no cross join. Recall rises with `tables`, cost with
-    `tables · planes`. ``plane_style="rademacher"`` uses ±1 planes
+    `tables · planes`. ``planes=None`` auto-scales the signature with
+    the corpus (see :func:`lsh_auto_planes` — constant bucket
+    occupancy, linear candidate work; REQUIRED at scale: fixed planes
+    are quadratic). ``plane_style="rademacher"`` uses ±1 planes
     reproducible in SQL oracles (see _hyperplane_sign).
+
+    Verify shape (round-8 rewrite): the exact cosine is computed
+    INSIDE the bucket self-join, where both vectors are already
+    collocated by the (table, bucket) exchange, and multi-table
+    duplicate pairs are collapsed by a groupBy over NARROW
+    (qid, cid, cosine) tuples. The previous shape deduped bare id
+    pairs first and then re-attached both vectors via two more
+    shuffle joins — at 200k vectors × 1.6e8 candidates that re-attach
+    moved ~160 GB of vector payload and dominated the query by
+    minutes; re-scoring a multi-table duplicate costs one 64-FLOP
+    expression instead. Same results bit-for-bit: the cosine is a
+    deterministic expression of the pair, so max() over duplicate
+    collisions returns the single value the old verify computed.
     """
     if dim is None:
         dim = len(corpus.select(vec_col).first()[0])
@@ -385,30 +448,31 @@ def hyperplane_lsh_ann(
     # sides shuffle on (table, bucket) right away — measured +80% from
     # the extra exchange + tiny-partition persist at sf0.1
     v = with_norm(corpus.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v")), "v", "norm")
+    if planes is None:
+        planes = lsh_auto_planes(v.count())
     # persist: both self-join sides read the bucketed frame; without it
     # the hyperplane-signature expression tree (planes*tables*dim terms)
     # evaluates twice
     buckets = lsh_buckets(v, planes, tables, dim, plane_style).persist()
 
     a, b = buckets.alias("a"), buckets.alias("b")
-    # dedupe (qid, cid) BEFORE scoring: a pair colliding in several
-    # tables must cost one cosine, not `tables` — then verify the
-    # unique pairs in one vectorized pass (see paired_cosine)
-    pairs = (
+    cand = (
         a.join(
             b,
             (F.col("a.tbl") == F.col("b.tbl"))
             & (F.col("a.bucket") == F.col("b.bucket"))
             & (F.col("a.id") != F.col("b.id")),
         )
-        .select(F.col("a.id").alias("qid"), F.col("b.id").alias("cid"))
-        .distinct()
+        .select(
+            F.col("a.id").alias("qid"),
+            F.col("b.id").alias("cid"),
+            cosine_expr("a.v", "b.v", "a.norm", "b.norm").alias("cosine"),
+        )
+        # collapse multi-table collisions: every duplicate carries the
+        # SAME deterministic cosine, so max == the unique verify value
+        .groupBy("qid", "cid")
+        .agg(F.max("cosine").alias("cosine"))
     )
-    qa = v.select(F.col("id").alias("qid"), F.col("v").alias("qv"), F.col("norm").alias("qn"))
-    ca = v.select(F.col("id").alias("cid"), F.col("v").alias("cv"), F.col("norm").alias("cn"))
-    cand = paired_cosine(
-        pairs.join(qa, "qid").join(ca, "cid"), "qv", "cv", "qn", "cn"
-    ).select("qid", "cid", "cosine")
     w = W.partitionBy("qid").orderBy(F.col("cosine").desc(), F.col("cid").asc())
     return cand.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
 

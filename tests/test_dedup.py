@@ -110,6 +110,25 @@ def test_ivf_ann_finds_planted_near_duplicates(spark):
     assert recall >= 0.9, f"planted-pair recall {recall}"
 
 
+def test_ivf_ann_serving_queries_equal_self_query_slice(spark):
+    """ivf_ann(queries=subset) — the serving shape (index corpus once,
+    probe with a fixed workload) — must return exactly the self-query
+    output restricted to those query ids: the dispatch changes the
+    probe-side cost (n_probe·√n per query instead of n^1.5 total),
+    never the semantics."""
+    from pyspark.sql import functions as F
+
+    emb = load_table(spark, SF_DIR, "embeddings")
+    qs = emb.filter(F.col("vec_id") < 20)
+    served = sim.ivf_ann(emb, k=5, n_cells=16, n_probe=3,
+                         centroids="seed", queries=qs)
+    full = sim.ivf_ann(emb, k=5, n_cells=16, n_probe=3,
+                       centroids="seed").filter(F.col("qid") < 20)
+    got = sorted(tuple(r) for r in served.collect())
+    want = sorted(tuple(r) for r in full.collect())
+    assert got == want and len(got) > 0
+
+
 def test_fuzzy_pairs_block_not_function_of_name(spark):
     # ADVICE r5: when the caller's block key is NOT a pure function of
     # the name, (a) a pair sharing several blocks must emit ONE row,
