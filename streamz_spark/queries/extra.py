@@ -4225,3 +4225,67 @@ def decontaminate_corpus(spark, sf_dir):
     return cut_spans(docs, spans).select(
         "doc_id", "text_deduped", "n_tokens_removed"
     )
+
+
+# --------------------------------------------------------------------------
+# serving-shape IVF ANN: index the corpus once, probe with a fixed workload
+# --------------------------------------------------------------------------
+
+@register_extra(
+    "ann_ivf_serving_topk",
+    # same seed-centroid IVF pipeline as ann_ivf_topk's oracle, with the
+    # PROBE side restricted to the fixed 20-query workload (id < 20) —
+    # the corpus index side (rnk = 1 primary cells) is unchanged. The
+    # serving path is differentially pinned equal to the self-query
+    # slice in tests/test_dedup.py; this entry adds the oracle bar.
+    oracle="""
+        WITH v AS (
+            SELECT vec_id AS id,
+                   list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+            FROM embeddings
+        ), n AS (
+            SELECT id, v, sqrt(list_dot_product(v, v)) AS norm FROM v
+        ), cent AS (
+            SELECT CAST(ROW_NUMBER() OVER (ORDER BY id) - 1 AS INT) AS cell, v AS cvec
+            FROM (SELECT * FROM n ORDER BY id LIMIT 64)
+        ), scored AS (
+            SELECT n.id, n.v, n.norm, c.cell,
+                   list_sum(list_transform(range(1, len(n.v) + 1),
+                       i -> (n.v[i] - c.cvec[i]) * (n.v[i] - c.cvec[i]))) AS d2
+            FROM n CROSS JOIN cent c
+        ), ranked AS (
+            SELECT *, ROW_NUMBER() OVER (PARTITION BY id
+                                         ORDER BY d2 ASC, cell ASC) AS rnk
+            FROM scored
+        ), cand AS (
+            SELECT DISTINCT a.id AS qid, m.id AS cid,
+                   CASE WHEN a.norm * m.norm > 0
+                        THEN list_dot_product(a.v, m.v) / (a.norm * m.norm)
+                        ELSE 0.0 END AS cosine
+            FROM (SELECT * FROM ranked WHERE rnk <= 3 AND id < 20) a
+            JOIN (SELECT * FROM ranked WHERE rnk = 1) m
+              ON a.cell = m.cell AND a.id != m.id
+        )
+        SELECT qid, cid, cosine, CAST(rnk AS BIGINT) AS rank
+        FROM (
+            SELECT *, ROW_NUMBER() OVER (PARTITION BY qid
+                                         ORDER BY cosine DESC, cid ASC) AS rnk
+            FROM cand
+        ) WHERE rnk <= 5
+    """,
+    doc="serving-shape IVF ANN (round 8): the corpus is indexed once "
+        "(primary cell only) and a FIXED 20-query workload probes its "
+        "n_probe nearest cells — per-query cost n_probe*(n/n_cells) "
+        "instead of the self-query all-pairs audit's ~n^1.5 total; how "
+        "an ANN index is consumed at 100 TB (measured 100x exponent "
+        "0.58 with sqrt-n cells, SCALE.md round 8)",
+)
+def ann_ivf_serving_topk(spark, sf_dir):
+    from streamz_spark.operators import similarity as _sim
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 20)
+    out = _sim.ivf_ann(
+        emb, k=5, n_cells=64, n_probe=3, centroids="seed", queries=queries
+    )
+    return out.withColumn("rank", F.col("rank").cast("long"))
