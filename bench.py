@@ -427,10 +427,16 @@ def main() -> None:
     # signal whenever the canary stamps the run noisy (wall-time
     # `regressions` stays primary on quiet hosts; the two lists are
     # labeled separately in the artifact)
+    from streamz_spark.benchmetrics import CPU_RULES
+
     m_prior, m_tag, m_sf = pick_metrics_baseline(repo_dir, tag)
     metric_regs: dict[str, dict] = {}
+    cpu_flags: dict[str, dict] = {}
     if m_prior and m_sf == sf_val:
         metric_regs = metric_regressions(exec_metrics, m_prior)
+        # advisory only: CPU carries residual host sensitivity (live
+        # A/B: 2 CPU-only flags, 0 structural, across noisy runs)
+        cpu_flags = metric_regressions(exec_metrics, m_prior, rules=CPU_RULES)
     else:
         m_tag = None
     detail = {
@@ -442,6 +448,7 @@ def main() -> None:
         "exec_metrics": exec_metrics,
         "metric_base_tag": m_tag,
         "metric_regressions": metric_regs,
+        "cpu_flags": cpu_flags,
         "sf": sf_val,
         "tag": tag,
         "prev_tag": prior_tag if deltas else None,

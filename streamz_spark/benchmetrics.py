@@ -90,16 +90,21 @@ def harvest_group_metrics(spark, group: str) -> dict:
 # Plan-shape fields use growth of ANY size above a zero floor (stage
 # creation is deterministic for a fixed plan over fixed data); volume
 # fields take a relative band plus an absolute floor so tiny queries
-# don't flag on rounding; CPU gets the widest band — it is the one
-# field with residual host sensitivity (cache thrash under contention).
+# don't flag on rounding. CPU is deliberately NOT in the primary rule
+# set: it is the one field with residual host sensitivity, and the
+# round-8 live A/B (two independent noisy runs, 121 common queries)
+# measured ZERO structural flags but two CPU-only flags — so CPU flags
+# go to a separate advisory list (CPU_RULES) and never pollute the
+# deterministic channel's zero-false-positive property.
 METRIC_RULES = (
     ("stages", 0.0, 0),
     ("shuffle_write_records", 0.2, 1_000),
     ("shuffle_write_bytes", 0.3, 1 << 20),
     ("input_bytes", 0.3, 1 << 20),
     ("spill_bytes", 0.5, 16 << 20),
-    ("executor_cpu_ms", 0.5, 500),
 )
+
+CPU_RULES = (("executor_cpu_ms", 0.5, 500),)
 
 
 def metric_regressions(

@@ -4289,3 +4289,40 @@ def ann_ivf_serving_topk(spark, sf_dir):
         emb, k=5, n_cells=64, n_probe=3, centroids="seed", queries=queries
     )
     return out.withColumn("rank", F.col("rank").cast("long"))
+
+
+@register_extra(
+    "tpch_q6_shifted_window",
+    oracle="""
+        SELECT ROUND(SUM(l_extendedprice * l_discount), 4) AS revenue
+        FROM lineitem
+        WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+          AND l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'
+          AND l_discount BETWEEN 0.05 AND 0.07
+          AND l_quantity < 24
+    """,
+    doc="TPC-H Q6 with the date window shifted into the synthetic "
+        "data's actual l_shipdate range (1995-2001): the round-8 "
+        "vacuity audit (scripts/vacuity_audit.py) found the standard "
+        "1994 window matches ZERO rows here, so the canonical entry's "
+        "oracle check compares NULL to NULL — this companion sums ~12k "
+        "real rows and gives the q6 plan shape (selective scan + "
+        "single partial agg, filters fully pushed) non-vacuous "
+        "aggregation teeth. The canonical entry stays standard for "
+        "canary comparability.",
+)
+def tpch_q6_shifted_window(spark, sf_dir):
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp_ntz"))
+            & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp_ntz"))
+            & (F.col("l_discount") >= 0.05)
+            & (F.col("l_discount") <= 0.07)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * F.col("l_discount")), 4)
+            .alias("revenue")
+        )
+    )
