@@ -307,6 +307,73 @@ def main() -> None:
                 f"rows {len(r18)} (tied base top)",
             )
 
+    # -- windows/joins family at Nx (round-8: events in the replica) --
+    # user_id and event_id shift per replica, ts does NOT: per-user
+    # window/sessionize/ewm/as-of results shard exactly (disjoint keys,
+    # identical per-key sequences), so the replica-0 slice must equal
+    # the base output EXACTLY and totals must be exactly N x base.
+    # tumbling windows group on the UNSHIFTED time axis, so the window
+    # set is invariant with N x the per-window counts. zip_positional
+    # is keyless-positional: at Nx the global seq pairing crosses
+    # replicas by construction, so its invariant is the row-count
+    # identity (min of the two stream totals).
+    if os.path.exists(os.path.join(replica, "events.parquet")):
+        from pyspark.sql import functions as _F
+
+        u_max = (
+            spark.read.parquet(os.path.join(base, "events.parquet"))
+            .agg(_F.max("user_id")).first()[0]
+        )
+
+        def slice_check(qname, key_col="user_id"):
+            fn = registry[qname].fn
+            bdf = fn(spark, base).toPandas()
+            rdf_full = fn(spark, replica)
+            r_rows = rdf_full.count()
+            rdf0 = rdf_full.filter(_F.col(key_col) <= u_max).toPandas()
+            cols = sorted(bdf.columns)
+            b = bdf.reindex(cols, axis=1).sort_values(cols, ignore_index=True)
+            r = rdf0.reindex(cols, axis=1).sort_values(cols, ignore_index=True)
+            check(
+                f"{qname}: rows x{n} AND replica-0 slice == base exactly",
+                r_rows == n * len(bdf) and b.equals(r),
+                f"base {len(bdf)}, replica {r_rows} (want {n * len(bdf)}), "
+                f"slice rows {len(rdf0)}, slice equal {b.equals(r)}",
+            )
+
+        for q in ("rolling_windows", "sessionize", "ewm_mean_per_user",
+                  "asof_join_enrich"):
+            slice_check(q)
+
+        fn = registry["zip_positional"].fn
+        bz, rz = fn(spark, base).count(), fn(spark, replica).count()
+        check("zip_positional: rows x N (global positional pairing)",
+              rz == n * bz, f"base {bz}, replica {rz}, want {n * bz}")
+
+        fn = registry["tumbling_window_hourly"].fn
+        bdf = fn(spark, base).toPandas()
+        rdf = fn(spark, replica).toPandas()
+        # key = every non-float column (window labels/types); float
+        # aggregate columns must scale N x over an invariant window set
+        num_cols = [c for c in bdf.columns
+                    if bdf[c].dtype.kind in ("f", "i") and c not in ("hour",)]
+        kcols = [c for c in bdf.columns if c not in num_cols]
+        b_idx = bdf.set_index(kcols).sort_index()
+        r_idx = rdf.set_index(kcols).sort_index()
+        same_groups = list(b_idx.index) == list(r_idx.index)
+        import numpy as _np
+
+        scaled = same_groups and all(
+            _np.allclose(r_idx[c].to_numpy(dtype=float),
+                         n * b_idx[c].to_numpy(dtype=float), rtol=1e-9)
+            for c in num_cols
+        )
+        check(
+            "tumbling_window_hourly: window set invariant, aggregates x N",
+            same_groups and scaled,
+            f"{len(bdf)} windows, groups equal {same_groups}",
+        )
+
     n_fail = sum(1 for _, s, _ in results if s == "FAIL")
     print(f"\n{len(results) - n_fail}/{len(results)} invariants PASS", flush=True)
     spark.stop()
