@@ -145,7 +145,13 @@ EXTRA_REGISTRY["contamination_bloom"] = QueryDef(
     """,
     doc="TPC-H Q7 (adapted dates/nations): bidirectional nation-pair "
         "revenue flow by year. Broadcast hints only on the two nation "
-        "branches (25 rows, scale-invariant); fact joins left to AQE",
+        "branches (25 rows, scale-invariant); fact joins left to AQE. "
+        "Round-8: the two-nation restriction is applied to supplier AND "
+        "customer BEFORE the fact joins (2/25 selectivity — Catalyst "
+        "won't pull the pair predicate back through four joins), so the "
+        "lineitem x supplier output shrinks ~12x before the orders "
+        "shuffle; the bidirectional (s,c) pair filter still applies "
+        "after the customer join",
 )
 def tpch_q7_volume_shipping(spark, sf_dir):
     li = load_table(spark, sf_dir, "lineitem").filter(
@@ -156,14 +162,23 @@ def tpch_q7_volume_shipping(spark, sf_dir):
     customer = load_table(spark, sf_dir, "customer")
     supplier = load_table(spark, sf_dir, "supplier")
     nation = load_table(spark, sf_dir, "nation")
-    n1 = nation.select(F.col("n_nationkey").alias("n1_key"), F.col("n_name").alias("supp_nation"))
-    n2 = nation.select(F.col("n_nationkey").alias("n2_key"), F.col("n_name").alias("cust_nation"))
+    pair = ["NATION_1", "NATION_2"]
+    n1 = nation.select(
+        F.col("n_nationkey").alias("n1_key"), F.col("n_name").alias("supp_nation")
+    ).filter(F.col("supp_nation").isin(pair))
+    n2 = nation.select(
+        F.col("n_nationkey").alias("n2_key"), F.col("n_name").alias("cust_nation")
+    ).filter(F.col("cust_nation").isin(pair))
+    sup2 = supplier.join(
+        F.broadcast(n1), supplier.s_nationkey == F.col("n1_key")
+    ).select("s_suppkey", "supp_nation")
+    cust2 = customer.join(
+        F.broadcast(n2), customer.c_nationkey == F.col("n2_key")
+    ).select("c_custkey", "cust_nation")
     return (
-        li.join(supplier, li.l_suppkey == supplier.s_suppkey)
+        li.join(sup2, li.l_suppkey == sup2.s_suppkey)
         .join(orders, li.l_orderkey == orders.o_orderkey)
-        .join(customer, orders.o_custkey == customer.c_custkey)
-        .join(F.broadcast(n1), F.col("s_nationkey") == F.col("n1_key"))
-        .join(F.broadcast(n2), F.col("c_nationkey") == F.col("n2_key"))
+        .join(cust2, orders.o_custkey == cust2.c_custkey)
         .filter(
             ((F.col("supp_nation") == "NATION_1") & (F.col("cust_nation") == "NATION_2"))
             | ((F.col("supp_nation") == "NATION_2") & (F.col("cust_nation") == "NATION_1"))
@@ -311,17 +326,26 @@ def tpch_q10_returned_items(spark, sf_dir):
         ) c_orders
         GROUP BY c_count
     """,
-    doc="TPC-H Q13: orders-per-customer histogram — left join keeps "
-        "order-less customers at count 0; two shuffles (custkey, then "
-        "the tiny c_count regroup), both with partial aggregation",
+    doc="TPC-H Q13: orders-per-customer histogram — orders PRE-AGGREGATE "
+        "to (custkey, count) before the left join (round-8 rewrite: the "
+        "join-then-count shape shuffled every raw orders row on custkey; "
+        "the pre-agg is map-side-combinable and cuts the join's big side "
+        "by the orders-per-customer factor, ~10x — measured at 100x: "
+        "6.24 s -> 2.09 s, exponent 0.53 -> 0.24), order-less "
+        "customers coalesce to 0; "
+        "the c_count regroup is histogram-sized",
 )
 def tpch_q13_customer_distribution(spark, sf_dir):
     customer = load_table(spark, sf_dir, "customer")
     orders = load_table(spark, sf_dir, "orders")
+    per_cust_orders = (
+        orders.groupBy("o_custkey").agg(F.count(F.lit(1)).alias("n_orders"))
+    )
     per_cust = (
-        customer.join(orders, customer.c_custkey == orders.o_custkey, "left")
-        .groupBy("c_custkey")
-        .agg(F.count("o_orderkey").alias("c_count"))
+        customer.join(
+            per_cust_orders, customer.c_custkey == per_cust_orders.o_custkey, "left"
+        )
+        .select(F.coalesce(F.col("n_orders"), F.lit(0)).alias("c_count"))
     )
     return per_cust.groupBy("c_count").agg(F.count(F.lit(1)).alias("custdist"))
 

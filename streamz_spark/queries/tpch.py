@@ -121,7 +121,13 @@ def tpch_q3_shipping_priority(spark, sf_dir):
         "(10k×sf) scale with sf: at the 100 TB target they are 15B/1B "
         "rows and a hard hint is a guaranteed OOM, so AQE decides those "
         "joins at runtime (broadcast at small sf, shuffle at scale). "
-        "orders/lineitem are fact-sized and likewise unhinted",
+        "orders/lineitem are fact-sized and likewise unhinted. Round-8: "
+        "the ASIA restriction is applied to supplier AND customer "
+        "BEFORE the fact joins (the 25-row asia-nations relation "
+        "broadcasts onto each) — Catalyst doesn't reorder joins to pull "
+        "a region filter through four of them, and pre-pruning both "
+        "dimensions to 1/5 shrinks every downstream shuffle (measured "
+        "at 100x: 17.2 s -> 10.4 s, exponent 0.52 -> 0.39)",
 )
 def tpch_q5_local_supplier_volume(spark, sf_dir):
     customer = load_table(spark, sf_dir, "customer")
@@ -130,16 +136,26 @@ def tpch_q5_local_supplier_volume(spark, sf_dir):
     supplier = load_table(spark, sf_dir, "supplier")
     nation = load_table(spark, sf_dir, "nation")
     region = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    asia = (
+        nation.join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .select("n_nationkey", "n_name")
+    )
+    sup_asia = supplier.join(
+        F.broadcast(asia), supplier.s_nationkey == asia.n_nationkey
+    ).select("s_suppkey", "s_nationkey", "n_name")
+    cust_asia = customer.join(
+        F.broadcast(asia.select(F.col("n_nationkey").alias("__an"))),
+        customer.c_nationkey == F.col("__an"),
+        "left_semi",
+    ).select("c_custkey", "c_nationkey")
     return (
         li.join(orders, li.l_orderkey == orders.o_orderkey)
-        .join(customer, orders.o_custkey == customer.c_custkey)
+        .join(cust_asia, orders.o_custkey == cust_asia.c_custkey)
         .join(
-            supplier,
-            (li.l_suppkey == supplier.s_suppkey)
-            & (customer.c_nationkey == supplier.s_nationkey),
+            sup_asia,
+            (li.l_suppkey == sup_asia.s_suppkey)
+            & (cust_asia.c_nationkey == sup_asia.s_nationkey),
         )
-        .join(F.broadcast(nation), supplier.s_nationkey == nation.n_nationkey)
-        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
         .groupBy("n_name")
         .agg(
             F.round(
