@@ -97,12 +97,55 @@ def salted_join(
     key: str,
     salt_buckets: int = 16,
     how: str = "inner",
+    hot_threshold: int | None = None,
 ) -> DataFrame:
     """Skew-safe equi-join: salt the big side, replicate the small side
     across all buckets (small × salt_buckets rows — keep it broadcast-
-    sized), join on (key, salt)."""
-    salted_big = big.withColumn("__salt", (F.rand(seed=42) * salt_buckets).cast("int"))
-    replicated = small.withColumn(
-        "__salt", F.explode(F.array(*[F.lit(i) for i in range(salt_buckets)]))
+    sized), join on (key, salt).
+
+    ``hot_threshold`` (round 8): salt ONLY the hot keys. Full-side
+    salting replicates the ENTIRE small side ×salt_buckets whether or
+    not a key is skewed — measured at 100× (60M lineitem ⋈ 2M part,
+    zero actual skew) that replication is the whole cost: exponent
+    0.72 vs the plain join. With a threshold, one map-side-combinable
+    aggregate over the big side finds keys whose row count exceeds it
+    (a tiny relation by the definition of skew — broadcast), the big
+    side splits hot/cold, only the hot slice salts, only the hot
+    small-rows replicate, and the two joins union. The cold arm is the
+    plain join AQE already handles; the hot arm bounds any single
+    key's partition at ~threshold/salt_buckets rows. ``how`` must be
+    ``"inner"`` in hot mode (the split-union form would double-count
+    outer null-extensions).
+    """
+    if hot_threshold is None:
+        salted_big = big.withColumn(
+            "__salt", (F.rand(seed=42) * salt_buckets).cast("int")
+        )
+        replicated = small.withColumn(
+            "__salt", F.explode(F.array(*[F.lit(i) for i in range(salt_buckets)]))
+        )
+        return salted_big.join(replicated, [key, "__salt"], how).drop("__salt")
+
+    if how != "inner":
+        raise ValueError("hot_threshold mode supports how='inner' only")
+    hot = (
+        big.groupBy(key)
+        .agg(F.count(F.lit(1)).alias("__n"))
+        .filter(F.col("__n") > hot_threshold)
+        .select(key)
+        # tiny by the definition of skew; read by three consumers
+        .localCheckpoint(eager=False)
     )
-    return salted_big.join(replicated, [key, "__salt"], how).drop("__salt")
+    big_hot = big.join(F.broadcast(hot), key, "left_semi")
+    big_cold = big.join(F.broadcast(hot), key, "left_anti")
+    small_hot = small.join(F.broadcast(hot), key, "left_semi")
+    salted = big_hot.withColumn(
+        "__salt", (F.rand(seed=42) * salt_buckets).cast("int")
+    ).join(
+        small_hot.withColumn(
+            "__salt",
+            F.explode(F.array(*[F.lit(i) for i in range(salt_buckets)])),
+        ),
+        [key, "__salt"],
+    ).drop("__salt")
+    return big_cold.join(small, key, "inner").unionByName(salted)

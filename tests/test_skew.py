@@ -35,6 +35,35 @@ def test_salted_join_matches_plain(spark):
     assert got == want
 
 
+def test_salted_join_hot_threshold_matches_plain(spark):
+    # planted skew: one hot key with 800 rows, forty cold keys with 5
+    # each; hot-only salting must return EXACTLY the plain-join rows
+    # (cold arm untouched, hot arm salted, union complete)
+    rows = [(i, "hot") for i in range(800)] + [
+        (1000 + i, f"k{i % 40}") for i in range(200)
+    ]
+    big = spark.createDataFrame(rows, "row_id long, k string")
+    small = spark.createDataFrame(
+        [("hot", 1)] + [(f"k{i}", 2 + i) for i in range(40)], "k string, attr int"
+    )
+    got = (
+        salted_join(big, small, "k", hot_threshold=100)
+        .toPandas().sort_values(["row_id"], ignore_index=True)
+    )
+    want = (
+        big.join(small, "k")
+        .toPandas().sort_values(["row_id"], ignore_index=True)
+    )
+    assert got[["row_id", "k", "attr"]].equals(want[["row_id", "k", "attr"]])
+    # no hot keys above threshold -> pure plain-join fallthrough
+    got2 = salted_join(big, small, "k", hot_threshold=10_000).count()
+    assert got2 == len(want)
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        salted_join(big, small, "k", hot_threshold=100, how="left")
+
+
 class TestSkewProfile:
     def test_planted_hot_key(self, spark):
         from streamz_spark.operators.skew import skew_profile
