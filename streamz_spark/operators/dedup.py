@@ -378,6 +378,14 @@ def fuzzy_levenshtein_pairs(
         blk.alias("__blk"),
     )
     names = p.select("__name", "__blk").distinct()
+    # the block join's probe side sets the parallelism of the Σ block²
+    # levenshtein stage; after the distinct, AQE coalesces the tiny
+    # name relation to one partition and the verify serializes on a
+    # single core (measured: ~1.7 s single-task CPU at sf0.1). An
+    # explicit round-robin fan-out is AQE-stable (user repartitions are
+    # never coalesced); at scale the name relation arrives wide and
+    # this adds one exchange of the (already tiny) distinct-name set.
+    names = names.repartition(df.sparkSession.sparkContext.defaultParallelism)
     na = names.select(F.col("__name").alias("name_a"), F.col("__blk").alias("__blk"))
     nb = names.select(F.col("__name").alias("name_b"), F.col("__blk").alias("__blk"))
     # one row per (name_a, name_b, block): blocking is strict — a name

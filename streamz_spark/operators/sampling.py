@@ -264,6 +264,12 @@ def dsir_select(
         "gumbel_key_micro",
         (F.col("logw_micro") + F.floor(-F.log(-F.log(u)) * 1000000.0).cast("long")),
     )
+    # keyed feeds BOTH the top-k and the final flag join-back: without
+    # a barrier the doc_bucket⋈llr groupBy chain above runs twice (the
+    # plan shows two Exchange+HashAggregate subtrees over the
+    # checkpoint). keyed is one row per doc — materializing it is far
+    # cheaper than recomputing the weight aggregation.
+    keyed = keyed.localCheckpoint(eager=False)
     topk = (
         keyed.orderBy(F.col("gumbel_key_micro").desc(), F.col("id").asc())
         .limit(k)

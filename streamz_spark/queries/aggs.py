@@ -235,7 +235,14 @@ def pivot_wide(spark, sf_dir):
         "distinct/percentile, scored as within-tolerance-of-exact flags",
 )
 def approx_sketches(spark, sf_dir):
-    ev = load_table(spark, sf_dir, "events")
+    from streamz_spark.io import ensure_scan_parallelism
+
+    # fan the single-split scan out before the aggregate: countDistinct
+    # expands rows per distinct-agg group and exact percentile is a
+    # sort-based buffer, so the partial-agg stage is the compute-heavy
+    # part — one task otherwise runs it all (no-op at scale, where the
+    # scan arrives with >= cores natural splits)
+    ev = ensure_scan_parallelism(load_table(spark, sf_dir, "events"))
     agg = ev.groupBy("event_type").agg(
         F.countDistinct("user_id").alias("n_users_exact"),
         # rsd=0.02: the default 0.05 sketch landed 6.7% off at sf0.1

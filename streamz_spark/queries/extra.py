@@ -1151,7 +1151,19 @@ def tpch_q2_min_cost_supplier(spark, sf_dir):
     nation = load_table(spark, sf_dir, "nation")
     region = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE")
 
-    supply = li.groupBy("l_partkey", "l_suppkey").agg(
+    # Round-8 pushdown: the size/type part filter is a pure partkey
+    # predicate and the supply aggregate is keyed on (partkey, suppkey),
+    # so the filtered-part semi-join commutes below the groupBy —
+    # lineitem shrinks by the part-filter selectivity BEFORE the fact
+    # exchange (the old shape shuffled the full per-pair aggregate and
+    # joined part after). Per-pair MIN over a partkey-restricted set is
+    # identical for the surviving keys.
+    li_f = li.join(
+        F.broadcast(part.select("p_partkey").withColumnRenamed("p_partkey", "__pk")),
+        li.l_partkey == F.col("__pk"),
+        "leftsemi",
+    )
+    supply = li_f.groupBy("l_partkey", "l_suppkey").agg(
         F.min(F.col("l_extendedprice") / F.col("l_quantity")).alias("cost")
     )
     eur = (
@@ -1455,25 +1467,34 @@ def tpch_q19_disjunctive_revenue(spark, sf_dir):
         "bit-deterministic across engines",
 )
 def tpch_q20_promotion_suppliers(spark, sf_dir):
+    from pyspark.sql import Window
+
     li = load_table(spark, sf_dir, "lineitem")
     part = load_table(spark, sf_dir, "part").filter(F.col("p_name").like("blue%"))
     supplier = load_table(spark, sf_dir, "supplier")
-    # localCheckpoint: supply feeds both the per-part limit aggregate
-    # and the qualifying join — one lineitem groupBy instead of two
-    # (|supply| = distinct supplier x part pairs << |lineitem|, so the
-    # barrier write is cheaper than the second fact shuffle at scale;
-    # locally flat)
-    supply = (
-        li.groupBy("l_suppkey", "l_partkey")
-        .agg(F.sum("l_quantity").alias("qty"))
-        .localCheckpoint()
+    # Round-8 pushdown: the blue-part restriction is a pure partkey
+    # predicate, and every downstream aggregate (supply per (suppkey,
+    # partkey), qlim per partkey) is keyed on partkey — so the part
+    # semi-join commutes below BOTH aggregates. Filtering lineitem
+    # FIRST cuts the fact groupBy exchange by the part-name selectivity
+    # (~1% of parts → ~1% of the shuffle), where the old shape
+    # aggregated the full fact table and only then joined part.
+    li_blue = li.join(
+        F.broadcast(part.select("p_partkey")),
+        li.l_partkey == F.col("p_partkey"),
+        "leftsemi",
     )
-    lim = supply.groupBy("l_partkey").agg((0.5 * F.avg("qty")).alias("qlim")).withColumnRenamed(
-        "l_partkey", "lp"
+    supply = li_blue.groupBy("l_suppkey", "l_partkey").agg(
+        F.sum("l_quantity").alias("qty")
     )
+    # per-part limit as a window over the SAME relation: one partkey
+    # exchange replaces the old groupBy-then-join pair (two supply-wide
+    # exchanges + a join), and supply now has a single consumer so the
+    # localCheckpoint barrier is gone. AVG of exact long sums — the
+    # window and the aggregate produce the identical double.
+    w = Window.partitionBy("l_partkey")
     qualifying = (
-        supply.join(F.broadcast(part), supply.l_partkey == part.p_partkey)
-        .join(lim, supply.l_partkey == F.col("lp"))
+        supply.withColumn("qlim", 0.5 * F.avg("qty").over(w))
         .filter(F.col("qty") > F.col("qlim"))
         .select("l_suppkey")
     )

@@ -52,10 +52,24 @@ def test_map_select_prunes_unused_columns(spark):
 
 
 def test_star_joins_broadcast_no_sort_merge(spark):
-    for name in ("tpch_q3_shipping_priority", "tpch_q5_local_supplier_volume", "join_star_schema"):
+    for name in ("tpch_q3_shipping_priority", "join_star_schema"):
         df = q(name, spark)
         assert broadcast_join_count(df) >= 2, name
         assert sort_merge_join_count(df) == 0, f"{name} fell back to sort-merge"
+
+
+def test_q5_dimension_pruning_before_fact_joins(spark):
+    """Round-8 q5 contract: the ASIA restriction reaches supplier AND
+    customer through broadcast joins BEFORE the fact joins, and the
+    fact-fact (lineitem ⋈ orders) join stays UNHINTED — statically a
+    sort-merge join that AQE is free to convert at runtime (a hard
+    broadcast hint on a fact-sized side is an OOM at the 100 TB
+    target, see the catalog doc)."""
+    df = q("tpch_q5_local_supplier_volume", spark)
+    # nation⋈region, supplier⋈asia, customer semi-join asia
+    assert broadcast_join_count(df) >= 3
+    # exactly the one deliberate fact-fact sort-merge join, no more
+    assert sort_merge_join_count(df) <= 1
 
 
 def test_range_join_is_equi_not_nested_loop(spark):
@@ -95,7 +109,12 @@ def test_no_broadcast_hint_on_sf_scaled_tables(spark):
     # nation/region; AQE decides everything else at runtime.
     expected = {
         "tpch_q3_shipping_priority": 0,   # no scale-invariant dims in q3
-        "tpch_q5_local_supplier_volume": 2,  # nation + region
+        # round-8 shape: broadcast(region) onto nation builds `asia`
+        # (<= 25 rows, scale-invariant), then broadcast(asia) onto
+        # supplier AND customer; `asia`'s inner region hint re-appears
+        # under each use in the analyzed plan, hence 4 hint nodes —
+        # every hinted relation is still nation/region-derived
+        "tpch_q5_local_supplier_volume": 4,
         "join_star_schema": 1,            # nation
         "tpch_q7_volume_shipping": 2,     # nation x2
         "tpch_q8_market_share": 3,        # nation x2 + region
