@@ -1391,10 +1391,23 @@ def tpch_q16_supplier_counts(spark, sf_dir):
     bad = load_table(spark, sf_dir, "supplier").filter(F.col("s_acctbal") < 0).select(
         "s_suppkey"
     )
-    ps = li.select("l_partkey", "l_suppkey").distinct()
+    # Round-8 pushdown: both predicates are pure key predicates
+    # (partkey via the part filter, suppkey via the bad-supplier anti),
+    # so they commute below the (partkey, suppkey) distinct — lineitem
+    # shrinks by the part-filter selectivity (~1/7) BEFORE the wide
+    # distinct exchange instead of after it.
+    li_f = (
+        li.select("l_partkey", "l_suppkey")
+        .join(F.broadcast(bad), F.col("l_suppkey") == F.col("s_suppkey"), "leftanti")
+        .join(
+            F.broadcast(part.select(F.col("p_partkey").alias("__pk"))),
+            F.col("l_partkey") == F.col("__pk"),
+            "leftsemi",
+        )
+    )
+    ps = li_f.distinct()
     return (
-        ps.join(F.broadcast(bad), ps.l_suppkey == F.col("s_suppkey"), "leftanti")
-        .join(F.broadcast(part), ps.l_partkey == part.p_partkey)
+        ps.join(F.broadcast(part), ps.l_partkey == part.p_partkey)
         .groupBy("p_brand", "p_type", "p_size")
         .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
     )
