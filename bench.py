@@ -100,8 +100,23 @@ HEADLINE = [
 # artifacts). This turns the manual "refresh only from a quiet-window
 # run" protocol (BENCH_NOTES.md round-6 note) into an enforced gate.
 CANARY_QUERY = "tpch_q6_forecast_revenue"
-CANARY_REF_SEC = {0.1: 0.153}  # quiet-window reference, by SF
-CANARY_NOISY_RATIO = 1.2
+# Round-8 recalibration (round-7 VERDICT #2, provenance in
+# BENCH_NOTES.md round-8 note): the historical 0.153 s reference does
+# not reproduce on this round's host even at load < 0.3 — the idle
+# floor measured 0.219 s inside an official sweep (canary-after, warm
+# session) and 0.29-0.49 s for the canary-before (fresh session, one
+# warm query: the spread is JIT depth, not host load — a diverse
+# warm workload reaches 0.22-0.28 s but repeating the canary itself
+# six times only reaches 0.32 s). Hence per-end references with
+# asymmetric thresholds: the AFTER end (warm, stable) is the fine
+# noise sensor at the original 1.2 band; the BEFORE end can only
+# detect gross load (its idle JIT spread alone spans 1.7x), so it
+# gets a 2.0 band — wide enough for cold-JIT variance, still caught
+# the round-7-era 1.47 s (ratio 5.1) gross-noise case. Scalar refs
+# (legacy artifacts/tests) keep the old single-ref behavior.
+CANARY_REF_SEC = {0.1: {"before": 0.29, "after": 0.21}}
+CANARY_NOISY_RATIO = 1.2  # after-end (and scalar-ref) band
+CANARY_NOISY_RATIO_BEFORE = 2.0  # before-end band (per-end refs only)
 CANARY_RUNS = 3
 
 
@@ -170,11 +185,23 @@ def pick_metrics_baseline(repo_dir: str, tag: str):
     return {}, None, None
 
 
-def canary_verdict(before: float, after: float, ref: float | None,
+def canary_verdict(before: float, after: float, ref,
                    threshold: float = CANARY_NOISY_RATIO):
     """Build the canary artifact fields and the noisy-host verdict:
     the sweep is invalid-for-comparison when EITHER end ran on a noisy
-    host (before/after each min-of-N vs the pinned quiet reference)."""
+    host (before/after each min-of-N vs the pinned quiet reference).
+
+    ``ref`` is either a scalar (legacy: one reference, ``threshold``
+    band on both ends) or a ``{"before": s, "after": s}`` dict (r08
+    recalibration: each end normalized by its own idle-floor
+    reference; the before end uses the wider
+    ``CANARY_NOISY_RATIO_BEFORE`` band — see CANARY_REF_SEC note)."""
+    ref_before = ref_after = ref
+    threshold_before = threshold
+    if isinstance(ref, dict):
+        ref_before = ref.get("before")
+        ref_after = ref.get("after")
+        threshold_before = CANARY_NOISY_RATIO_BEFORE
     canary = {
         "query": CANARY_QUERY,
         "before": before,
@@ -183,14 +210,46 @@ def canary_verdict(before: float, after: float, ref: float | None,
         "threshold": threshold,
     }
     noisy = False
-    if ref and before > 0 and after > 0:
-        canary["ratio_before"] = round(before / ref, 3)
-        canary["ratio_after"] = round(after / ref, 3)
+    if ref_before and ref_after and before > 0 and after > 0:
+        canary["ratio_before"] = round(before / ref_before, 3)
+        canary["ratio_after"] = round(after / ref_after, 3)
+        if threshold_before != threshold:
+            canary["threshold_before"] = threshold_before
         noisy = (
-            canary["ratio_before"] > threshold
+            canary["ratio_before"] > threshold_before
             or canary["ratio_after"] > threshold
         )
     return canary, noisy
+
+
+def read_cpu_jiffies():
+    """Read cumulative (steal, total) CPU jiffies from /proc/stat.
+    Returns None where unavailable (non-Linux). Steal time is the
+    hypervisor withholding vCPU from this guest — the host-contention
+    source that never shows up in local process listings (round-8
+    diagnosis: 8.8% steal measured under full load on an otherwise
+    idle sandbox, explaining rounds 6-8's 'noise with zero foreign
+    processes')."""
+    try:
+        with open("/proc/stat") as f:
+            parts = f.readline().split()
+        vals = [int(v) for v in parts[1:]]
+        # user nice system idle iowait irq softirq steal [guest...]
+        return vals[7], sum(vals[:8])
+    except (OSError, ValueError, IndexError):
+        return None
+
+
+def steal_pct(before, after):
+    """Percentage of CPU time stolen by the hypervisor between two
+    read_cpu_jiffies() samples; None when unmeasurable."""
+    if not before or not after:
+        return None
+    dsteal = after[0] - before[0]
+    dtotal = after[1] - before[1]
+    if dtotal <= 0:
+        return None
+    return round(100.0 * dsteal / dtotal, 2)
 
 
 def _canary_ends(canary):
@@ -323,6 +382,7 @@ def main() -> None:
         return round(min(times), 4)
 
     # warm the JVM + parquet footers once (not counted per-query)
+    jiffies_start = read_cpu_jiffies()
     force(registry[names[0]].fn(spark, sf_dir))
     canary_before = run_canary()
 
@@ -402,6 +462,7 @@ def main() -> None:
         sc.setJobGroup("bench::idle", "")
 
     canary_after = run_canary()
+    host_steal = steal_pct(jiffies_start, read_cpu_jiffies())
 
     sf_val = float(sf) if sf.replace(".", "").isdigit() else sf
     canary, noisy_host = canary_verdict(
@@ -455,6 +516,9 @@ def main() -> None:
         "delta_vs_prev": deltas,
         "regressions": regressions,
         "canary": canary,
+        # whole-sweep hypervisor steal share: host-contention
+        # provenance the canary endpoints can miss (burst mid-sweep)
+        "host_steal_pct": host_steal,
         "noisy_host": noisy_host,
         # provenance: min-of-N protocol — with runs=1 the spread field
         # is 0 and the jitter guards (quiet and noise-matched alike)

@@ -44,6 +44,47 @@ def test_canary_verdict_noisy_on_either_end():
     assert noisy
 
 
+def test_canary_verdict_per_end_refs_quiet():
+    # r08 recalibration: each end normalized by its own idle floor —
+    # a fresh-session before of 0.45 s (cold-JIT spread, not load) and
+    # a warm after of 0.22 s are both QUIET under the per-end refs
+    ref = {"before": 0.29, "after": 0.21}
+    canary, noisy = bench.canary_verdict(0.45, 0.22, ref)
+    assert not noisy
+    assert canary["ratio_before"] == pytest.approx(0.45 / 0.29, abs=1e-3)
+    assert canary["ratio_after"] == pytest.approx(0.22 / 0.21, abs=1e-3)
+    assert canary["threshold_before"] == bench.CANARY_NOISY_RATIO_BEFORE
+
+
+def test_canary_verdict_per_end_refs_noisy():
+    ref = {"before": 0.29, "after": 0.21}
+    # after-end is the fine sensor: 0.26/0.21 = 1.24 > 1.2 band
+    _, noisy = bench.canary_verdict(0.35, 0.26, ref)
+    assert noisy
+    # before-end only detects gross load: 1.47 s (round-7-era noisy
+    # observation) = ratio 5.1 > 2.0 band
+    _, noisy = bench.canary_verdict(1.47, 0.21, ref)
+    assert noisy
+    # before-end inside its wide band (0.55/0.29 = 1.9): not noisy
+    _, noisy = bench.canary_verdict(0.55, 0.21, ref)
+    assert not noisy
+
+
+def test_steal_pct():
+    # (steal, total) jiffy samples: 200 steal over 4000 total = 5%
+    assert bench.steal_pct((100, 10000), (300, 14000)) == 5.0
+    assert bench.steal_pct(None, (300, 14000)) is None
+    assert bench.steal_pct((100, 10000), (100, 10000)) is None  # dt=0
+
+
+def test_read_cpu_jiffies_shape():
+    s = bench.read_cpu_jiffies()
+    # on Linux this must parse; elsewhere None is the contract
+    if s is not None:
+        steal, total = s
+        assert 0 <= steal <= total
+
+
 def test_canary_verdict_no_reference_sf():
     # smoke runs at sf0.001 have no pinned reference: record raw times,
     # never stamp noisy (there is nothing to compare against)
