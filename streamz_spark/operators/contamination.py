@@ -148,13 +148,20 @@ def contamination_check(
     ]
 
     if bloom_prefilter:
-        # bloom path (bench too big to broadcast): per-doc totals come
-        # from a cheap partial-agg branch; only probable-hit posting
-        # rows (true hits + ~fpp) survive to the shuffle join
+        # bloom path (bench too big to broadcast): per-doc totals are a
+        # pure PROJECTION — word_shingles emits the distinct set, so
+        # n_shingles == size(array). The previous shape re-exploded the
+        # corpus into a groupBy(id) count + join-back just to recover
+        # that number: one corpus-wide exchange + broadcast join for a
+        # value the narrow row already carries. Only probable-hit
+        # posting rows (true hits + ~fpp) survive to the shuffle join.
+        totals = docs.select(
+            F.col(id_col),
+            F.size(word_shingles(text_col, k)).cast("long").alias("n_shingles"),
+        )
         posting = docs.select(
             F.col(id_col), F.explode(word_shingles(text_col, k)).alias("shingle")
         )
-        totals = posting.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_shingles"))
         hits = (
             _bloom_prune(posting, bench, "shingle", bloom_expected_items, bloom_fpp)
             .join(bench, "shingle")
@@ -162,10 +169,8 @@ def contamination_check(
             .agg(F.count(F.lit(1)).alias("n_hits"))
         )
         return (
-            docs.select(id_col)
-            .join(totals, id_col, "left")
-            .join(hits, id_col, "left")
-            .fillna(0, subset=["n_shingles", "n_hits"])
+            totals.join(hits, id_col, "left")
+            .fillna(0, subset=["n_hits"])
             .select(*final_cols)
         )
 

@@ -87,6 +87,17 @@ def corpus_data_card(
             * 1000000.0
         ).cast("long"),
     )
+    # perdoc feeds TWO corpus-wide aggregates ((source,lang) stats and
+    # the per-source percentile) whose branches the planner keeps as
+    # separate subtrees — without a barrier the per-doc text processing
+    # (tokenize split + the regexp_replace space count, the operator's
+    # entire CPU cost) evaluates once per branch (3 parquet scans in
+    # the pre-fix plan: slc→src, slc→top, pctl). perdoc is a ~40-byte
+    # narrow row per doc, so materializing it once is far cheaper than
+    # re-deriving it from full text per consumer — the standard
+    # persist-vs-rescan call, same barrier rationale as
+    # dsir_importance_resample / perplexity_buckets.
+    perdoc = perdoc.localCheckpoint(eager=False)
     slc = perdoc.groupBy("source", "lang").agg(
         F.count(F.lit(1)).alias("n"),
         F.sum("n_tok").alias("tok"),

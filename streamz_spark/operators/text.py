@@ -1109,6 +1109,15 @@ def perplexity_buckets(
     )
     langs = df.select(F.col(id_col), F.col(lang_col).alias("lang"))
     wl = scores.join(langs, id_col)
+    # wl feeds BOTH the per-language cut aggregate and the final
+    # classify join: without a barrier the whole NLL scoring chain
+    # (corpus tokenize+explode, LM train groupBy, LM join, doc groupBy,
+    # lang join) evaluates twice — the plan shows two full copies of
+    # the subtree, 4 parquet scans for 2 logical passes. wl is one
+    # narrow row per doc, so materializing it is far cheaper than
+    # recomputing the scoring pipeline (same barrier rationale as
+    # dsir_importance_resample's keyed frame).
+    wl = wl.localCheckpoint(eager=False)
     cuts = perplexity_cut_table(wl)
     out = wl.join(F.broadcast(cuts), "lang")
     bucket = (

@@ -709,3 +709,23 @@ def test_source_overlap_cutoff_shuffle_arm_plan_shape(spark):
         "BroadcastHashJoin" in ln and "LeftAnti" in ln
         for ln in plan.splitlines()
     )
+
+
+def test_perplexity_buckets_single_scoring_pass(spark):
+    # the scored+lang frame feeds BOTH the per-language tercile cut
+    # aggregate and the final classify join; the round-8 barrier makes
+    # both consumers read one materialization instead of evaluating
+    # the whole NLL scoring chain twice (the pre-fix plan carried two
+    # full copies of the subtree — 4 parquet scans for 2 logical
+    # passes). Contract: the final plan reads the checkpointed frame
+    # (ExistingRDD), never re-derives scores from parquet, and the
+    # classify side stays a broadcast of the tiny cut table.
+    import re
+
+    from streamz_spark.plans import explain_string
+
+    plan = explain_string(q("perplexity_buckets", spark))
+    assert "ExistingRDD" in plan
+    assert "Scan parquet" not in plan
+    assert len(re.findall(r"Generate explode", plan)) == 0
+    assert "SortMergeJoin" not in plan
