@@ -730,6 +730,10 @@ def hybrid_rrf_topk(
         )
         .drop("toks")
     )
+    # same barrier as bm25_term_topk: postings is query-term-bounded
+    # (tiny), while its two consumers (df aggregate, contrib join)
+    # would each re-run the corpus tokenize + array_intersect without it
+    postings = postings.localCheckpoint(eager=False)
     dfreq = postings.groupBy("term").agg(F.count(F.lit(1)).alias("df_count"))
     contrib = (
         postings.join(F.broadcast(dfreq), "term")

@@ -325,6 +325,14 @@ def bm25_term_topk(
         )
         .drop("toks")
     )
+    # postings feeds BOTH the df aggregate and the scored join; without
+    # a barrier each consumer re-runs the corpus tokenize +
+    # array_intersect. Unlike common_shingle_stats' corpus-wide posting
+    # (where recompute measured cheaper than materialization), this
+    # frame is tiny — only rows matching the |terms| query terms
+    # survive the explode — so one materialization beats a second full
+    # tokenize pass at any corpus size.
+    postings = postings.localCheckpoint(eager=False)
     dfreq = postings.groupBy("term").agg(F.count(F.lit(1)).alias("df_count"))
     scored = (
         postings.join(F.broadcast(dfreq), "term")

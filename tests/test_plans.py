@@ -729,3 +729,38 @@ def test_perplexity_buckets_single_scoring_pass(spark):
     assert "Scan parquet" not in plan
     assert len(re.findall(r"Generate explode", plan)) == 0
     assert "SortMergeJoin" not in plan
+
+
+def test_bm25_single_corpus_tokenize_pass(spark):
+    # the query-term postings frame (tiny: only rows matching |terms|
+    # query terms survive the array_intersect explode) feeds BOTH the
+    # df aggregate and the scored join; the round-8 barrier makes both
+    # read one materialization instead of each re-running the corpus
+    # tokenize. Contract: the final plan reads the checkpointed frame
+    # (ExistingRDD) and scans parquet exactly once (the documented
+    # narrow scalars pass) — the pre-fix plan carried three scans, two
+    # of them full tokenize+explode subtrees.
+    import re
+
+    from streamz_spark.plans import explain_string
+
+    plan = explain_string(q("bm25_term_topk", spark))
+    assert "ExistingRDD" in plan
+    assert len(re.findall(r"Location:", plan)) == 1
+    # the surviving scan is the scalars pass: no explode on it
+    assert "Generate" not in plan
+
+
+def test_hybrid_rrf_single_corpus_tokenize_pass(spark):
+    # same contract for the bm25 arm embedded in hybrid RRF: one
+    # documents scan (scalars) + the checkpointed postings; the vector
+    # arm's two embeddings scans (corpus + 1-row query vector) remain.
+    import re
+
+    from streamz_spark.plans import explain_string
+
+    plan = explain_string(q("hybrid_rrf_retrieval", spark))
+    assert "ExistingRDD" in plan
+    docs_scans = len(re.findall(r"Location:.*documents\.parquet", plan))
+    assert docs_scans == 1, f"expected 1 documents scan, got {docs_scans}"
+    assert "Generate" not in plan
