@@ -77,6 +77,32 @@ def test_steal_pct():
     assert bench.steal_pct((100, 10000), (100, 10000)) is None  # dt=0
 
 
+def test_steal_gate_mid_sweep_burst_stamps_noisy():
+    # the live round-8 case: both canary endpoints quiet (verdict
+    # False) but the hypervisor stole 4.82% of the sweep's cycles —
+    # the sweep body ran under a co-tenant wave the endpoints missed
+    # and its 40 wall "regressions" were phantoms
+    noisy, via = bench.steal_gate(False, 4.82)
+    assert noisy and via == "steal"
+
+
+def test_steal_gate_quiet_run_passes():
+    # idle-window probes measure 0.0% steal; sub-threshold stays quiet
+    noisy, via = bench.steal_gate(False, 0.0)
+    assert not noisy and via is None
+    noisy, via = bench.steal_gate(False, 0.4)
+    assert not noisy and via is None
+
+
+def test_steal_gate_canary_verdict_takes_precedence():
+    # canary-fired runs keep "canary" provenance even with high steal
+    noisy, via = bench.steal_gate(True, 8.8)
+    assert noisy and via == "canary"
+    # and an unmeasurable steal (non-Linux) never stamps anything
+    noisy, via = bench.steal_gate(False, None)
+    assert not noisy and via is None
+
+
 def test_read_cpu_jiffies_shape():
     s = bench.read_cpu_jiffies()
     # on Linux this must parse; elsewhere None is the contract
