@@ -406,3 +406,20 @@ def test_unique_half_specified_watermark_raises(spark):
         s.unique("value", ts_col="ts")
     with pytest.raises(ValueError, match="ts_col and watermark"):
         s.unique("value", watermark="10 minutes")
+
+
+def test_configure_builder_io_codec_default_and_override(monkeypatch):
+    """The shuffle/spill/checkpoint block codec defaults to zstd
+    (measured ~2x shuffle-byte cut at equal-or-lower CPU on the 100x
+    replicas — see session.py note) with SPARK_GRAFT_IO_CODEC as the
+    escape hatch back to Spark's lz4 default."""
+    from pyspark.sql import SparkSession
+
+    from streamz_spark.session import configure_builder
+
+    monkeypatch.delenv("SPARK_GRAFT_IO_CODEC", raising=False)
+    b = configure_builder(SparkSession.builder, cpus=4)
+    assert b._options["spark.io.compression.codec"] == "zstd"
+    monkeypatch.setenv("SPARK_GRAFT_IO_CODEC", "lz4")
+    b = configure_builder(SparkSession.builder, cpus=4)
+    assert b._options["spark.io.compression.codec"] == "lz4"
