@@ -156,7 +156,11 @@ def _effective_scan_splits(files: tuple[str, ...], max_partition_bytes: int) -> 
     return total
 
 
-def ensure_scan_parallelism(df: DataFrame, min_partitions: int | None = None) -> DataFrame:
+def ensure_scan_parallelism(
+    df: DataFrame,
+    min_partitions: int | None = None,
+    keys: tuple[str, ...] | None = None,
+) -> DataFrame:
     """Fan a low-split scan out to the cluster's parallelism before
     compute-heavy narrow work (per-row regex, shingling, array folds).
 
@@ -180,6 +184,16 @@ def ensure_scan_parallelism(df: DataFrame, min_partitions: int | None = None) ->
     explicit repartition are returned unchanged: their partitioning is
     the planner's (or the caller's) choice, and post-shuffle frames
     already arrive with ``spark.sql.shuffle.partitions`` tasks.
+
+    ``keys``: optional column names for a *keyed* (hash) fan-out instead
+    of round-robin. Two wins when a downstream aggregate dedupes or
+    partially aggregates on those keys: the keyless round-robin path
+    pays a per-task sort of its input (sortBeforeRepartition, needed for
+    deterministic retries) which hash partitioning does not, and hash
+    collocation keeps each key's partial-aggregation state in exactly
+    one partition instead of duplicating it across all of them. Callers
+    must pick keys with far more distinct values than partitions
+    (guide-style: 20-100x) or the hash will skew the fan-out.
     """
     if df.isStreaming:
         # micro-batch parallelism is the source's concern
@@ -208,7 +222,7 @@ def ensure_scan_parallelism(df: DataFrame, min_partitions: int | None = None) ->
         # capability probe failed: never let the fan-out helper break
         # the query
         return df
-    out = df.repartition(target)
+    out = df.repartition(target, *keys) if keys else df.repartition(target)
     try:
         for f in out.schema.fields:
             out = out.withMetadata(f.name, {**f.metadata, _FANOUT_TAG: True})

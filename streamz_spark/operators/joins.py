@@ -84,15 +84,33 @@ def asof_join(
     return out.filter(F.col("__side") == 1).drop("__side")
 
 
-def _asof_fill_global(unioned: DataFrame, on: str, fill_cols: list[str], direction: str) -> DataFrame:
+def _asof_fill_global(
+    unioned: DataFrame,
+    on: str,
+    fill_cols: list[str],
+    direction: str,
+    src: dict[str, int] | None = None,
+    emit_side: int = 1,
+) -> DataFrame:
     """Two-level forward/backward fill over a global (ts, side) order.
 
     within-partition window keyed on the partition ordinal (parallel)
     + per-partition last/first non-null summaries combined in a
     metadata-sized prefix/suffix window, broadcast back as carry-ins.
+
+    ``src`` maps each fill column to the ``__side`` tag that carries its
+    values (default: all from side 0, the pairwise as-of shape);
+    ``emit_side`` is the tag of the rows that survive the fill. This is
+    what lets ``combine_latest`` fold K streams into ONE union + ONE
+    range partition: each non-emit stream gets its own side tag and its
+    columns fill independently over the same global order, exactly as
+    the chained pairwise joins would (a side's fill skips other sides'
+    rows as nulls, and the emit side's tag sorts after every source tag
+    so equal-ts source rows stay visible, both directions).
     """
     from streamz_spark.operators.order import range_parted
 
+    src = src or {c: 0 for c in fill_cols}
     backward = direction == "backward"
     side_order = F.col("__side").asc() if backward else F.col("__side").desc()
     # parted feeds BOTH the per-partition summary aggregate and the
@@ -107,13 +125,13 @@ def _asof_fill_global(unioned: DataFrame, on: str, fill_cols: list[str], directi
     if backward:
         w_local = W.partitionBy("__pid").orderBy("__mid").rowsBetween(W.unboundedPreceding, 0)
         pick_local = lambda c: F.last(  # noqa: E731
-            F.when(F.col("__side") == 0, F.col(c)), ignorenulls=True
+            F.when(F.col("__side") == src[c], F.col(c)), ignorenulls=True
         ).over(w_local)
-        # per-partition LAST non-null right value of each fill column
+        # per-partition LAST non-null source value of each fill column
         summary = [
             F.max_by(
                 F.col(c),
-                F.when((F.col("__side") == 0) & F.col(c).isNotNull(), F.col("__mid")),
+                F.when((F.col("__side") == src[c]) & F.col(c).isNotNull(), F.col("__mid")),
             ).alias(c)
             for c in fill_cols
         ]
@@ -122,12 +140,12 @@ def _asof_fill_global(unioned: DataFrame, on: str, fill_cols: list[str], directi
     else:
         w_local = W.partitionBy("__pid").orderBy("__mid").rowsBetween(0, W.unboundedFollowing)
         pick_local = lambda c: F.first(  # noqa: E731
-            F.when(F.col("__side") == 0, F.col(c)), ignorenulls=True
+            F.when(F.col("__side") == src[c], F.col(c)), ignorenulls=True
         ).over(w_local)
         summary = [
             F.min_by(
                 F.col(c),
-                F.when((F.col("__side") == 0) & F.col(c).isNotNull(), F.col("__mid")),
+                F.when((F.col("__side") == src[c]) & F.col(c).isNotNull(), F.col("__mid")),
             ).alias(c)
             for c in fill_cols
         ]
@@ -146,7 +164,7 @@ def _asof_fill_global(unioned: DataFrame, on: str, fill_cols: list[str], directi
     for c in fill_cols:
         out = out.withColumn(c, F.coalesce(pick_local(c), F.col(f"__carry_{c}")))
     return (
-        out.filter(F.col("__side") == 1)
+        out.filter(F.col("__side") == emit_side)
         .drop("__side", "__pid", "__mid", *[f"__carry_{c}" for c in fill_cols])
     )
 
@@ -196,25 +214,60 @@ def zip_latest(lossless: DataFrame, other: DataFrame, on: str, right_cols: list[
 def combine_latest(dfs: list[DataFrame], on: str, emit_on: int = 0) -> DataFrame:
     """Reference ``combine_latest`` (core.py:1652-1729): on each event of
     the emit_on stream, snapshot the latest value of every other
-    stream — chained as-of backward joins keyed by event time.
+    stream.
+
+    Single-pass K-way fold: all streams union into ONE side-tagged
+    frame, ONE range partition orders it globally on (ts, side), and
+    each non-emit stream's columns backward-fill independently over
+    that order (``_asof_fill_global`` with per-column source sides).
+    Equivalent to the earlier chained pairwise as-of joins — each fill
+    skips other sides' rows as nulls, and every source tag sorts before
+    the emit tag at equal ts, so each emit row still sees the latest
+    source value with ts <= its own — but pays one exchange + one
+    summary/carry pass total instead of one per stream, and drops the
+    per-level localCheckpoint that materialized the whole growing base
+    K-2 times (the old chain's anti-2^K barrier, now structurally
+    unnecessary).
     """
-    base = dfs[emit_on]
-    joined = 0
-    for i, other in enumerate(dfs):
-        if i == emit_on:
-            continue
-        base = asof_join(base, other, on=on, suffix=f"_s{i}")
-        joined += 1
-        # bound the multiplicative re-evaluation: each as-of level
-        # consumes its input twice (summary + carry join), so an
-        # unbarriered K-stream chain re-runs the base subtree 2^(K-1)
-        # times (measured: 36 file scans for 3 streams). Checkpointing
-        # between levels (batch-only operator — windows inside) caps it
-        # at one evaluation per level; skipped after the final level
-        # where the caller consumes the result once.
-        if joined < len(dfs) - 1:
-            base = base.localCheckpoint()
-    return base
+    emit = dfs[emit_on]
+    others = [(i, df) for i, df in enumerate(dfs) if i != emit_on]
+    if not others:
+        return emit
+    emit_tag = len(others)  # sorts after every source tag (side asc)
+    lhs = emit.withColumn("__side", F.lit(emit_tag))
+    rhs_frames: list[DataFrame] = []
+    fill_cols: list[str] = []
+    src: dict[str, int] = {}
+    for tag, (i, other) in enumerate(others):
+        rcols = [c for c in other.columns if c != on]
+        suffix = f"_s{i}"
+        rhs = other.select(
+            F.col(on), *[F.col(c).alias(c + suffix) for c in rcols]
+        ).withColumn("__side", F.lit(tag))
+        rhs_frames.append(rhs)
+        for c in rcols:
+            fill_cols.append(c + suffix)
+            src[c + suffix] = tag
+    # align schemas for the union: lhs carries every fill column (null),
+    # each rhs carries nulls for emit columns and the other sides' fills
+    fill_types = {
+        f.name: f.dataType
+        for rhs in rhs_frames
+        for f in rhs.schema.fields
+        if f.name in src
+    }
+    for c in fill_cols:
+        lhs = lhs.withColumn(c, F.lit(None).cast(fill_types[c]))
+    unioned = lhs
+    for rhs in rhs_frames:
+        aligned = rhs
+        for f in lhs.schema.fields:
+            if f.name not in aligned.columns:
+                aligned = aligned.withColumn(f.name, F.lit(None).cast(f.dataType))
+        unioned = unioned.unionByName(aligned)
+    return _asof_fill_global(
+        unioned, on, fill_cols, "backward", src=src, emit_side=emit_tag
+    )
 
 
 def range_join(

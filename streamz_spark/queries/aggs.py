@@ -241,8 +241,14 @@ def approx_sketches(spark, sf_dir):
     # expands rows per distinct-agg group and exact percentile is a
     # sort-based buffer, so the partial-agg stage is the compute-heavy
     # part — one task otherwise runs it all (no-op at scale, where the
-    # scan arrives with >= cores natural splits)
-    ev = ensure_scan_parallelism(load_table(spark, sf_dir, "events"))
+    # scan arrives with >= cores natural splits). Keyed on user_id: the
+    # distinct-agg partial groups by (event_type, user_id), so hash
+    # collocation keeps each pair's state in ONE partition (round-robin
+    # duplicated it across all 32, inflating partial CPU and shuffle
+    # records) and skips round-robin's per-task sortBeforeRepartition.
+    ev = ensure_scan_parallelism(
+        load_table(spark, sf_dir, "events"), keys=("user_id",)
+    )
     agg = ev.groupBy("event_type").agg(
         F.countDistinct("user_id").alias("n_users_exact"),
         # rsd=0.02: the default 0.05 sketch landed 6.7% off at sf0.1

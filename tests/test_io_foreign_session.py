@@ -167,3 +167,30 @@ def test_file_scan_splits_nonsplittable_and_stale_cache(tmp_path):
     txt.write_bytes(b"x" * 4000)
     os.utime(txt, ns=(1, 1))  # force a distinct mtime either way
     assert _effective_scan_splits((str(txt),), 512) == 8
+
+
+def test_ensure_scan_parallelism_keyed_fanout(spark):
+    # keys= hash-partitions instead of round-robin: no
+    # sortBeforeRepartition pass, and a downstream partial aggregate
+    # keyed on the same column sees each key in exactly one partition
+    # (round-robin duplicated its state across all of them —
+    # approx_sketches' round-8 rewrite)
+    from pyspark.sql import functions as F
+
+    from streamz_spark.io import ensure_scan_parallelism, load_table
+
+    from .conftest import SF_DIR
+
+    ev = load_table(spark, SF_DIR, "events")
+    fanned = ensure_scan_parallelism(ev, keys=("user_id",))
+    plan = fanned._jdf.queryExecution().executedPlan().toString()
+    assert "hashpartitioning(user_id" in plan, plan
+    assert "roundrobin" not in plan.lower(), plan
+    # same rows, and each user_id in exactly one partition
+    assert fanned.count() == ev.count()
+    spread = (
+        fanned.withColumn("p", F.spark_partition_id())
+        .groupBy("user_id").agg(F.countDistinct("p").alias("np"))
+        .agg(F.max("np")).collect()[0][0]
+    )
+    assert spread == 1

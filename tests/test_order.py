@@ -258,3 +258,82 @@ class TestAlgebraicAccumulate:
         assert [(r["s0_value"], r["s1_value"]) for r in rows] == [
             (2.0, 10.0), (3.0, 20.0), (4.0, 30.0)
         ]
+
+
+class TestCombineLatestFold:
+    """Round-8 rewrite: combine_latest folds K streams into ONE union +
+    ONE range partition (per-column source sides in _asof_fill_global)
+    instead of K-1 chained as-of joins with localCheckpoint barriers.
+    Pins (a) exact equivalence to the chained form on a 4-stream case
+    with cross-side ts ties, multi-column sides, a late-starting side
+    and emit_on != 0; (b) the structural contract: one range exchange,
+    no checkpoint (ExistingRDD) barrier in the plan."""
+
+    def _streams(self, spark):
+        import random
+
+        random.seed(83)
+        # unique ts WITHIN each side (cross-side ties are the semantic
+        # edge: a source row at ts == emit ts must be visible)
+        all_ts = random.sample(range(10_000), 1200)
+        emit_ts = sorted(all_ts[:400])
+        s0_ts = sorted(all_ts[400:700] + emit_ts[::7])   # ties vs emit
+        s2_ts = sorted(all_ts[700:1000])
+        s3_ts = sorted(t for t in all_ts[1000:] if t > 5000)  # late start
+        emit = spark.createDataFrame(
+            [(t, float(t % 91)) for t in emit_ts], "ts long, value double"
+        )
+        s0 = spark.createDataFrame(
+            [(t, float(t % 53), t % 7) for t in s0_ts],
+            "ts long, value double, tag long",
+        )
+        s2 = spark.createDataFrame(
+            [(t, float(t % 29)) for t in s2_ts], "ts long, value double"
+        )
+        s3 = spark.createDataFrame(
+            [(t, f"w{t % 11}") for t in s3_ts], "ts long, word string"
+        )
+        return [s0, emit, s2, s3]
+
+    def test_matches_chained_asof(self, spark):
+        from streamz_spark.operators.joins import asof_join, combine_latest
+
+        dfs = self._streams(spark)
+        emit_on = 1
+        got = combine_latest(dfs, on="ts", emit_on=emit_on)
+        base = dfs[emit_on]
+        for i, other in enumerate(dfs):
+            if i != emit_on:
+                base = asof_join(base, other, on="ts", suffix=f"_s{i}")
+        assert got.columns == base.columns
+        g = got.orderBy("ts").toPandas()
+        w = base.orderBy("ts").toPandas()
+        assert g.equals(w), "fold diverges from chained as-of reference"
+        # late-starting side: early emits carry nulls, later ones do not
+        assert g["word_s3"].isna().any() and g["word_s3"].notna().any()
+
+    def test_lazy_single_range_partition(self, spark):
+        from streamz_spark.operators.joins import combine_latest
+
+        dfs = self._streams(spark)
+        sc = spark.sparkContext
+        sc.setJobGroup("clf_build", "combine_latest construction")
+        try:
+            out = combine_latest(dfs, on="ts", emit_on=1)
+            jobs = sc.statusTracker().getJobIdsForGroup("clf_build")
+        finally:
+            sc.setJobGroup(None, None)
+        # construction is fully lazy: the old chain ran one EAGER
+        # localCheckpoint per intermediate level right here
+        assert not jobs, f"combine_latest construction ran jobs: {jobs}"
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        # one shared range_parted persist consumed by both the summary
+        # and the carry-join branch (the cached subtree prints under
+        # each consumer, so count DISTINCT exchange lines, not lines)
+        distinct_range = {
+            ln[ln.index("Exchange rangepartitioning"):].split("[plan_id=")[0]
+            for ln in plan.splitlines()
+            if "Exchange rangepartitioning" in ln
+        }
+        assert len(distinct_range) == 1, plan
+        assert plan.count("InMemoryTableScan") == 2, plan
