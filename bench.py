@@ -604,6 +604,10 @@ def main() -> None:
         "metric": "headline_queries_total",
         "value": round(total, 4),
         "unit": "sec",
+        # full per-query seconds map: the driver contract requires it
+        # in the printed line (it drifted into the detail file at r05;
+        # the driver's per-core-count scaling pass reads it from here)
+        "queries": timings,
         "n_queries": len(timings),
         "n_failed": len(failed),
         "n_regressions": len(regressions),
