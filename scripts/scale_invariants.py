@@ -52,133 +52,137 @@ def main() -> None:
     print("| invariant | status | detail |")
     print("|---|---|---|")
 
-    # -- N-times row-count conservation -------------------------------
-    # minhash pair conservation == planted-dup recall 1.0 at scale
-    # (replicas share no shingles, so the true pair set is exactly
-    # N x base; a missed banding candidate shows as a shortfall).
-    # ngram_jaccard_pairs is covered transitively: the
-    # dedup_clusters_distributed row below consumes its pair output.
-    for q in (
-        "minhash_near_duplicates",
-        "exact_substring_spans",
-        "incremental_dedup_vs_index",
-        "dedup_clusters_distributed",
-    ):
-        fn = registry[q].fn
-        b = fn(spark, base).count()
-        r = fn(spark, replica).count()
+    # documents-family sections: gated on the table's presence so the
+    # script runs against split per-family replicas (sf10_docs /
+    # sf10_events / sf10_tpch) as well as a combined dir
+    if os.path.exists(os.path.join(replica, "documents.parquet")):
+        # -- N-times row-count conservation -------------------------------
+        # minhash pair conservation == planted-dup recall 1.0 at scale
+        # (replicas share no shingles, so the true pair set is exactly
+        # N x base; a missed banding candidate shows as a shortfall).
+        # ngram_jaccard_pairs is covered transitively: the
+        # dedup_clusters_distributed row below consumes its pair output.
+        for q in (
+            "minhash_near_duplicates",
+            "exact_substring_spans",
+            "incremental_dedup_vs_index",
+            "dedup_clusters_distributed",
+        ):
+            fn = registry[q].fn
+            b = fn(spark, base).count()
+            r = fn(spark, replica).count()
+            check(
+                f"{q}: rows x{n}",
+                r == n * b,
+                f"base {b}, replica {r}, expected {n * b}",
+            )
+
+        # -- pipeline: replica-0 exact set + banded total ------------------
+        # Exact N-times equality is unattainable for the composed pipeline:
+        # its quality-ratio predicates see the replica salt suffixes (2-3
+        # extra chars per non-stopword token), so borderline docs flip per
+        # replica (measured: +0.12% at 100x). Two checks that still have
+        # teeth: (a) replica 0 is VERBATIM base text, and cross-replica
+        # near-dup/contamination interactions are sub-threshold by the
+        # salting design — so the replica-0 slice of the output must equal
+        # the base output EXACTLY (any cross-shard candidate leak or lost
+        # stage breaks it); (b) the total must land within +-0.5% of
+        # N x base — a lost or duplicated stage shifts counts by whole
+        # stage fractions, far outside the salt-flip band.
+        from pyspark.sql import functions as F
+
+        fn = registry["pretrain_corpus_pipeline"].fn
+        base_out = fn(spark, base)
+        idc = "doc_id" if "doc_id" in base_out.columns else base_out.columns[0]
+        base_ids = {r[idc] for r in base_out.select(idc).collect()}
+        base_max = (
+            spark.read.parquet(os.path.join(base, "documents.parquet"))
+            .agg(F.max("doc_id")).first()[0]
+        )
+        rep_out = fn(spark, replica)
+        rep0_ids = {
+            r[idc]
+            for r in rep_out.select(idc).filter(F.col(idc) <= base_max).collect()
+        }
         check(
-            f"{q}: rows x{n}",
-            r == n * b,
-            f"base {b}, replica {r}, expected {n * b}",
+            "pretrain_corpus_pipeline: replica-0 slice == base (exact)",
+            rep0_ids == base_ids,
+            f"base {len(base_ids)}, replica-0 {len(rep0_ids)}, "
+            f"sym-diff {len(rep0_ids ^ base_ids)}",
+        )
+        r_total = rep_out.count()
+        check(
+            f"pretrain_corpus_pipeline: total within 0.5% of x{n}",
+            0.995 * n * len(base_ids) <= r_total <= 1.005 * n * len(base_ids),
+            f"replica {r_total}, N x base {n * len(base_ids)}",
         )
 
-    # -- pipeline: replica-0 exact set + banded total ------------------
-    # Exact N-times equality is unattainable for the composed pipeline:
-    # its quality-ratio predicates see the replica salt suffixes (2-3
-    # extra chars per non-stopword token), so borderline docs flip per
-    # replica (measured: +0.12% at 100x). Two checks that still have
-    # teeth: (a) replica 0 is VERBATIM base text, and cross-replica
-    # near-dup/contamination interactions are sub-threshold by the
-    # salting design — so the replica-0 slice of the output must equal
-    # the base output EXACTLY (any cross-shard candidate leak or lost
-    # stage breaks it); (b) the total must land within +-0.5% of
-    # N x base — a lost or duplicated stage shifts counts by whole
-    # stage fractions, far outside the salt-flip band.
-    from pyspark.sql import functions as F
+        # -- pagerank: mass bound + determinism ----------------------------
+        from pyspark.sql import functions as F
 
-    fn = registry["pretrain_corpus_pipeline"].fn
-    base_out = fn(spark, base)
-    idc = "doc_id" if "doc_id" in base_out.columns else base_out.columns[0]
-    base_ids = {r[idc] for r in base_out.select(idc).collect()}
-    base_max = (
-        spark.read.parquet(os.path.join(base, "documents.parquet"))
-        .agg(F.max("doc_id")).first()[0]
-    )
-    rep_out = fn(spark, replica)
-    rep0_ids = {
-        r[idc]
-        for r in rep_out.select(idc).filter(F.col(idc) <= base_max).collect()
-    }
-    check(
-        "pretrain_corpus_pipeline: replica-0 slice == base (exact)",
-        rep0_ids == base_ids,
-        f"base {len(base_ids)}, replica-0 {len(rep0_ids)}, "
-        f"sym-diff {len(rep0_ids ^ base_ids)}",
-    )
-    r_total = rep_out.count()
-    check(
-        f"pretrain_corpus_pipeline: total within 0.5% of x{n}",
-        0.995 * n * len(base_ids) <= r_total <= 1.005 * n * len(base_ids),
-        f"replica {r_total}, N x base {n * len(base_ids)}",
-    )
+        fn = registry["pagerank_centrality"].fn
+        pr = fn(spark, replica)
+        rank_col = next(c for c in pr.columns if "rank" in c.lower())
+        agg1 = pr.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(rank_col).alias("mass"),
+            F.min(rank_col).alias("mn"),
+        ).first()
+        n_docs = spark.read.parquet(os.path.join(replica, "documents.parquet")).count()
+        check(
+            "pagerank: one rank per node",
+            agg1["n"] == n_docs,
+            f"ranks {agg1['n']}, nodes {n_docs}",
+        )
+        check(
+            "pagerank: all ranks positive",
+            agg1["mn"] is not None and agg1["mn"] > 0,
+            f"min rank {agg1['mn']}",
+        )
+        # fixed-point mass bound: initialization distributes SCALE=10^12
+        # over nodes (r0 = SCALE//n each); every iteration's teleport +
+        # damped transfer conserves total mass up to integer-floor
+        # truncation (< 1 unit per edge/node per iteration) and the rare
+        # dangling node, so after 3 iterations total mass must sit in
+        # (0.9*SCALE, SCALE] — a dropped hub, a doubled contribution, or a
+        # lost rank row all break the band
+        from streamz_spark.queries.extra import _PR_SCALE
 
-    # -- pagerank: mass bound + determinism ----------------------------
-    from pyspark.sql import functions as F
+        mass = int(agg1["mass"])
+        check(
+            "pagerank: mass bound",
+            0.9 * _PR_SCALE < mass <= _PR_SCALE,
+            f"total fp mass {mass} vs SCALE {_PR_SCALE}",
+        )
+        agg2 = fn(spark, replica).agg(F.sum(rank_col).alias("mass")).first()
+        check(
+            "pagerank: bit-deterministic",
+            int(agg2["mass"]) == mass,
+            f"run1 {mass}, run2 {int(agg2['mass'])}",
+        )
 
-    fn = registry["pagerank_centrality"].fn
-    pr = fn(spark, replica)
-    rank_col = next(c for c in pr.columns if "rank" in c.lower())
-    agg1 = pr.agg(
-        F.count(F.lit(1)).alias("n"),
-        F.sum(rank_col).alias("mass"),
-        F.min(rank_col).alias("mn"),
-    ).first()
-    n_docs = spark.read.parquet(os.path.join(replica, "documents.parquet")).count()
-    check(
-        "pagerank: one rank per node",
-        agg1["n"] == n_docs,
-        f"ranks {agg1['n']}, nodes {n_docs}",
-    )
-    check(
-        "pagerank: all ranks positive",
-        agg1["mn"] is not None and agg1["mn"] > 0,
-        f"min rank {agg1['mn']}",
-    )
-    # fixed-point mass bound: initialization distributes SCALE=10^12
-    # over nodes (r0 = SCALE//n each); every iteration's teleport +
-    # damped transfer conserves total mass up to integer-floor
-    # truncation (< 1 unit per edge/node per iteration) and the rare
-    # dangling node, so after 3 iterations total mass must sit in
-    # (0.9*SCALE, SCALE] — a dropped hub, a doubled contribution, or a
-    # lost rank row all break the band
-    from streamz_spark.queries.extra import _PR_SCALE
-
-    mass = int(agg1["mass"])
-    check(
-        "pagerank: mass bound",
-        0.9 * _PR_SCALE < mass <= _PR_SCALE,
-        f"total fp mass {mass} vs SCALE {_PR_SCALE}",
-    )
-    agg2 = fn(spark, replica).agg(F.sum(rank_col).alias("mass")).first()
-    check(
-        "pagerank: bit-deterministic",
-        int(agg2["mass"]) == mass,
-        f"run1 {mass}, run2 {int(agg2['mass'])}",
-    )
-
-    # -- source_overlap: pair-set invariance + bounded shared growth ---
-    fn = registry["source_overlap_matrix"].fn
-    bp = {
-        (r["source_a"], r["source_b"]): r["shared_shingles"]
-        for r in fn(spark, base).collect()
-    }
-    rp = {
-        (r["source_a"], r["source_b"]): r["shared_shingles"]
-        for r in fn(spark, replica).collect()
-    }
-    check(
-        "source_overlap: pair set invariant",
-        set(bp) == set(rp),
-        f"base {len(bp)} pairs, replica {len(rp)}",
-    )
-    lo = min((rp[k] / (n * v) for k, v in bp.items() if v), default=1.0)
-    hi = max((rp[k] / (n * v) for k, v in bp.items() if v), default=1.0)
-    check(
-        "source_overlap: shared in [0.9N, N] x base",
-        0.9 <= lo and hi <= 1.0 + 1e-9,
-        f"per-pair ratio/[Nx base] range [{lo:.4f}, {hi:.4f}]",
-    )
+        # -- source_overlap: pair-set invariance + bounded shared growth ---
+        fn = registry["source_overlap_matrix"].fn
+        bp = {
+            (r["source_a"], r["source_b"]): r["shared_shingles"]
+            for r in fn(spark, base).collect()
+        }
+        rp = {
+            (r["source_a"], r["source_b"]): r["shared_shingles"]
+            for r in fn(spark, replica).collect()
+        }
+        check(
+            "source_overlap: pair set invariant",
+            set(bp) == set(rp),
+            f"base {len(bp)} pairs, replica {len(rp)}",
+        )
+        lo = min((rp[k] / (n * v) for k, v in bp.items() if v), default=1.0)
+        hi = max((rp[k] / (n * v) for k, v in bp.items() if v), default=1.0)
+        check(
+            "source_overlap: shared in [0.9N, N] x base",
+            0.9 <= lo and hi <= 1.0 + 1e-9,
+            f"per-pair ratio/[Nx base] range [{lo:.4f}, {hi:.4f}]",
+        )
 
     # -- TPC-H join family at Nx (round-8: replica now carries the fact
     # tables). Replicas are key-shifted verbatim copies sharing the
