@@ -21,7 +21,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
 
-from streamz_spark.operators.text import word_shingles
+from streamz_spark.operators.text import add_word_kgrams
 
 __all__ = ["contamination_check", "contamination_spans", "contamination_spans_inline", "decontaminate_inline"]
 
@@ -130,9 +130,11 @@ def contamination_check(
     # scan out to all cores first (no-op at real scale)
     docs = ensure_scan_parallelism(docs)
     bench = (
-        benchmark.select(
-            F.explode(word_shingles(bench_text_col or text_col, k)).alias("shingle")
+        add_word_kgrams(
+            benchmark, bench_text_col or text_col, k, "__bsh", distinct=True
         )
+        .select(F.explode_outer("__bsh").alias("shingle"))
+        .filter(F.col("shingle").isNotNull())
         .distinct()
     )
     overlap = F.when(
@@ -155,13 +157,16 @@ def contamination_check(
         # that number: one corpus-wide exchange + broadcast join for a
         # value the narrow row already carries. Only probable-hit
         # posting rows (true hits + ~fpp) survive to the shuffle join.
-        totals = docs.select(
-            F.col(id_col),
-            F.size(word_shingles(text_col, k)).cast("long").alias("n_shingles"),
+        shingled_b = add_word_kgrams(
+            docs.select(F.col(id_col), F.col(text_col)),
+            text_col, k, "__sh", distinct=True,
         )
-        posting = docs.select(
-            F.col(id_col), F.explode(word_shingles(text_col, k)).alias("shingle")
+        totals = shingled_b.select(
+            F.col(id_col), F.size("__sh").cast("long").alias("n_shingles")
         )
+        posting = shingled_b.select(
+            F.col(id_col), F.explode_outer("__sh").alias("shingle")
+        ).filter(F.col("shingle").isNotNull())
         hits = (
             _bloom_prune(posting, bench, "shingle", bloom_expected_items, bloom_fpp)
             .join(bench, "shingle")
@@ -181,9 +186,10 @@ def contamination_check(
     # TBs of corpus), and a single groupBy(id) recovers totals + hit
     # counts. The previous two-branch shape evaluated word_shingles —
     # the dominant cost — twice per corpus row.
-    shingled = docs.select(
-        F.col(id_col), word_shingles(text_col, k).alias("__sh")
-    )
+    shingled = add_word_kgrams(
+        docs.select(F.col(id_col), F.col(text_col)),
+        text_col, k, "__sh", distinct=True,
+    ).select(id_col, "__sh")
     posting = shingled.select(
         id_col,
         # long, matching the bloom path's count() totals dtype
@@ -239,18 +245,22 @@ def contamination_spans(
     """
     from streamz_spark.io import ensure_scan_parallelism
     from streamz_spark.operators.dedup import _merge_anchor_spans
-    from streamz_spark.operators.text import word_kgrams
 
     bench_text_col = bench_text_col or text_col
     docs = ensure_scan_parallelism(docs)
-    kg = docs.select(
-        F.col(id_col).alias("id"),
-        F.posexplode(word_kgrams(text_col, k)).alias("pos", "gram"),
-    ).select("id", "pos", F.xxhash64("gram").alias("gh"))
-    bench_gh = (
-        benchmark.select(
-            F.explode(word_kgrams(bench_text_col, k)).alias("gram")
+    kg = (
+        add_word_kgrams(
+            docs.select(F.col(id_col).alias("id"), F.col(text_col)),
+            text_col, k, "__kg",
         )
+        .select("id", F.posexplode_outer("__kg").alias("pos", "gram"))
+        .filter(F.col("gram").isNotNull())
+        .select("id", "pos", F.xxhash64("gram").alias("gh"))
+    )
+    bench_gh = (
+        add_word_kgrams(benchmark, bench_text_col, k, "__bkg")
+        .select(F.explode_outer("__bkg").alias("gram"))
+        .filter(F.col("gram").isNotNull())
         .select(F.xxhash64("gram").alias("gh"))
         .distinct()
     )

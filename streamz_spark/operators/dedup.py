@@ -13,7 +13,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
 
-from streamz_spark.operators.text import fingerprint, word_shingles
+from streamz_spark.operators.text import add_word_kgrams, fingerprint, tokenize
 
 __all__ = [
     "exact_duplicates",
@@ -125,7 +125,6 @@ def duplicated_spans(
     from pyspark.sql import Window as W
 
     from streamz_spark.io import ensure_scan_parallelism
-    from streamz_spark.operators.text import word_kgrams
 
     df = ensure_scan_parallelism(df)
     # ONE corpus pass, ONE exchange on gh, NO join: the occurrence
@@ -139,10 +138,12 @@ def duplicated_spans(
     # posting-array alternative buffers the hot gram's members in one
     # reducer row). Pinned by test_duplicated_spans_plan_shape.
     kg = (
-        df.select(
-            F.col(id_col).alias("id"),
-            F.posexplode(word_kgrams(text_col, k)).alias("pos", "gram"),
+        add_word_kgrams(
+            df.select(F.col(id_col).alias("id"), F.col(text_col)),
+            text_col, k, "__kg",
         )
+        .select("id", F.posexplode_outer("__kg").alias("pos", "gram"))
+        .filter(F.col("gram").isNotNull())
         .select("id", "pos", F.xxhash64("gram").alias("gh"))
         .repartition("gh")
     )
@@ -446,7 +447,10 @@ def ngram_jaccard_pairs(
     df = ensure_scan_parallelism(df)
     # persist: the shingle set feeds three subtrees (sizes, posting,
     # callers' verify joins) — without it Catalyst re-tokenizes per branch
-    sh = df.select(F.col(id_col).alias("id"), word_shingles(text_col, k).alias("sh")).persist()
+    sh = add_word_kgrams(
+        df.select(F.col(id_col).alias("id"), F.col(text_col)),
+        text_col, k, "sh", distinct=True,
+    ).select("id", "sh").persist()
     sizes = sh.select("id", F.size("sh").alias("n_sh")).filter(F.col("n_sh") > 0)
     posting = sh.select("id", F.explode("sh").alias("shingle"))
     plist = (
@@ -532,9 +536,12 @@ def minhash_signatures(
     from streamz_spark.io import ensure_scan_parallelism
 
     df = ensure_scan_parallelism(df)
-    sh = df.select(F.col(id_col).alias("id"), word_shingles(text_col, k).alias("sh")).filter(
-        F.size("sh") > 0
-    )
+    sh = add_word_kgrams(
+        df.select(F.col(id_col).alias("id"), F.col(text_col)).filter(
+            F.size(tokenize(text_col)) >= k
+        ),
+        text_col, k, "sh", distinct=True,
+    ).select("id", "sh")
     return _minhash_signatures_from_shingles(sh, num_perm)
 
 
@@ -606,9 +613,12 @@ def minhash_near_duplicates(
 
     df = ensure_scan_parallelism(df)
     # persist: shingles feed the signature path and both verify sides
-    sh = df.select(F.col(id_col).alias("id"), word_shingles(text_col, k).alias("sh")).filter(
-        F.size("sh") > 0
-    ).persist()
+    sh = add_word_kgrams(
+        df.select(F.col(id_col).alias("id"), F.col(text_col)).filter(
+            F.size(tokenize(text_col)) >= k
+        ),
+        text_col, k, "sh", distinct=True,
+    ).select("id", "sh").persist()
     sigs = _minhash_signatures_from_shingles(sh, num_perm)
     cand = minhash_lsh_candidates(sigs, bands, rows_per_band)
     a = sh.select(F.col("id").alias("id_a"), F.col("sh").alias("sh_a"))
@@ -682,9 +692,12 @@ def dedup_index_artifacts(
         )
     index = ensure_scan_parallelism(index)
     fp = index.select(fingerprint(text_col, "__fp"))
-    sh = index.select(
-        F.col(id_col).alias("id"), word_shingles(text_col, k).alias("sh")
-    ).filter(F.size("sh") > 0)
+    sh = add_word_kgrams(
+        index.select(F.col(id_col).alias("id"), F.col(text_col)).filter(
+            F.size(tokenize(text_col)) >= k
+        ),
+        text_col, k, "sh", distinct=True,
+    ).select("id", "sh")
     band_table = _lsh_band_table(
         _minhash_signatures_from_shingles(sh, num_perm), bands, num_perm // bands
     )
@@ -760,9 +773,12 @@ def incremental_dedup(
     after_exact = inc_fp.join(idx_fp, "__fp", "left_anti").drop("__fp")
 
     # fuzzy screen: band join incoming x index, exact-Jaccard verify
-    sh_inc = incoming.select(
-        F.col(id_col).alias("id"), word_shingles(text_col, k).alias("sh")
-    ).filter(F.size("sh") > 0).persist()
+    sh_inc = add_word_kgrams(
+        incoming.select(F.col(id_col).alias("id"), F.col(text_col)).filter(
+            F.size(tokenize(text_col)) >= k
+        ),
+        text_col, k, "sh", distinct=True,
+    ).select("id", "sh").persist()
     band_inc = _lsh_band_table(
         _minhash_signatures_from_shingles(sh_inc, num_perm), bands, rows_per_band
     )

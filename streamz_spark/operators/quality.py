@@ -277,7 +277,7 @@ def common_shingle_stats(
     that cleared ``min_docs`` — boilerplate is by definition high-df,
     so that set is small and broadcasts at any corpus size.
     """
-    from streamz_spark.operators.text import word_shingles
+    from streamz_spark.operators.text import add_word_kgrams
 
     # shingles are distinct per doc, so per-doc totals are just the
     # posting row count (COUNT(col) skips the explode_outer null row
@@ -286,13 +286,19 @@ def common_shingle_stats(
     # consumers (df-aggregate, rollup), which is 2x a codegen'd narrow
     # scan. (A localCheckpoint here measured ~15x SLOWER than the
     # recompute: checkpoint materialization runs the expression tree
-    # outside whole-stage codegen.)
+    # outside whole-stage codegen.) Gram construction via the compiled
+    # NGram path (add_word_kgrams) — bit-identical, ~2x less CPU than
+    # the zip_with chain, which matters ×2 here since both consumers
+    # re-run the shingling.
     from streamz_spark.io import ensure_scan_parallelism
 
     df = ensure_scan_parallelism(df)
-    posting = df.select(
+    posting = add_word_kgrams(
+        df.select(F.col(id_col), F.col(text_col)), text_col, k, "__sh",
+        distinct=True,
+    ).select(
         F.col(id_col),
-        F.explode_outer(word_shingles(text_col, k)).alias("shingle"),
+        F.explode_outer("__sh").alias("shingle"),
     )
     common = (
         posting.filter(F.col("shingle").isNotNull())
@@ -395,13 +401,15 @@ def source_overlap(
     low-cardinality by definition (domains/dumps, not documents), so
     the output is |sources|² bounded.
     """
-    from streamz_spark.operators.text import word_shingles
+    from streamz_spark.operators.text import add_word_kgrams
 
     sh = (
-        df.select(
-            F.col(source_col).alias("src"),
-            F.explode(word_shingles(text_col, k)).alias("s"),
+        add_word_kgrams(
+            df.select(F.col(source_col).alias("src"), F.col(text_col)),
+            text_col, k, "__sh", distinct=True,
         )
+        .select("src", F.explode_outer("__sh").alias("s"))
+        .filter(F.col("s").isNotNull())
         .distinct()
         # feeds both the per-source totals and the pair join: shingle
         # the corpus once

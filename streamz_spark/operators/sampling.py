@@ -191,19 +191,19 @@ def dsir_select(
     and flag ``key >= threshold`` map-side; everything upstream is
     unchanged.
     """
-    from streamz_spark.operators.text import tokenize, word_kgrams
+    from streamz_spark.operators.text import add_word_kgrams, tokenize
 
     if k < 1:
         raise ValueError("k must be >= 1")
     y = F.col(is_target) if isinstance(is_target, str) else is_target
-    d = raw.select(
+    d = add_word_kgrams(raw, text_col, 2, "__w2").select(
         F.col(id_col).alias("id"), y.cast("boolean").alias("y"),
-        tokenize(text_col).alias("w1"), word_kgrams(text_col, 2).alias("w2"),
+        tokenize(text_col).alias("w1"), F.col("__w2").alias("w2"),
     )
     occ = d.select(
         "id", "y",
-        F.explode(F.concat("w1", "w2")).alias("gram"),
-    ).select(
+        F.explode_outer(F.concat("w1", "w2")).alias("gram"),
+    ).filter(F.col("gram").isNotNull()).select(
         "id", "y",
         F.pmod(
             F.conv(F.substring(F.md5(F.concat(F.lit(seed + ":"), F.col("gram"))), 1, 15), 16, 10).cast("long"),

@@ -764,3 +764,38 @@ def test_hybrid_rrf_single_corpus_tokenize_pass(spark):
     docs_scans = len(re.findall(r"Location:.*documents\.parquet", plan))
     assert docs_scans == 1, f"expected 1 documents scan, got {docs_scans}"
     assert "Generate" not in plan
+
+
+def test_ngram_udf_never_reevaluated_in_filters(spark):
+    # The compiled NGram gram-builder (add_word_kgrams) is the dominant
+    # per-row cost of the shingle family. Catalyst duplicates it into
+    # Filter conditions two ways: InferFiltersFromGenerate adds
+    # size(expr)>0 AND isnotnull(expr) below non-outer explodes, and
+    # caller filters like size(sh)>0 get pushed below the gram Project.
+    # Both re-evaluate the UDF per row (guide §4.4 shape, measured up to
+    # ~2x per-entry CPU at r08). The operators avoid this with outer
+    # generators + output-null filters and cheap token-count pre-filters;
+    # this contract keeps it that way.
+    from streamz_spark.plans import explain_string
+
+    for name in (
+        "minhash_near_duplicates",
+        "ngram_jaccard_pairs",
+        "incremental_dedup_vs_index",
+        "contamination_check",
+        "contamination_bloom",
+        "contamination_spans",
+        "decontaminate_corpus",
+        "exact_substring_spans",
+        "dedup_spans_removed",
+        "dsir_importance_resample",
+        "boilerplate_common_shingles",
+        "source_overlap_capped",
+    ):
+        plan = explain_string(q(name, spark))
+        offenders = [
+            line.strip()[:160]
+            for line in plan.splitlines()
+            if ("Condition" in line or "Filter" in line) and "UDF(" in line
+        ]
+        assert not offenders, f"{name}: NGram UDF inside Filter: {offenders}"

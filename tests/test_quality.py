@@ -776,3 +776,67 @@ def test_data_card_p50_arg_validated(spark):
     docs = load_table(spark, SF_DIR, "documents")
     with pytest.raises(ValueError, match="p50"):
         corpus_data_card(docs, p50="bogus")
+
+
+def test_ngram_helper_bit_equal(spark):
+    # add_word_kgrams (compiled ml.NGram path, used by the shingle-family
+    # operators since r08) must stay bit-identical INCLUDING element
+    # order to the word_kgrams/word_shingles Column forms — nulls,
+    # empties, unicode whitespace that Java \s does NOT match (NBSP,
+    # U+3000), case folding, duplicate grams, and sub-k docs.
+    from pyspark.sql import functions as F, types as T
+
+    from streamz_spark.operators.text import (
+        add_word_kgrams,
+        word_kgrams,
+        word_shingles,
+    )
+
+    rows = [
+        (1, None),
+        (2, ""),
+        (3, "   "),
+        (4, "\t\n\x0b\f\r"),
+        (5, "a"),
+        (6, "a b c"),
+        (7, "a  b\tc\nd"),
+        (8, "A B C a b c"),
+        (9, "x y z w"),
+        (10, "café CAFÉ café x"),
+        (11, "a b a b a b"),
+        (12, " lead and trail "),
+        (13, "　ideographic　x y z"),
+    ]
+    df = spark.createDataFrame(
+        rows,
+        T.StructType(
+            [
+                T.StructField("id", T.LongType()),
+                T.StructField("text", T.StringType()),
+            ]
+        ),
+    )
+    for k in (1, 2, 3, 5, 7):
+        ref = {
+            r["id"]: (r["kg"], r["sh"])
+            for r in df.select(
+                "id",
+                word_kgrams("text", k).alias("kg"),
+                word_shingles("text", k).alias("sh"),
+            ).collect()
+        }
+        got_kg = {
+            r["id"]: r["kg"]
+            for r in add_word_kgrams(df, "text", k, "kg")
+            .select("id", "kg")
+            .collect()
+        }
+        got_sh = {
+            r["id"]: r["sh"]
+            for r in add_word_kgrams(df, "text", k, "sh", distinct=True)
+            .select("id", "sh")
+            .collect()
+        }
+        for i, (kg, sh) in ref.items():
+            assert got_kg[i] == kg, (k, i, kg, got_kg[i])
+            assert got_sh[i] == sh, (k, i, sh, got_sh[i])
