@@ -133,7 +133,7 @@ CANARY_RUNS = 3
 STEAL_NOISY_PCT = 1.0
 
 
-def pick_prior_baseline(repo_dir: str, tag: str):
+def pick_prior_baseline(repo_dir: str, tag: str, cpus: int | None = None):
     """Choose the cross-round comparison base: the newest QUIET
     versioned artifact from an EARLIER round (a re-run within the same
     round must not become its own baseline), falling back to the
@@ -141,6 +141,14 @@ def pick_prior_baseline(repo_dir: str, tag: str):
     stamped ``noisy_host: true`` (canary gate, or the retroactive
     round-6 stamp) are skipped — their inflated times would
     manufacture phantom improvements and mask real regressions.
+    Artifacts recorded at a DIFFERENT core count are skipped too (the
+    driver's 8-core scaling sweep is a valid measurement but not a
+    valid baseline for 32-core walls — discovered live in round 9 when
+    the driver's c8 sweep landed as the newest versioned file and
+    flagged 9 phantom wall regressions); legacy artifacts without the
+    ``cpus`` field are accepted, which is safe because every versioned
+    artifact predating the field is a 32-core sweep (the 8-core one
+    was renamed to BENCH_DETAIL_r08_c8.json, outside this glob).
 
     Returns (prior_queries, prior_tag, prior_sf).
     """
@@ -164,19 +172,28 @@ def pick_prior_baseline(repo_dir: str, tag: str):
         if pj.get("noisy_host"):
             print(f"bench: skipping noisy baseline {fname}", file=sys.stderr)
             continue
+        if cpus and pj.get("cpus") and pj["cpus"] != cpus:
+            print(f"bench: skipping cpus-mismatched baseline {fname} "
+                  f"(c{pj['cpus']} vs c{cpus})", file=sys.stderr)
+            continue
         if pj.get("sf") is not None:
             return pj.get("queries", {}), ptag, pj.get("sf")
         return {}, None, None
     return {}, None, None
 
 
-def pick_metrics_baseline(repo_dir: str, tag: str):
+def pick_metrics_baseline(repo_dir: str, tag: str, cpus: int | None = None):
     """Choose the comparison base for the DETERMINISTIC metrics channel:
     the newest versioned artifact carrying a non-empty ``exec_metrics``
     map. Unlike the wall-time baseline, noisy-stamped artifacts are
     eligible — shuffle volume and stage counts don't inflate with host
     load, which is the whole point of the channel (round-7 VERDICT #1).
     A same-tag artifact (an earlier run of this round) is eligible too.
+    Core-count-mismatched artifacts are NOT eligible: scan fan-out and
+    map-side-combine granularity follow the core count, so tasks and
+    shuffle records differ between a c8 and a c32 run of the identical
+    plan (round 9: the driver's c8 sweep as baseline flagged 7 phantom
+    shuffle_write_records regressions on untouched code).
 
     Returns (prior_metrics, prior_tag, prior_sf).
     """
@@ -191,6 +208,8 @@ def pick_metrics_baseline(repo_dir: str, tag: str):
             with open(os.path.join(repo_dir, fname)) as f:
                 pj = json.load(f)
         except (OSError, ValueError):
+            continue
+        if cpus and pj.get("cpus") and pj["cpus"] != cpus:
             continue
         em = pj.get("exec_metrics")
         if em and pj.get("sf") is not None:
@@ -428,7 +447,8 @@ def main() -> None:
             if (m := _re.fullmatch(r"BENCH_r(\d+)\.json", f))
         ]
         tag = f"r{(max(rounds) + 1) if rounds else 1:02d}"
-    prior, prior_tag, prior_sf = pick_prior_baseline(repo_dir, tag)
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "0")) or (os.cpu_count() or 8)
+    prior, prior_tag, prior_sf = pick_prior_baseline(repo_dir, tag, cpus)
 
     timings: dict[str, float] = {}
     spread: dict[str, float] = {}
@@ -522,7 +542,7 @@ def main() -> None:
     # labeled separately in the artifact)
     from streamz_spark.benchmetrics import CPU_RULES
 
-    m_prior, m_tag, m_sf = pick_metrics_baseline(repo_dir, tag)
+    m_prior, m_tag, m_sf = pick_metrics_baseline(repo_dir, tag, cpus)
     metric_regs: dict[str, dict] = {}
     cpu_flags: dict[str, dict] = {}
     if m_prior and m_sf == sf_val:
@@ -543,6 +563,9 @@ def main() -> None:
         "metric_regressions": metric_regs,
         "cpu_flags": cpu_flags,
         "sf": sf_val,
+        # core count this sweep ran at: baselines are only valid
+        # within one core count (see pick_*_baseline)
+        "cpus": cpus,
         "tag": tag,
         "prev_tag": prior_tag if deltas else None,
         "delta_vs_prev": deltas,
@@ -594,8 +617,15 @@ def main() -> None:
     # must only ever hold the official bench SF (0.1): a fast smoke at
     # sf0.001 clobbering BENCH_DETAIL_rNN.json has now happened twice
     # (see commit 5a89671) — gate on the SF, not on remembering an env
-    # var
-    if not os.environ.get("SPARK_GRAFT_BENCH_NO_VERSIONED") and sf_val == 0.1:
+    # var. Same gate on the core count: the official config is the
+    # full machine; the driver's secondary low-core scaling sweep
+    # must not become the versioned baseline (round 9: its c8 sweep
+    # landed as BENCH_DETAIL_r09.json and poisoned both channels)
+    if (
+        not os.environ.get("SPARK_GRAFT_BENCH_NO_VERSIONED")
+        and sf_val == 0.1
+        and cpus == (os.cpu_count() or cpus)
+    ):
         with open(os.path.join(repo_dir, f"BENCH_DETAIL_{tag}.json"), "w") as f:
             f.write(payload)
     failed = sorted(n for n, t in timings.items() if t < 0)

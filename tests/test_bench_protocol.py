@@ -155,6 +155,53 @@ def test_baseline_none_when_all_noisy(tmp_path):
     assert prior == {} and tag is None and sf is None
 
 
+def test_baseline_skips_cpus_mismatched_artifacts(tmp_path):
+    # the driver's low-core scaling sweep is a valid measurement but
+    # not a valid wall baseline for full-core runs (round 9: the c8
+    # sweep landed as the newest versioned file and flagged 9 phantom
+    # regressions). Legacy artifacts without the cpus field stay
+    # eligible — every pre-field versioned artifact is a c32 sweep.
+    _write(tmp_path, "BENCH_DETAIL_r08.json",
+           sf=0.1, queries={"q": 1.0})  # legacy, no cpus field
+    _write(tmp_path, "BENCH_DETAIL_r09.json",
+           sf=0.1, queries={"q": 0.5}, cpus=8)
+    prior, tag, sf = bench.pick_prior_baseline(str(tmp_path), "r10", cpus=32)
+    assert tag == "r08" and prior == {"q": 1.0}
+    # matching cpus: eligible
+    prior, tag, _ = bench.pick_prior_baseline(str(tmp_path), "r10", cpus=8)
+    assert tag == "r09" and prior == {"q": 0.5}
+
+
+def test_metrics_baseline_skips_cpus_mismatched_artifacts(tmp_path):
+    # tasks / shuffle records follow the core count (scan fan-out,
+    # map-side combine granularity), so the metrics channel is only
+    # comparable within one core count
+    _write(tmp_path, "BENCH_DETAIL_r08.json",
+           sf=0.1, queries={"q": 1.0}, exec_metrics={"q": _m()})
+    _write(tmp_path, "BENCH_DETAIL_r09.json",
+           sf=0.1, queries={"q": 1.0}, cpus=8,
+           exec_metrics={"q": _m(swr=99_000)})
+    prior, tag, _ = bench.pick_metrics_baseline(str(tmp_path), "r10", cpus=32)
+    assert tag == "r08" and prior == {"q": _m()}
+
+
+def test_bench_names_cover_every_catalog_entry():
+    # the printed JSON line's `queries` map is built from `names`,
+    # which must cover EVERY registered query (declared + extras) —
+    # the r05-style drift that blinded PERF_r08 (per-query map silently
+    # missing) must not recur in the coverage dimension either
+    from streamz_spark.catalog import load_all
+    from streamz_spark.queries.extra import EXTRA_REGISTRY
+
+    registry = dict(load_all())
+    registry.update(EXTRA_REGISTRY)
+    names = [n for n in bench.HEADLINE if n in registry] + sorted(
+        set(registry) - set(bench.HEADLINE)
+    )
+    assert set(names) == set(registry)
+    assert len(names) == len(registry)  # no duplicates in the map
+
+
 def test_committed_r06_artifact_is_stamped_noisy():
     # the retroactive stamp that keeps r06's 43 phantom regressions
     # out of every future comparison — if someone regenerates the
