@@ -421,6 +421,7 @@ def ngram_jaccard_pairs(
     k: int = 3,
     threshold: float = 0.5,
     max_df: int | None = None,
+    approx_keys: bool = False,
 ) -> DataFrame:
     """Exact n-gram Jaccard similarity pairs via shingle posting lists.
 
@@ -438,6 +439,20 @@ def ngram_jaccard_pairs(
     stages where this shape needs one. Per-shingle docs are distinct
     (word_shingles emits array_distinct), so sorted-array expansion
     reproduces the a.id < b.id join exactly.
+
+    ``approx_keys=True`` (opt-in; default stays exact) shuffles the
+    posting list on ``xxhash64(shingle)`` instead of the shingle
+    string: the posting exchange carries 8-byte keys instead of
+    ~(k·word) bytes of gram text — the largest remaining at-scale
+    shuffle cost in the catalog (see OPTIMIZATION_r08/r09). The
+    Jaccard denominators (per-doc shingle-set sizes) stay EXACT
+    string-distinct counts; only ``n_common`` can drift, on a
+    corpus-wide key collision merging two grams' posting lists —
+    expected spurious collisions are birthday-bounded at D²/2⁶⁵ for D
+    distinct corpus shingles (≈ 2.7e-8 at D=10⁶, ≈ 0.03 at 10⁹,
+    certain by 10¹⁰ — past ~10⁹ distinct grams keep the exact default
+    or widen the key to two seeded hashes). Self-pairs from a
+    within-doc collision are filtered at the pair expansion.
     """
     # fan the scan out first: shingling is the expensive narrow stage,
     # and a single-row-group input would otherwise run it on one core
@@ -446,13 +461,24 @@ def ngram_jaccard_pairs(
 
     df = ensure_scan_parallelism(df)
     # persist: the shingle set feeds three subtrees (sizes, posting,
-    # callers' verify joins) — without it Catalyst re-tokenizes per branch
+    # callers' verify joins) — without it Catalyst re-tokenizes per
+    # branch. The persisted relation holds the STRING arrays in both
+    # modes: the columnar cache dictionary-encodes repeated gram text,
+    # while random int64 hashes are incompressible (a hash-inside-the-
+    # array variant blew the 100× cache past local memory and OOMed
+    # the sizes broadcast build), so approx mode hashes AT the posting
+    # projection below — only the exchange key narrows.
     sh = add_word_kgrams(
         df.select(F.col(id_col).alias("id"), F.col(text_col)),
         text_col, k, "sh", distinct=True,
     ).select("id", "sh").persist()
     sizes = sh.select("id", F.size("sh").alias("n_sh")).filter(F.col("n_sh") > 0)
     posting = sh.select("id", F.explode("sh").alias("shingle"))
+    if approx_keys:
+        # int64 posting key; sizes (the Jaccard denominators) stay
+        # exact string-distinct counts — only n_common can drift, on a
+        # corpus-wide key collision
+        posting = posting.select("id", F.xxhash64("shingle").alias("shingle"))
     plist = (
         posting.groupBy("shingle")
         .agg(F.collect_list("id").alias("ids"))
@@ -470,8 +496,15 @@ def ngram_jaccard_pairs(
             ),
         )
     )
+    pairs = plist.select(F.explode(pair_arr).alias("p"))
+    if approx_keys:
+        # a WITHIN-doc key collision duplicates the doc id inside one
+        # posting array, which the sorted-array expansion would emit
+        # as a self-pair — drop those (narrow predicate; exact mode
+        # cannot produce them because per-doc shingles are distinct)
+        pairs = pairs.filter(F.col("p.id_a") != F.col("p.id_b"))
     inter = (
-        plist.select(F.explode(pair_arr).alias("p"))
+        pairs
         .groupBy(F.col("p.id_a").alias("id_a"), F.col("p.id_b").alias("id_b"))
         .agg(F.count(F.lit(1)).alias("n_common"))
     )

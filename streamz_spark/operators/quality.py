@@ -262,6 +262,7 @@ def common_shingle_stats(
     text_col: str = "text",
     k: int = 5,
     min_docs: int = 3,
+    approx_keys: bool = False,
 ) -> DataFrame:
     """Cross-document boilerplate signal: the fraction of a document's
     distinct k-word shingles that also occur in >= ``min_docs`` OTHER
@@ -276,6 +277,16 @@ def common_shingle_stats(
     the shingle key, and the join back is against only the shingles
     that cleared ``min_docs`` — boilerplate is by definition high-df,
     so that set is small and broadcasts at any corpus size.
+
+    ``approx_keys=True`` (opt-in; default stays exact) runs the
+    df-aggregate — the one corpus-sized exchange here — on
+    ``xxhash64(shingle)`` instead of the gram string: 8-byte shuffle
+    keys instead of ~(k·word)-byte text. A hash collision merges two
+    grams' document-frequency counts, which can only push a gram OVER
+    the ``min_docs`` bar (never under), inflating ``n_common`` by at
+    most the collision count; expected corpus-wide collisions are
+    D²/2⁶⁵ for D distinct shingles (≈ 2.7e-8 at 10⁶, ≈ 0.03 at 10⁹) —
+    negligible until ~10⁹ distinct grams, keep exact past that.
     """
     from streamz_spark.operators.text import add_word_kgrams
 
@@ -293,10 +304,19 @@ def common_shingle_stats(
     from streamz_spark.io import ensure_scan_parallelism
 
     df = ensure_scan_parallelism(df)
-    posting = add_word_kgrams(
+    grams = add_word_kgrams(
         df.select(F.col(id_col), F.col(text_col)), text_col, k, "__sh",
         distinct=True,
-    ).select(
+    )
+    if approx_keys:
+        # hash per-doc inside the array (narrow, re-deduped so a
+        # within-doc collision cannot double-count one doc's rows in
+        # either consumer); both consumers below see int64 keys
+        grams = grams.withColumn(
+            "__sh",
+            F.array_distinct(F.transform("__sh", lambda s: F.xxhash64(s))),
+        )
+    posting = grams.select(
         F.col(id_col),
         F.explode_outer("__sh").alias("shingle"),
     )

@@ -6,7 +6,7 @@ one per SURVEY.md §2 operator family. Everything here registers into
 a SEPARATE registry consumed by bench.py and tests only: importing
 this module never contaminates the driver's set.
 
-Contents (69 entries): the complete adapted TPC-H tail
+Contents (74 entries): the complete adapted TPC-H tail
 (q2/q4/q7-q22 — no partsupp, no commit/receipt dates, 1995-2001 date
 range, synthetic NATION_N names), the distributed
 connected-components variant, and the LLM-data operator families
@@ -1088,6 +1088,71 @@ def boilerplate_common_shingles(spark, sf_dir):
 
     docs = load_table(spark, sf_dir, "documents")
     return common_shingle_stats(docs, k=5, min_docs=3)
+
+
+# --------------------------------------------------------------------------
+# approx_keys arms: the exact shingle-string shuffle is the catalog's
+# largest remaining at-scale cost (1.3 GB at 100×, OPTIMIZATION_r08
+# Not-yet #4); the opt-in xxhash64 posting key cuts it to 8-byte keys
+# with birthday-bounded collision odds (D²/2⁶⁵). At bench SFs the
+# corpus is collision-free, so BOTH arms are held to the SAME exact
+# oracle — the approx arm's test failing would mean a real collision
+# (or a broken rewrite), exactly what should fail loudly.
+# --------------------------------------------------------------------------
+
+def _ngram_jaccard_oracle() -> str:
+    from streamz_spark.catalog import load_all
+
+    return load_all()["ngram_jaccard_pairs"].oracle
+
+
+@register_extra(
+    "ngram_jaccard_pairs_approx",
+    oracle=None,  # filled below — identical to the exact path's oracle
+    doc="ngram_jaccard_pairs with approx_keys=True: the posting-list "
+        "exchange shuffles xxhash64(shingle) int64 keys instead of "
+        "gram strings — same SPJA shape, collision-free (hence "
+        "oracle-exact) below ~10⁹ distinct corpus shingles; measured "
+        "A/B in OPTIMIZATION_r09.md",
+)
+def ngram_jaccard_pairs_approx(spark, sf_dir):
+    from streamz_spark.operators import dedup as dd
+
+    docs = load_table(spark, sf_dir, "documents")
+    return dd.ngram_jaccard_pairs(
+        docs, k=3, threshold=0.5, max_df=50, approx_keys=True
+    )
+
+
+EXTRA_REGISTRY["ngram_jaccard_pairs_approx"] = QueryDef(
+    name="ngram_jaccard_pairs_approx",
+    fn=EXTRA_REGISTRY["ngram_jaccard_pairs_approx"].fn,
+    oracle=_ngram_jaccard_oracle(),
+    doc=EXTRA_REGISTRY["ngram_jaccard_pairs_approx"].doc,
+)
+
+
+@register_extra(
+    "boilerplate_common_shingles_approx",
+    oracle=None,  # filled below — identical to the exact path's oracle
+    doc="boilerplate_common_shingles with approx_keys=True: the "
+        "document-frequency exchange runs on xxhash64(shingle) int64 "
+        "keys instead of 5-gram strings — same shape, held to the "
+        "exact oracle (collision-free at bench SFs)",
+)
+def boilerplate_common_shingles_approx(spark, sf_dir):
+    from streamz_spark.operators.quality import common_shingle_stats
+
+    docs = load_table(spark, sf_dir, "documents")
+    return common_shingle_stats(docs, k=5, min_docs=3, approx_keys=True)
+
+
+EXTRA_REGISTRY["boilerplate_common_shingles_approx"] = QueryDef(
+    name="boilerplate_common_shingles_approx",
+    fn=EXTRA_REGISTRY["boilerplate_common_shingles_approx"].fn,
+    oracle=EXTRA_REGISTRY["boilerplate_common_shingles"].oracle,
+    doc=EXTRA_REGISTRY["boilerplate_common_shingles_approx"].doc,
+)
 
 
 # --------------------------------------------------------------------------

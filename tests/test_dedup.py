@@ -28,6 +28,57 @@ def test_minhash_pairs_subset_of_exact_with_high_recall(spark):
         assert len(mh & exact) / len(exact) >= 0.8
 
 
+def test_ngram_jaccard_approx_keys_matches_exact(spark):
+    """approx_keys=True (int64 posting key) must reproduce the exact
+    pair set on collision-free data — i.e. everywhere below the
+    documented ~10⁹-distinct-gram birthday bound."""
+    docs = load_table(spark, SF_DIR, "documents")
+    exact = {
+        tuple(r)
+        for r in dd.ngram_jaccard_pairs(
+            docs, k=3, threshold=0.5, max_df=50
+        ).collect()
+    }
+    approx = {
+        tuple(r)
+        for r in dd.ngram_jaccard_pairs(
+            docs, k=3, threshold=0.5, max_df=50, approx_keys=True
+        ).collect()
+    }
+    assert approx == exact
+
+
+def test_ngram_jaccard_approx_posting_key_is_hashed(spark):
+    """The approx arm's posting aggregate must key on xxhash64, not
+    gram text (the whole point: 8-byte shuffle keys)."""
+    from streamz_spark.plans.inspect import explain_string
+
+    docs = load_table(spark, SF_DIR, "documents")
+    plan = explain_string(
+        dd.ngram_jaccard_pairs(docs, k=3, threshold=0.5, approx_keys=True)
+    )
+    assert "xxhash64" in plan
+    # the exact arm never hashes the posting key
+    plan_exact = explain_string(dd.ngram_jaccard_pairs(docs, k=3, threshold=0.5))
+    assert "xxhash64" not in plan_exact
+
+
+def test_common_shingle_stats_approx_keys_matches_exact(spark):
+    from streamz_spark.operators.quality import common_shingle_stats
+
+    docs = load_table(spark, SF_DIR, "documents")
+    exact = {
+        tuple(r) for r in common_shingle_stats(docs, k=5, min_docs=3).collect()
+    }
+    approx = {
+        tuple(r)
+        for r in common_shingle_stats(
+            docs, k=5, min_docs=3, approx_keys=True
+        ).collect()
+    }
+    assert approx == exact
+
+
 def test_simhash_identical_docs_same_hash(spark):
     """Byte-identical texts must collide; simhash is deterministic."""
     docs = load_table(spark, SF_DIR, "documents")
@@ -299,6 +350,62 @@ class TestIndexArtifacts:
             dd.incremental_dedup(docs)
         with pytest.raises(ValueError):
             dd.incremental_dedup(docs, docs, index_artifacts=(1, 2, 3))
+
+
+def test_ivf_ann_arrow_kernel_bit_equal(spark):
+    """kernel='arrow' (vectorized cell assignment) must reproduce the
+    SQL kernel's output BIT-exactly — same sequential fold order, same
+    (d2, cell) tie ranking — on both the self-query and serving
+    shapes."""
+    emb = load_table(spark, SF_DIR, "embeddings")
+    a = sim.ivf_ann(
+        emb, k=5, n_cells=64, n_probe=3, centroids="seed", kernel="sql"
+    ).collect()
+    b = sim.ivf_ann(
+        emb, k=5, n_cells=64, n_probe=3, centroids="seed", kernel="arrow"
+    ).collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+    q = emb.filter(F.col("vec_id") < 50)
+    a2 = sim.ivf_ann(
+        emb, k=5, n_cells=64, n_probe=3, centroids="seed", queries=q,
+        kernel="sql",
+    ).collect()
+    b2 = sim.ivf_ann(
+        emb, k=5, n_cells=64, n_probe=3, centroids="seed", queries=q,
+        kernel="arrow",
+    ).collect()
+    assert sorted(map(tuple, a2)) == sorted(map(tuple, b2))
+
+
+def test_ann_kernel_auto_dispatch(spark, monkeypatch):
+    """kernel='auto' size-dispatches on the plan-only row estimate:
+    sql below _KERNEL_AUTO_ROWS (the test SF), arrow at/above (forced
+    here by shrinking the threshold) — visible as the MapInArrow node
+    in the plan."""
+    from streamz_spark.plans.inspect import explain_string
+
+    emb = load_table(spark, SF_DIR, "embeddings")
+    plan_small = explain_string(
+        sim.ivf_ann(emb, k=5, n_cells=16, n_probe=2, centroids="seed")
+    )
+    assert "MapInArrow" not in plan_small
+    monkeypatch.setattr(sim, "_KERNEL_AUTO_ROWS", 1)
+    plan_big = explain_string(
+        sim.ivf_ann(emb, k=5, n_cells=16, n_probe=2, centroids="seed")
+    )
+    assert "MapInArrow" in plan_big
+    plan_pq = explain_string(sim.pq_ann(emb, k=5, codebooks="seed"))
+    assert "MapInArrow" in plan_pq
+
+
+def test_pq_ann_arrow_kernel_bit_equal(spark):
+    """kernel='arrow' (vectorized encode) must reproduce the SQL
+    kernel's output BIT-exactly — same fold order, argmin-first ==
+    (d2, j) struct-sort tie order."""
+    emb = load_table(spark, SF_DIR, "embeddings")
+    a = sim.pq_ann(emb, k=5, codebooks="seed", kernel="sql").collect()
+    b = sim.pq_ann(emb, k=5, codebooks="seed", kernel="arrow").collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))
 
 
 def test_pq_ann_finds_planted_near_duplicates(spark):
