@@ -124,7 +124,16 @@ def connected_components(
         # small-star half dedupes, so `e` is canonical per round
         e = _star_round(e, large=True, dedupe=False)
         e = _star_round(e, large=False)
-        e = e.localCheckpoint(eager=True)  # constant-size plan per round
+        # LAZY checkpoint, materialized by the convergence probe just
+        # below: the probe scans the round's edges anyway, so fusing
+        # the materialization into it runs ONE job per round instead
+        # of two (eager checkpoint + probe) — measured on
+        # dedup_clusters_distributed at sf0.1: jobs 35 -> 33, wall
+        # 4.65 -> 4.05 s, executor CPU -14%; same fixpoint (the probe
+        # is the checkpoint's sole consumer at materialization time,
+        # so no double-compute race; every later consumer reads the
+        # cached blocks). Plan size stays constant per round as before.
+        e = e.localCheckpoint(eager=False)
         # convergence probe: count + order-independent hash in ONE
         # cheap scan of the checkpointed edges (splitting count-first/
         # hash-later skips some hash scans but detects the fixpoint a
