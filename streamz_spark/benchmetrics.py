@@ -106,10 +106,30 @@ METRIC_RULES = (
 
 CPU_RULES = (("executor_cpu_ms", 0.5, 500),)
 
+# Queries with a DOCUMENTED alternating physical mode: AQE races them
+# between two valid plans run-to-run, so the listed volume/shape
+# fields swing between two fixed signatures without any code change
+# and would re-flag on every cross-mode comparison forever. tpch_q5's
+# deliberately-unhinted fact-fact join replans broadcast (207 shuffle
+# records / 15 stages at sf0.1) or stays sort-merge (118,322 / 16)
+# depending on AQE's runtime size estimate — indistinguishable wall
+# locally, and hinting would lie at the 100 TB target
+# (OPTIMIZATION_r08.md #14; r08 VERDICT watch item #5). Fields NOT
+# listed here (input_bytes, spill_bytes, and the advisory CPU rule)
+# still flag normally for these queries.
+EXPECTED_MODES: dict[str, tuple[str, ...]] = {
+    "tpch_q5_local_supplier_volume": (
+        "stages",
+        "shuffle_write_records",
+        "shuffle_write_bytes",
+    ),
+}
+
 
 def metric_regressions(
     current: dict[str, dict], prior: dict[str, dict],
     rules=METRIC_RULES,
+    expected_modes=None,
 ) -> dict[str, dict]:
     """Compare two per-query metric maps; return flagged queries.
 
@@ -118,14 +138,25 @@ def metric_regressions(
     comparisons are valid across noisy-host rounds — this is the
     primary regression channel whenever the canary stamps the run
     ``noisy_host`` (VERDICT round-7 next-round #1).
+
+    ``expected_modes`` (default :data:`EXPECTED_MODES`) suppresses the
+    listed per-query fields — the documented AQE alternating-mode
+    signatures that are not regressions. The trade is explicit: a real
+    regression in a suppressed field of a listed query is masked;
+    every other field and every other query still flags.
     """
+    if expected_modes is None:
+        expected_modes = EXPECTED_MODES
     flags: dict[str, dict] = {}
     for name, now in current.items():
         prev = prior.get(name)
         if not isinstance(now, dict) or not isinstance(prev, dict):
             continue
+        skip = expected_modes.get(name, ())
         hits = {}
         for field, rel, floor in rules:
+            if field in skip:
+                continue
             a, b = prev.get(field), now.get(field)
             if a is None or b is None:
                 continue

@@ -421,6 +421,26 @@ def test_metric_regressions_ignore_host_noise_shaped_drift():
     }
 
 
+def test_metric_regressions_expected_mode_suppressed():
+    # tpch_q5's documented AQE alternating mode (broadcast-replan vs
+    # sort-merge: 207 vs 118,322 shuffle records) must not re-flag on
+    # every cross-mode comparison; unlisted fields still flag
+    from streamz_spark.benchmetrics import metric_regressions
+
+    prev = {"tpch_q5_local_supplier_volume": _m(stages=15, swr=207, swb=2022),
+            "other_q": _m(swr=207)}
+    now = {"tpch_q5_local_supplier_volume": _m(stages=16, swr=118_322, swb=1_383_123),
+           "other_q": _m(swr=118_322)}
+    flags = metric_regressions(now, prev)
+    assert "tpch_q5_local_supplier_volume" not in flags
+    assert "other_q" in flags  # only the listed query is suppressed
+    # a q5 regression in an UNLISTED field still flags
+    now2 = {"tpch_q5_local_supplier_volume": _m(stages=15, swr=207, swb=2022,
+                                                inp=500 << 20)}
+    flags2 = metric_regressions(now2, prev)
+    assert "input_bytes" in flags2.get("tpch_q5_local_supplier_volume", {})
+
+
 def test_metric_regressions_absolute_floors():
     # tiny queries: +60% of nearly-nothing is rounding, not regression
     prior = {"q": _m(swr=100, swb=1000, cpu=50, inp=1000)}
