@@ -156,6 +156,36 @@ def _effective_scan_splits(files: tuple[str, ...], max_partition_bytes: int) -> 
     return total
 
 
+def estimate_scan_rows(df: DataFrame) -> int | None:
+    """PLAN-ONLY row-count estimate from the parquet footers of the
+    frame's input files — no action, no physical planning. ``None``
+    when there is no file scan underneath (in-memory relations,
+    ``spark.range``), any input is non-parquet, or a footer is
+    unreadable. Upstream filters are not accounted, so this
+    OVERESTIMATES filtered frames — callers dispatching on it (e.g.
+    ``similarity.*(kernel="auto")``) get the at-scale arm at worst.
+    """
+    try:
+        files = tuple(df.inputFiles())
+        if not files:
+            return None
+        import pyarrow.parquet as pq
+
+        total = 0
+        for uri in files:
+            path = uri
+            if path.startswith("file://"):
+                path = path[7:]
+            elif path.startswith("file:"):
+                path = path[5:]
+            if not path.endswith(".parquet"):
+                return None
+            total += pq.ParquetFile(path).metadata.num_rows
+        return total
+    except Exception:
+        return None
+
+
 def ensure_scan_parallelism(
     df: DataFrame,
     min_partitions: int | None = None,

@@ -241,6 +241,84 @@ def lsh_buckets(
     return v.mapInPandas(bucketize, schema=out_schema)
 
 
+# kernel="auto" crossover: the Arrow kernels carry a fixed ~0.5-1 s of
+# Python-worker spin-up per query on local[32] (measured: the three
+# ANN bench entries ran 0.2-0.9 s slower walls at sf0.1's 2k vectors
+# despite 25-89% less executor CPU), while the Catalyst kernels' CPU
+# grows ~rows * n_cells * dim. At ~20k vectors the SQL assignment
+# already burns seconds of CPU and the spin-up amortizes; at the 100x
+# replica (200k vectors) arrow measured 1.2-5.4x wall and 1.5-127x
+# CPU ahead (OPTIMIZATION_r09.md). Estimated plan-only from parquet
+# footers; unknown sizes keep the SQL arm (safe locally, and a real
+# 100 TB corpus always has file scans underneath).
+_KERNEL_AUTO_ROWS = 20_000
+
+
+def _resolve_kernel(kernel: str, corpus: DataFrame) -> str:
+    if kernel == "auto":
+        from streamz_spark.io import estimate_scan_rows
+
+        n = estimate_scan_rows(corpus)
+        return "arrow" if n is not None and n >= _KERNEL_AUTO_ROWS else "sql"
+    if kernel not in ("sql", "arrow"):
+        raise ValueError(f"kernel must be auto|sql|arrow, got {kernel!r}")
+    return kernel
+
+
+def _assign_cells_arrow(frame: DataFrame, cent_rows, probe_n: int) -> DataFrame:
+    """Arrow kernel for IVF cell assignment: per input row emit the
+    ``probe_n`` nearest cells as ``(id, v, norm, cell, rnk)``.
+
+    Bit-identical to the Catalyst ``scored_cells`` projection in
+    :func:`ivf_ann`: the squared L2 fold accumulates
+    dimension-by-dimension left-to-right (each ``acc += (x-c)²`` step
+    is the same IEEE add the ``aggregate(zip_with(...))`` fold
+    performs, in the same order), and ties rank by lowest cell id via
+    a stable argsort over cells packed in ascending order — the same
+    total order as ``array_sort`` on ``(d2, cell)`` structs. Per-row
+    cost is ~dim numpy ops instead of n_cells·dim interpreted lambda
+    steps (n_cells=√n grows with the corpus, which is what makes the
+    Catalyst form the CPU wall at scale)."""
+    import numpy as np
+
+    cents = np.asarray([c for _, c in cent_rows], dtype=np.float64)
+    cell_ids = np.asarray([ci for ci, _ in cent_rows], dtype=np.int32)
+
+    def gen(batches):
+        import pyarrow as pa
+
+        for rb in batches:
+            n = rb.num_rows
+            if not n:
+                continue
+            x = rb.column(1).flatten().to_numpy(zero_copy_only=False).reshape(n, -1)
+            acc = np.zeros((n, cents.shape[0]), dtype=np.float64)
+            for t in range(x.shape[1]):  # sequential fold == SQL order
+                d = x[:, t, None] - cents[None, :, t]
+                acc += d * d
+            # stable sort on d2: equal keys keep ascending cell order,
+            # matching array_sort on (d2, cell)
+            order = np.argsort(acc, axis=1, kind="stable")[:, :probe_n]
+            reps = order.shape[1]
+            idx = np.repeat(np.arange(n), reps)
+            cells = cell_ids[order.ravel()]
+            rnk = np.tile(np.arange(1, reps + 1, dtype=np.int64), n)
+            yield pa.RecordBatch.from_arrays(
+                [
+                    rb.column(0).take(pa.array(idx)),
+                    rb.column(1).take(pa.array(idx)),
+                    rb.column(2).take(pa.array(idx)),
+                    pa.array(cells, type=pa.int32()),
+                    pa.array(rnk, type=pa.int64()),
+                ],
+                names=["id", "v", "norm", "cell", "rnk"],
+            )
+
+    return frame.select("id", "v", "norm").mapInArrow(
+        gen, "id bigint, v array<double>, norm double, cell int, rnk bigint"
+    )
+
+
 def ivf_ann(
     corpus: DataFrame,
     k: int = 5,
@@ -252,6 +330,7 @@ def ivf_ann(
     centroids: str = "kmeans",
     queries: DataFrame | None = None,
     query_id_col: str = "vec_id",
+    kernel: str = "auto",
 ) -> DataFrame:
     """IVF (inverted-file) ANN: coarse-quantize vectors to their nearest
     centroid cell; candidates = pairs whose cells overlap within each
@@ -281,12 +360,26 @@ def ivf_ann(
     workload over a 100× corpus costs ~10×, not 1000× (this is how an
     ANN index is actually consumed at 100 TB). Self-matches (same id)
     are excluded either way.
+
+    ``kernel`` selects the cell-assignment implementation: the
+    Catalyst projection (``"sql"``) or a vectorized mapInArrow kernel
+    (``"arrow"``) — bit-identical by construction (sequential
+    per-dimension fold, stable tie order; differential-tested and
+    checksum-verified at sf0.1 and 100×). Per-row assignment cost
+    drops from n_cells·dim interpreted lambda steps to ~dim numpy
+    ops, which matters more as n_cells=√n grows with the corpus.
+    ``"auto"`` (default) size-dispatches on a plan-only corpus row
+    estimate: arrow at ≥ ``_KERNEL_AUTO_ROWS`` vectors, sql below
+    (the Arrow kernel's fixed worker spin-up dominates tiny inputs) —
+    the same dispatch contract as ``unigram_nll_quality(lm_join=
+    "auto")``; measured A/B at both scales in OPTIMIZATION_r09.md.
     """
     import math
 
     spark = corpus.sparkSession
     from streamz_spark.io import ensure_scan_parallelism
 
+    kernel = _resolve_kernel(kernel, corpus)
     corpus = ensure_scan_parallelism(corpus)
     v = with_norm(corpus.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v")), "v", "norm")
     if n_cells is None:
@@ -340,6 +433,8 @@ def ivf_ann(
         )
     )
     def _probed(frame, probe_n):
+        if kernel == "arrow":
+            return _assign_cells_arrow(frame, cent_rows, probe_n)
         return (
             frame.crossJoin(cent_packed)
             .select(
@@ -477,6 +572,52 @@ def hyperplane_lsh_ann(
     return cand.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
 
 
+def _pq_encode_arrow(v: DataFrame, cw, m: int, dsub: int) -> DataFrame:
+    """Arrow kernel for PQ corpus encoding: ``(cid, codes)`` per row.
+
+    Bit-identical to the Catalyst ``_code`` projection in
+    :func:`pq_ann`: each subspace's squared-distance fold accumulates
+    element-by-element left-to-right (same IEEE add sequence as
+    ``aggregate(zip_with(...))``), and ``np.argmin`` returns the FIRST
+    minimal index — lowest codeword j on ties, the same total order as
+    ``array_sort`` on ``(d2, j)``. Per-row cost ~m·dsub numpy ops
+    instead of m·ks·dsub interpreted lambda steps."""
+    import numpy as np
+
+    cw_np = [np.asarray(cw[s], dtype=np.float64) for s in range(m)]
+
+    def gen(batches):
+        import pyarrow as pa
+
+        for rb in batches:
+            n = rb.num_rows
+            if not n:
+                continue
+            x = rb.column(1).flatten().to_numpy(zero_copy_only=False).reshape(n, -1)
+            codes = np.empty((n, m), dtype=np.int32)
+            for s in range(m):
+                xs = x[:, s * dsub:(s + 1) * dsub]
+                acc = np.zeros((n, cw_np[s].shape[0]), dtype=np.float64)
+                for t in range(dsub):  # sequential fold == SQL order
+                    d = xs[:, t, None] - cw_np[s][None, :, t]
+                    acc += d * d
+                codes[:, s] = np.argmin(acc, axis=1)
+            offsets = pa.array(
+                np.arange(0, (n + 1) * m, m, dtype=np.int32), type=pa.int32()
+            )
+            yield pa.RecordBatch.from_arrays(
+                [
+                    rb.column(0),
+                    pa.ListArray.from_arrays(
+                        offsets, pa.array(codes.ravel(), type=pa.int32())
+                    ),
+                ],
+                names=["cid", "codes"],
+            )
+
+    return v.select("id", "v").mapInArrow(gen, "cid bigint, codes array<int>")
+
+
 def pq_ann(
     corpus: DataFrame,
     k: int = 5,
@@ -488,6 +629,7 @@ def pq_ann(
     query_limit: int = 20,
     seed: int = 42,
     codebooks: str = "seed",
+    kernel: str = "auto",
 ) -> DataFrame:
     """Product-quantization ANN (Jégou et al. 2011): split each vector
     into ``m`` subspaces, quantize each sub-vector to one of ``ks``
@@ -519,12 +661,23 @@ def pq_ann(
     explicit subspace order, ties break on lowest codeword / lowest
     candidate id.
 
+    ``kernel="arrow"`` runs the corpus ENCODE stage as a vectorized
+    mapInArrow kernel (bit-identical: sequential per-element fold,
+    argmin-first tie order == the (d2, j) struct sort;
+    differential-tested) — per-row cost ~m·dsub numpy ops instead of
+    m·ks·dsub interpreted lambda steps. ``"auto"`` (default)
+    size-dispatches like :func:`ivf_ann`: arrow at ≥
+    ``_KERNEL_AUTO_ROWS`` estimated corpus rows, sql below. See
+    OPTIMIZATION_r09.md for the sf0.1 / 100× A/B governing the
+    crossover.
+
     No reference equivalent (streamz has no vector search); the
     capability-superset entry alongside brute/LSH/IVF.
     """
     spark = corpus.sparkSession
     from streamz_spark.io import ensure_scan_parallelism
 
+    kernel = _resolve_kernel(kernel, corpus)
     corpus = ensure_scan_parallelism(corpus)
     v = with_norm(
         corpus.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v")), "v", "norm"
@@ -592,13 +745,16 @@ def pq_ann(
         )
         return F.element_at(scored, 1)["j"]
 
-    codes = (
-        v.crossJoin(packed)
-        .select(
-            F.col("id").alias("cid"),
-            F.array(*[_code(s) for s in range(m)]).alias("codes"),
+    if kernel == "arrow":
+        codes = _pq_encode_arrow(v, cw, m, dsub)
+    else:
+        codes = (
+            v.crossJoin(packed)
+            .select(
+                F.col("id").alias("cid"),
+                F.array(*[_code(s) for s in range(m)]).alias("codes"),
+            )
         )
-    )
 
     # per-query distance table: qdt[s][j] = d2(q_sub_s, cw[s,j]);
     # F.filter preserves the packed (s, j) order, so qdt[s] is j-asc
