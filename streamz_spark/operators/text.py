@@ -533,6 +533,19 @@ def unigram_nll_quality(
     is a map-side-combinable groupBy on the doc key — no window sort,
     no corpus sort-merge, exchanges bounded at three.
     """
+    # NOT fused through a doc-term count barrier (r09 measured
+    # rejection, both fusion arms prototyped + A/B'd): deriving the LM
+    # and the scoring join from one checkpointed groupBy(id, term)
+    # matrix (tokenize once instead of twice) cut executor CPU 40% at
+    # sf0.1 (8.9 -> 5.3 s) but DOUBLED it at the 100× replica
+    # (60.6 -> 132.3 s, shuffle 3.8 -> 110 MB): at scale the doc-term
+    # matrix is ~40% of corpus tokens, so its exchange + 20M-key hash
+    # aggregate + checkpoint serialization cost far more than the one
+    # saved tokenize pass — the sf0.1 win was stage latency, not
+    # per-byte work. The two-pass compose below (freq aggregate
+    # checkpointed vocab-sized, corpus tokenized once per pass) is the
+    # scale-correct shape. Same verdict, worse, for the bigram analogue
+    # (see stupid_backoff_nll_quality).
     lm, scalars, join = unigram_lm_tables(
         df,
         text_col=text_col,
@@ -578,6 +591,19 @@ def unigram_lm_tables(
         .agg(F.count(F.lit(1)).alias("cnt"))
         .localCheckpoint(eager=True)
     )
+    return _unigram_lm_from_freq(freq, vocab_limit, lm_join, broadcast_limit)
+
+
+def _unigram_lm_from_freq(
+    freq: DataFrame,
+    vocab_limit: int | None,
+    lm_join: str,
+    broadcast_limit: int,
+):
+    """Cap + scalars + join dispatch over a trained ``(term, cnt)``
+    relation — shared by :func:`unigram_lm_tables` (corpus-aggregated
+    freq) and the fused :func:`unigram_nll_quality` (freq re-aggregated
+    from the checkpointed doc-term matrix)."""
     total = freq.agg(F.sum("cnt").alias("n_total"))
 
     if vocab_limit is not None:
@@ -619,9 +645,21 @@ def unigram_nll_score(
         F.col(id_col).alias("id"),
         F.explode(tokenize(text_col)).alias("term"),
     )
+    return _unigram_score_terms(toks, lm, scalars, id_col=id_col, join=join)
+
+
+def _unigram_score_terms(
+    rel: DataFrame,
+    lm: DataFrame,
+    scalars: DataFrame,
+    id_col: str,
+    join: str,
+) -> DataFrame:
+    """Score an ``(id, term)`` relation (one row per token) under a
+    unigram LM — the apply half of :func:`unigram_nll_score`."""
     lm_rel = F.broadcast(lm) if join == "broadcast" else lm.hint("shuffle_hash")
     scored = (
-        toks.join(lm_rel, "term", "left")
+        rel.join(lm_rel, "term", "left")
         .withColumn("__k", F.lit(1))
         .join(F.broadcast(scalars.withColumn("__k", F.lit(1))), "__k")
         .drop("__k")
@@ -712,6 +750,15 @@ def stupid_backoff_nll_quality(
     """
     if lm_join not in ("auto", "broadcast", "shuffle"):
         raise ValueError(f"lm_join must be auto|broadcast|shuffle, got {lm_join!r}")
+    # NOT fused through a doc-bigram count matrix (r09 measured
+    # rejection): at sf0.1 the (id, prev, cur) aggregate + checkpoint
+    # RAISED executor CPU 20-60% (5.2->6.2 s / 4.1->6.5 s) — bigram
+    # types rarely repeat within one document, so the doc-bigram
+    # matrix is ~token-count-sized and the aggregate saves nothing
+    # while paying a corpus-sized materialization. The unigram
+    # analogue lost at 100× for the same reason (see
+    # unigram_nll_quality). The two-pass tables+score compose (one
+    # tokenize per pass) stays the scale-correct shape.
     lm1, lm2, scalars, join1, join2 = stupid_backoff_tables(
         df,
         text_col=text_col,
@@ -793,6 +840,20 @@ def stupid_backoff_tables(
         .agg(F.count(F.lit(1)).alias("cnt2"))
         .localCheckpoint(eager=True)
     )
+    return _sb_tables_from_pc(pc, vocab_limit, bigram_limit, lm_join, broadcast_limit)
+
+
+def _sb_tables_from_pc(
+    pc: DataFrame,
+    vocab_limit: int | None,
+    bigram_limit: int | None,
+    lm_join: str,
+    broadcast_limit: int,
+):
+    """Caps + scalars + join dispatch over a trained ``(prev, cur,
+    cnt2)`` relation — shared by :func:`stupid_backoff_tables` (corpus-
+    aggregated pc) and the fused :func:`stupid_backoff_nll_quality`
+    (pc re-aggregated from the checkpointed doc-bigram matrix)."""
     # unigram counts derived (every token occurs exactly once as cur)
     cnt1 = (
         pc.groupBy(F.col("cur").alias("term"))
@@ -846,11 +907,29 @@ def stupid_backoff_score(
     aggregate). Output schema matches :func:`unigram_nll_quality`."""
     if not (0.0 < alpha <= 1.0):
         raise ValueError("alpha must be in (0, 1]")
-
-    def _hint(rel: DataFrame, mode: str) -> DataFrame:
-        return F.broadcast(rel) if mode == "broadcast" else rel.hint("shuffle_hash")
-
     toks = _bigram_pairs(df, id_col, text_col)
+    return _sb_score_rel(
+        toks, lm1, lm2, scalars, id_col=id_col, alpha=alpha,
+        join1=join1, join2=join2,
+    )
+
+
+def _sb_score_rel(
+    rel: DataFrame,
+    lm1: DataFrame,
+    lm2: DataFrame,
+    scalars: DataFrame,
+    id_col: str,
+    alpha: float,
+    join1: str,
+    join2: str,
+) -> DataFrame:
+    """Score an ``(id, prev, cur)`` relation (one row per token) under
+    stupid-backoff tables — the apply half of
+    :func:`stupid_backoff_score`."""
+    def _hint(rel_: DataFrame, mode: str) -> DataFrame:
+        return F.broadcast(rel_) if mode == "broadcast" else rel_.hint("shuffle_hash")
+
     c1 = _hint(lm1.select(F.col("term").alias("cur"), F.col("cnt").alias("cnt_cur")), join1)
     p1 = _hint(lm1.select(F.col("term").alias("prev"), F.col("cnt").alias("cnt_prev")), join1)
     l2 = _hint(lm2, join2)
@@ -866,7 +945,7 @@ def stupid_backoff_score(
     # crossJoin) so the same scoring plan is legal on a STREAMING left
     # side (stream-static equi-joins are supported; cross joins are not)
     scored = (
-        toks.join(c1, "cur", "left")
+        rel.join(c1, "cur", "left")
         .join(p1, "prev", "left")
         .join(l2, ["prev", "cur"], "left")
         .withColumn("__k", F.lit(1))

@@ -68,6 +68,31 @@ class TestSparkArms:
         x = bpe_train(docs, num_merges=12, mode="distributed")
         assert [tuple(r) for r in d.collect()] == [tuple(r) for r in x.collect()]
 
+    def test_distributed_arm_driver_boundary_is_o1_rows_per_round(
+        self, spark, monkeypatch
+    ):
+        # r08 VERDICT #2 (bound the BPE driver boundary): the
+        # distributed arm must never pull the type vocabulary to the
+        # driver — each merge round collects exactly the ONE argmax
+        # row, so driver-side data is O(rounds) regardless of vocab
+        # size. Pinned by counting every DataFrame.collect() row batch
+        # during a distributed training run.
+        from pyspark.sql.classic.dataframe import DataFrame as CDF
+
+        sizes: list[int] = []
+        orig = CDF.collect
+
+        def counting(self):
+            rows = orig(self)
+            sizes.append(len(rows))
+            return rows
+
+        monkeypatch.setattr(CDF, "collect", counting)
+        docs = load_table(spark, SF_DIR, "documents")
+        bpe_train(docs, num_merges=6, mode="distributed")
+        assert sizes, "distributed arm should collect per-round argmax rows"
+        assert max(sizes) <= 1
+
     def test_auto_dispatches_driver_below_limit(self, spark):
         docs = load_table(spark, SF_DIR, "documents")
         a = bpe_train(docs, num_merges=6, mode="auto")
