@@ -6,6 +6,19 @@ Usage:
 
 Writes OUTDIR/<query>_<SUFFIX>.txt per query. SF dir from
 $SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1).
+
+Barrier-free capture: queries built around ``localCheckpoint``
+barriers (q2, dsir, the fused LM family, ...) hide their construction
+behind ExistingRDD nodes in a plain capture. Set
+``SPARK_GRAFT_CAPTURE_NOBARRIER=1`` to patch
+``pyspark.sql.classic.dataframe.DataFrame.localCheckpoint`` (the
+classic class — the base ``pyspark.sql.DataFrame`` is not the one
+dispatched) to identity for the capture, exposing the full logical
+shape. NOTE: a barrier-free plan shows each shared subtree once PER
+CONSUMER (that duplication is exactly what the barrier removes at
+runtime), so read it for construction shape, and the barrier capture
++ exec-metrics for the dedup evidence. The capture header records
+which mode produced it.
 """
 
 from __future__ import annotations
@@ -24,6 +37,18 @@ def main() -> None:
     names = sys.argv[3:]
     os.makedirs(outdir, exist_ok=True)
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    header = ""
+    if os.environ.get("SPARK_GRAFT_CAPTURE_NOBARRIER"):
+        from pyspark.sql.classic.dataframe import DataFrame as _CDF
+
+        _CDF.localCheckpoint = lambda self, eager=True: self
+        header = (
+            "-- captured with SPARK_GRAFT_CAPTURE_NOBARRIER=1: "
+            "localCheckpoint patched to identity so the construction "
+            "behind every barrier is visible; shared subtrees appear "
+            "once per consumer (the runtime barrier evaluates them "
+            "once)\n"
+        )
     spark = get_spark("plan_capture")
     registry = dict(load_all())
     try:
@@ -50,7 +75,7 @@ def main() -> None:
         except Exception as exc:
             plan = f"PLAN CAPTURE FAILED: {exc}"
         with open(os.path.join(outdir, f"{name}_{suffix}.txt"), "w") as f:
-            f.write(plan)
+            f.write(header + plan)
         print(f"wrote {name}_{suffix}.txt")
     spark.stop()
 
